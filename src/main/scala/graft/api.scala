@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core API surface shared by all operator modules.
+  *
+  * Design notes (SURVEY.md §1.3, §4.3):
+  *   - Every query is declarative DataFrame code — Catalyst pushes filters
+  *     and projections to the parquet scan, picks join strategies, and AQE
+  *     re-plans at runtime. No RDDs, no driver-side loops.
+  *   - Determinism contract (SURVEY.md §2): exact DECIMAL arithmetic for
+  *     aggregates over money doubles, `round(x, 6)` for unavoidable float
+  *     math, and a total ORDER BY on every result.
+  */
+object api {
+
+  /** A declared operator: name, DataFrame program, optional DuckDB oracle. */
+  final case class Query(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  object Query {
+    def apply(name: String, oracle: String)(
+        run: (SparkSession, String) => DataFrame): Query =
+      Query(name, run, Some(oracle))
+    def noOracle(name: String)(run: (SparkSession, String) => DataFrame): Query =
+      Query(name, run, None)
+  }
+
+  /** Load one of the driver-generated tables (TESTDATA.md). Plain
+    * `spark.read.parquet` — schema comes from the footer, scans are
+    * vectorized, and pruning/pushdown happen in the plan.
+    *
+    * `events.parquet` stores TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects outright; we read it as nanos-since-epoch longs and
+    * convert to microsecond timestamps (lossless — the generator emits
+    * µs-aligned values; oracles cast the DuckDB side to µs TIMESTAMP). */
+  def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Exact money decimal: the testdata doubles carry exactly 2 decimal
+    * digits, so this cast is lossless and Spark/DuckDB agree bit-for-bit. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+  def dec(name: String): Column = dec(col(name))
+
+  /** 1 as an exact decimal, for (1 - discount)-style factors. */
+  val oneDec: Column = lit(1).cast(DecimalType(5, 4))
+
+  /** Exact average: exact decimal sum → double, divided by a long count.
+    * Both engines convert the same exact decimal to the same nearest
+    * double and do one IEEE division — bit-identical, no round() needed. */
+  def avgExact(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(lit(1))
+
+  /** UTC timestamp literal (session timezone is pinned to UTC). */
+  def ts(s: String): Column = lit(s).cast(TimestampType)
+}

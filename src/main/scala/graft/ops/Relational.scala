@@ -1,0 +1,499 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.api._
+
+/** Relational core: scans, filters, joins, aggregates, windows, set ops,
+  * scalar functions (SURVEY.md §2A A1–A3/A10 and §2B B1–B21).
+  *
+  * Reference semantics mapped per SURVEY.md §2A (citations are
+  * reconstructions, see SURVEY §0): HBase `Scan` key-order range scans
+  * (`GVCFHBase.java:~80`) become pruned/pushed parquet scans;
+  * `SampleNameIndex` dimension resolution (`SampleNameIndex.java:~20`)
+  * becomes a broadcast hash join.
+  *
+  * Scale notes (100 TB): every aggregate here is partial+final hash agg;
+  * dimension joins broadcast; fact-fact joins shuffle on their equi-keys
+  * and AQE handles skew. Results carry a total ORDER BY only because the
+  * correctness harness hash-compares rows — the ORDER BY ... LIMIT forms
+  * compile to TakeOrderedAndProject (no global sort materialization).
+  */
+object Relational {
+
+  /** A1: key-ordered scan reading a column subset — column pruning reaches
+    * the parquet reader (ReadSchema shows only 4 columns). */
+  val scanProject = Query(
+    "q_scan_project",
+    """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_shipdate, l_quantity
+      |LIMIT 1000""".stripMargin) { (s, d) =>
+    tbl(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+      .limit(1000)
+  }
+
+  /** A2: range-restricted scan — predicate pushdown + row-group min/max
+    * pruning stand in for HBase Scan.withStartRow/withStopRow. */
+  val filterRange = Query(
+    "q_filter_range",
+    """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+      |ORDER BY l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+      |LIMIT 1000""".stripMargin) { (s, d) =>
+    tbl(s, d, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1997-01-01"))
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+      .limit(1000)
+  }
+
+  /** A3: dimension resolution as broadcast hash joins (customer ⋈ nation ⋈
+    * region). Both dims are tiny at any scale — broadcast is explicit. */
+  val joinBroadcast = Query(
+    "q_join_broadcast",
+    """SELECT r_name, n_name, count(*) AS n_customers,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+    tbl(s, d, "customer")
+      .join(broadcast(tbl(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(tbl(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(dec("c_acctbal")).cast(DecimalType(38, 4)).as("total_acctbal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** A10: per-key record counting (partial+final hash aggregate). */
+  val aggCountByKey = Query(
+    "q_agg_count_by_key",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    tbl(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** B1: TPC-H Q1-shaped pricing summary. All money math in exact
+    * decimals; averages via exact-sum/count (bit-identical doubles). */
+  val aggLinestatus = Query(
+    "q_agg_linestatus",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |           (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    tbl(s, d, "lineitem")
+      .filter(col("l_shipdate") <= ts("2000-12-01"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec("l_quantity")).cast(DecimalType(38, 4)).as("sum_qty"),
+        sum(dec("l_extendedprice")).cast(DecimalType(38, 4)).as("sum_base_price"),
+        sum(dec("l_extendedprice") * (oneDec - dec("l_discount")))
+          .cast(DecimalType(38, 8)).as("sum_disc_price"),
+        avgExact(col("l_extendedprice")).as("avg_price"),
+        avgExact(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** B2: exact distinct count per group (expand + two-phase agg). */
+  val aggDistinct = Query(
+    "q_agg_distinct",
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    tbl(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy("l_returnflag")
+  }
+
+  /** B5: fact-fact equi-join on orderkey + monthly revenue rollup. At
+    * bench scale Catalyst/AQE picks the join strategy; at 100 TB this is
+    * a shuffle join on the key both tables would be bucketed by (A11). */
+  val joinShuffle = Query(
+    "q_join_shuffle",
+    """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |           (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY order_month
+      |ORDER BY order_month""".stripMargin) { (s, d) =>
+    tbl(s, d, "lineitem")
+      .join(tbl(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+      .agg(
+        sum(dec("l_extendedprice") * (oneDec - dec("l_discount")))
+          .cast(DecimalType(38, 8)).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("order_month")
+  }
+
+  /** B6: left semi join — orders with at least one returned line. */
+  val joinSemi = Query(
+    "q_join_semi",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |ORDER BY o_orderkey LIMIT 2000""".stripMargin) { (s, d) =>
+    val returned = tbl(s, d, "lineitem").filter(col("l_returnflag") === "R")
+    tbl(s, d, "orders")
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+      .limit(2000)
+  }
+
+  /** B7: left anti join — customers with no order in 2001+. */
+  val joinAnti = Query(
+    "q_join_anti",
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2001-01-01')
+      |ORDER BY c_custkey LIMIT 2000""".stripMargin) { (s, d) =>
+    val recent = tbl(s, d, "orders").filter(col("o_orderdate") >= ts("2001-01-01"))
+    tbl(s, d, "customer")
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+      .limit(2000)
+  }
+
+  /** B8: equi-key + theta residual — lines shipped before their order
+    * date (data-quality check). SMJ/BHJ with a residual filter. */
+  val joinTheta = Query(
+    "q_join_theta",
+    """SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate < o_orderdate
+      |ORDER BY l_orderkey, l_linenumber, l_shipdate, o_orderdate
+      |LIMIT 2000""".stripMargin) { (s, d) =>
+    tbl(s, d, "lineitem")
+      .join(tbl(s, d, "orders"),
+        col("l_orderkey") === col("o_orderkey") && col("l_shipdate") < col("o_orderdate"))
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+      .orderBy("l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+      .limit(2000)
+  }
+
+  /** B9: top-k by price — compiles to TakeOrderedAndProject (per-partition
+    * heap + driver merge; no global sort at any scale). */
+  val topk = Query(
+    "q_topk",
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    tbl(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice")
+      .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+      .limit(10)
+  }
+
+  /** B16: string scalar functions (codegen'd built-ins, no UDFs). */
+  val stringFuncs = Query(
+    "q_string_funcs",
+    """SELECT p_partkey,
+      |  upper(p_name) AS name_upper,
+      |  substring(p_name, 1, 12) AS name_prefix,
+      |  concat_ws('-', p_brand, p_type) AS brand_type,
+      |  CAST(length(p_name) AS BIGINT) AS name_len,
+      |  (p_name LIKE '%a%') AS has_a
+      |FROM part ORDER BY p_partkey LIMIT 2000""".stripMargin) { (s, d) =>
+    tbl(s, d, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_name"), 1, 12).as("name_prefix"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        length(col("p_name")).cast(LongType).as("name_len"),
+        col("p_name").like("%a%").as("has_a"))
+      .orderBy("p_partkey")
+      .limit(2000)
+  }
+
+  /** B17: date/time scalar functions over order dates. */
+  val dateFuncs = Query(
+    "q_date_funcs",
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+      |  CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS order_quarter,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002
+      |FROM orders ORDER BY o_orderkey LIMIT 2000""".stripMargin) { (s, d) =>
+    tbl(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast(LongType).as("order_year"),
+        month(col("o_orderdate")).cast(LongType).as("order_month"),
+        date_trunc("quarter", col("o_orderdate")).as("order_quarter"),
+        datediff(lit("2002-01-01").cast(DateType), col("o_orderdate").cast(DateType))
+          .cast(LongType).as("days_to_2002"))
+      .orderBy("o_orderkey")
+      .limit(2000)
+  }
+
+  /** B18: math scalar functions in exact decimal (round/abs/ceil/floor/mod). */
+  val mathFuncs = Query(
+    "q_math_funcs",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)), 0) AS DECIMAL(18,0)) AS price_round,
+      |  CAST(abs(CAST(l_extendedprice AS DECIMAL(18,4)) - 50000) AS DECIMAL(18,4)) AS dist_50k,
+      |  CAST(ceil(CAST(l_discount AS DECIMAL(18,4)) * 100) AS BIGINT) AS disc_pct_ceil,
+      |  CAST(floor(CAST(l_tax AS DECIMAL(18,4)) * 100) AS BIGINT) AS tax_pct_floor,
+      |  l_orderkey % 7 AS key_mod7
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_extendedprice
+      |LIMIT 2000""".stripMargin) { (s, d) =>
+    tbl(s, d, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        round(dec("l_extendedprice"), 0).cast(DecimalType(18, 0)).as("price_round"),
+        abs(dec("l_extendedprice") - lit(50000)).cast(DecimalType(18, 4)).as("dist_50k"),
+        ceil(dec("l_discount") * 100).cast(LongType).as("disc_pct_ceil"),
+        floor(dec("l_tax") * 100).cast(LongType).as("tax_pct_floor"),
+        (col("l_orderkey") % 7).as("key_mod7"))
+      .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+      .limit(2000)
+  }
+
+  /** B3: hierarchical rollup over region → nation revenue. Dims broadcast;
+    * grouping flags disambiguate rollup nulls from data nulls. */
+  val rollup = Query(
+    "q_rollup",
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+      |  CAST(grouping(r_name) AS BIGINT) AS g_r,
+      |  CAST(grouping(n_name) AS BIGINT) AS g_n
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, d) =>
+    tbl(s, d, "orders")
+      .join(broadcast(tbl(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(tbl(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(tbl(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"), col("o_totalprice"))
+      .createOrReplaceTempView("rollup_in")
+    // SQL frontend: DataFrame rollup + grouping() over a join lineage trips
+    // the analyzer's ambiguous-attribute check; the SQL path resolves fine.
+    s.sql(
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(grouping(r_name) AS BIGINT) AS g_r,
+        |  CAST(grouping(n_name) AS BIGINT) AS g_n
+        |FROM rollup_in
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+  }
+
+  /** B4: cube over order priority × status. */
+  val cube = Query(
+    "q_cube",
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+      |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_p,
+      |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_s
+      |FROM orders
+      |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+      |ORDER BY g_p, g_s, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin) { (s, d) =>
+    tbl(s, d, "orders")
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        grouping(col("o_orderpriority")).cast(LongType).as("g_p"),
+        grouping(col("o_orderstatus")).cast(LongType).as("g_s"))
+      .orderBy(col("g_p"), col("g_s"),
+        col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+  }
+
+  /** B10: top-3 orders per priority via rank() (unique tie-break makes
+    * rank deterministic). */
+  val windowRank = Query(
+    "q_window_rank",
+    """SELECT * FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    CAST(rank() OVER (PARTITION BY o_orderpriority
+      |                      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+      |  FROM orders)
+      |WHERE rnk <= 3
+      |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    tbl(s, d, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).cast(LongType).as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy("o_orderpriority", "rnk", "o_orderkey")
+  }
+
+  /** B11: per-user running sum of event value in time order. */
+  val windowRunning = Query(
+    "q_window_running",
+    """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running_value
+      |FROM events
+      |ORDER BY user_id, ts, event_id
+      |LIMIT 3000""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tbl(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        sum(dec("value")).over(w).cast(DecimalType(38, 4)).as("running_value"))
+      .orderBy("user_id", "ts", "event_id")
+      .limit(3000)
+  }
+
+  /** B12: 4-row moving average of order totals per customer (explicit
+    * frame; exact decimal sum / frame count → bit-identical double). */
+  val windowFrame = Query(
+    "q_window_frame",
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) /
+      |    count(*) OVER w AS moving_avg
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey
+      |LIMIT 3000""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-3, Window.currentRow)
+    tbl(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        (sum(dec("o_totalprice")).over(w).cast(DoubleType) /
+          count(lit(1)).over(w)).as("moving_avg"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      .limit(3000)
+  }
+
+  /** B13: UNION DISTINCT of customer keys seen in orders vs customer. */
+  val setUnion = Query(
+    "q_union",
+    """SELECT o_custkey AS custkey FROM orders
+      |UNION
+      |SELECT c_custkey AS custkey FROM customer
+      |ORDER BY custkey""".stripMargin) { (s, d) =>
+    tbl(s, d, "orders").select(col("o_custkey").as("custkey"))
+      .union(tbl(s, d, "customer").select(col("c_custkey").as("custkey")))
+      .distinct()
+      .orderBy("custkey")
+  }
+
+  /** B14: INTERSECT — custkeys with orders and positive balance. */
+  val setIntersect = Query(
+    "q_intersect",
+    """SELECT o_custkey AS custkey FROM orders
+      |INTERSECT
+      |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+      |ORDER BY custkey""".stripMargin) { (s, d) =>
+    tbl(s, d, "orders").select(col("o_custkey").as("custkey"))
+      .intersect(tbl(s, d, "customer").filter(col("c_acctbal") > 0)
+        .select(col("c_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  /** B15: EXCEPT — custkeys with no 2001+ order (distinct physical op
+    * from the B7 anti join). */
+  val setExcept = Query(
+    "q_except",
+    """SELECT c_custkey AS custkey FROM customer
+      |EXCEPT
+      |SELECT o_custkey AS custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+      |ORDER BY custkey""".stripMargin) { (s, d) =>
+    tbl(s, d, "customer").select(col("c_custkey").as("custkey"))
+      .except(tbl(s, d, "orders")
+        .filter(col("o_orderdate") >= ts("2001-01-01"))
+        .select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  /** B19: array higher-order functions over embeddings — size, raw first
+    * element, L2 norm via a sequential fold (codegen'd, no UDF). */
+  val arrayFuncs = Query(
+    "q_array_funcs",
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS BIGINT) AS dim,
+      |  embedding[1] AS first_val,
+      |  round(sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+      |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+    tbl(s, d, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast(LongType).as("dim"),
+        element_at(col("embedding"), 1).as("first_val"),
+        round(sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))), 6).as("l2_norm"))
+      .orderBy("vec_id")
+  }
+
+  /** B20: JSON path extraction over events.props, aggregated. */
+  val jsonFuncs = Query(
+    "q_json_funcs",
+    """SELECT event_type,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    tbl(s, d, "events")
+      .groupBy("event_type")
+      .agg(
+        sum(get_json_object(col("props"), "$.k").cast(LongType)).as("sum_k"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  /** B21: GROUPING SETS via the SQL frontend (spark.sql over a temp view). */
+  val groupingSets = Query(
+    "q_grouping_sets",
+    """SELECT lang, source, count(*) AS n,
+      |  CAST(grouping(lang) AS BIGINT) AS g_lang,
+      |  CAST(grouping(source) AS BIGINT) AS g_source
+      |FROM documents
+      |GROUP BY GROUPING SETS ((lang), (source), ())
+      |ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST""".stripMargin) { (s, d) =>
+    tbl(s, d, "documents").createOrReplaceTempView("documents_gs")
+    s.sql(
+      """SELECT lang, source, count(*) AS n,
+        |  CAST(grouping(lang) AS BIGINT) AS g_lang,
+        |  CAST(grouping(source) AS BIGINT) AS g_source
+        |FROM documents_gs
+        |GROUP BY GROUPING SETS ((lang), (source), ())
+        |ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST""".stripMargin)
+  }
+
+  val queries: Seq[Query] = Seq(
+    scanProject, filterRange, joinBroadcast, aggCountByKey,
+    aggLinestatus, aggDistinct, rollup, cube, joinShuffle, joinSemi,
+    joinAnti, joinTheta, topk, windowRank, windowRunning, windowFrame,
+    setUnion, setIntersect, setExcept, stringFuncs, dateFuncs, mathFuncs,
+    arrayFuncs, jsonFuncs, groupingSets)
+}
