@@ -60,4 +60,13 @@ object api {
 
   /** UTC timestamp literal (session timezone is pinned to UTC). */
   def ts(s: String): Column = lit(s).cast(TimestampType)
+
+  /** Exact decimal sum surfaced as a double. The sum itself is exact
+    * (scale-4 decimal); the final cast is the only inexact step and is
+    * correctly rounded in both engines as long as the unscaled value stays
+    * below 2^53 (true by orders of magnitude at verify scale). DOUBLE in
+    * the result schema matters: the driver's hash-compare renders DuckDB
+    * DECIMAL and Spark parquet DECIMAL differently (r1 lesson — all seven
+    * r1 hash mismatches were decimal/hugeint output columns). */
+  def sumMoney(c: Column): Column = sum(dec(c)).cast(DoubleType)
 }

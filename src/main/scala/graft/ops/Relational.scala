@@ -59,7 +59,7 @@ object Relational {
   val joinBroadcast = Query(
     "q_join_broadcast",
     """SELECT r_name, n_name, count(*) AS n_customers,
-      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_acctbal
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
@@ -71,7 +71,7 @@ object Relational {
       .groupBy("r_name", "n_name")
       .agg(
         count(lit(1)).as("n_customers"),
-        sum(dec("c_acctbal")).cast(DecimalType(38, 4)).as("total_acctbal"))
+        sumMoney(col("c_acctbal")).as("total_acctbal"))
       .orderBy("r_name", "n_name")
   }
 
@@ -93,10 +93,10 @@ object Relational {
   val aggLinestatus = Query(
     "q_agg_linestatus",
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-      |           (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS sum_disc_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |           (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_disc_price,
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
       |  count(*) AS count_order
@@ -108,10 +108,10 @@ object Relational {
       .filter(col("l_shipdate") <= ts("2000-12-01"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec("l_quantity")).cast(DecimalType(38, 4)).as("sum_qty"),
-        sum(dec("l_extendedprice")).cast(DecimalType(38, 4)).as("sum_base_price"),
-        sum(dec("l_extendedprice") * (oneDec - dec("l_discount")))
-          .cast(DecimalType(38, 8)).as("sum_disc_price"),
+        sumMoney(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        round(sum(dec("l_extendedprice") * (oneDec - dec("l_discount"))), 4)
+          .cast(DoubleType).as("sum_disc_price"),
         avgExact(col("l_extendedprice")).as("avg_price"),
         avgExact(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("count_order"))
@@ -135,8 +135,8 @@ object Relational {
   val joinShuffle = Query(
     "q_join_shuffle",
     """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-      |           (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |           (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue,
       |  count(*) AS n_lines
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY order_month
@@ -145,8 +145,8 @@ object Relational {
       .join(tbl(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
       .agg(
-        sum(dec("l_extendedprice") * (oneDec - dec("l_discount")))
-          .cast(DecimalType(38, 8)).as("revenue"),
+        round(sum(dec("l_extendedprice") * (oneDec - dec("l_discount"))), 4)
+          .cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy("order_month")
   }
@@ -262,8 +262,8 @@ object Relational {
   val mathFuncs = Query(
     "q_math_funcs",
     """SELECT l_orderkey, l_linenumber, l_extendedprice,
-      |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)), 0) AS DECIMAL(18,0)) AS price_round,
-      |  CAST(abs(CAST(l_extendedprice AS DECIMAL(18,4)) - 50000) AS DECIMAL(18,4)) AS dist_50k,
+      |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)), 0) AS BIGINT) AS price_round,
+      |  CAST(abs(CAST(l_extendedprice AS DECIMAL(18,4)) - 50000) AS DOUBLE) AS dist_50k,
       |  CAST(ceil(CAST(l_discount AS DECIMAL(18,4)) * 100) AS BIGINT) AS disc_pct_ceil,
       |  CAST(floor(CAST(l_tax AS DECIMAL(18,4)) * 100) AS BIGINT) AS tax_pct_floor,
       |  l_orderkey % 7 AS key_mod7
@@ -273,8 +273,8 @@ object Relational {
     tbl(s, d, "lineitem")
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
-        round(dec("l_extendedprice"), 0).cast(DecimalType(18, 0)).as("price_round"),
-        abs(dec("l_extendedprice") - lit(50000)).cast(DecimalType(18, 4)).as("dist_50k"),
+        round(dec("l_extendedprice"), 0).cast(LongType).as("price_round"),
+        abs(dec("l_extendedprice") - lit(50000)).cast(DoubleType).as("dist_50k"),
         ceil(dec("l_discount") * 100).cast(LongType).as("disc_pct_ceil"),
         floor(dec("l_tax") * 100).cast(LongType).as("tax_pct_floor"),
         (col("l_orderkey") % 7).as("key_mod7"))
@@ -287,7 +287,7 @@ object Relational {
   val rollup = Query(
     "q_rollup",
     """SELECT r_name, n_name,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
       |  CAST(grouping(r_name) AS BIGINT) AS g_r,
       |  CAST(grouping(n_name) AS BIGINT) AS g_n
       |FROM orders
@@ -306,7 +306,7 @@ object Relational {
     // the analyzer's ambiguous-attribute check; the SQL path resolves fine.
     s.sql(
       """SELECT r_name, n_name,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |  CAST(grouping(r_name) AS BIGINT) AS g_r,
         |  CAST(grouping(n_name) AS BIGINT) AS g_n
         |FROM rollup_in
@@ -359,7 +359,7 @@ object Relational {
     """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
       |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
       |    PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running_value
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
       |FROM events
       |ORDER BY user_id, ts, event_id
       |LIMIT 3000""".stripMargin) { (s, d) =>
@@ -367,7 +367,7 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tbl(s, d, "events")
       .select(col("user_id"), col("event_id"), col("ts"),
-        sum(dec("value")).over(w).cast(DecimalType(38, 4)).as("running_value"))
+        sum(dec("value")).over(w).cast(DoubleType).as("running_value"))
       .orderBy("user_id", "ts", "event_id")
       .limit(3000)
   }
@@ -460,7 +460,7 @@ object Relational {
   val jsonFuncs = Query(
     "q_json_funcs",
     """SELECT event_type,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
     tbl(s, d, "events")
