@@ -1,0 +1,295 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.api._
+
+/** LLM-training-data pipeline operators over `documents` / `events`
+  * (SURVEY.md §2C + the north-star text-analysis set): exact dedup,
+  * token analytics, language ID, quality scoring, BPE-ish token counting,
+  * rolling-hash fingerprinting, sessionization, and event-time windows.
+  *
+  * Everything is built-in expressions / higher-order array functions —
+  * no UDFs, so every operator stays inside whole-stage codegen.
+  *
+  * Scale notes (100 TB): all per-document operators are embarrassingly
+  * parallel map work on the scan (no shuffle at all until the final small
+  * aggregate); sessionization and windows shuffle once on their natural
+  * keys (user_id / window start ≙ the reference's position key).
+  */
+object Pipeline {
+
+  /** C1 — exact dedup on normalized text; lowest doc_id survives (the
+    * deterministic analog of dropDuplicates). */
+  val dedupExact = Query(
+    "q_dedup_exact",
+    """SELECT doc_id, lang, source, n_chars
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn
+      |      FROM documents)
+      |WHERE rn = 1
+      |ORDER BY doc_id
+      |LIMIT 3000""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(lower(trim(col("text")))).orderBy(col("doc_id"))
+    tbl(s, d, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+      .limit(3000)
+  }
+
+  /** C4 — global top-20 tokens (explode → count → topk). */
+  val textTokens = Query(
+    "q_text_tokens",
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token
+      |ORDER BY n DESC, token
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    tbl(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token"))
+      .limit(20)
+  }
+
+  /** C5 — per-language corpus stats. Exact integer sum → one double
+    * division keeps avg bit-identical across engines. */
+  val textStats = Query(
+    "q_text_stats",
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    tbl(s, d, "documents")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+  }
+
+  /** Language ID via fixed keyword profiles (n-gram-heuristic analog):
+    * per-profile match counts, argmax with a fixed preference order on
+    * ties. Output is the (actual, predicted) confusion matrix. */
+  val langId = {
+    val profiles = Seq( // deterministic marker-token profiles
+      "de" -> Seq("agg", "table", "hash", "key", "vector"),
+      "en" -> Seq("the", "a", "row", "scan", "fast"),
+      "es" -> Seq("data", "stream", "small", "sort", "group"),
+      "fr" -> Seq("window", "query", "order", "value", "line"),
+      "zh" -> Seq("join", "merge", "batch", "big", "slow"))
+    def duckScore(ws: Seq[String]) =
+      s"len(list_filter(string_split(text, ' '), t -> t IN (${ws.map("'" + _ + "'").mkString(",")})))"
+    def duckCase = profiles.map(_._1).map { l =>
+      val conds = profiles.map(_._1).filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    Query(
+      "q_lang_id",
+      s"""SELECT lang, predicted, count(*) AS n
+         |FROM (SELECT lang, CASE $duckCase END AS predicted
+         |      FROM (SELECT lang, ${profiles.map { case (l, ws) => duckScore(ws) + s" AS s_$l" }.mkString(", ")}
+         |            FROM documents))
+         |GROUP BY lang, predicted
+         |ORDER BY lang, predicted""".stripMargin) { (s, d) =>
+      val toks = split(col("text"), " ")
+      val scored = profiles.foldLeft(tbl(s, d, "documents").select(col("lang"), toks.as("toks"))) {
+        case (df, (l, ws)) =>
+          df.withColumn(s"s_$l", size(filter(col("toks"), t => t.isInCollection(ws))))
+      }
+      val pred = profiles.map(_._1).foldRight(lit(null).cast(StringType)) { (l, els) =>
+        val cond = profiles.map(_._1).filter(_ != l)
+          .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+        when(cond, lit(l)).otherwise(els)
+      }
+      scored.withColumn("predicted", pred)
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }
+  }
+
+  /** Quality scoring: length, token-shape, and stopword-ratio features
+    * combined into one bounded score (all integer-derived doubles → the
+    * arithmetic is bit-identical across engines). */
+  val qualityScore = Query(
+    "q_quality_score",
+    """SELECT doc_id, n_tokens,
+      |  round(least(n_tokens / 100.0, 1.0) * 0.4 +
+      |        least(((chars - (n_tokens - 1.0)) / n_tokens) / 8.0, 1.0) * 0.4 +
+      |        (1.0 - n_stop / CAST(n_tokens AS DOUBLE)) * 0.2, 6) AS quality
+      |FROM (SELECT doc_id,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |        CAST(length(text) AS BIGINT) AS chars,
+      |        CAST(len(list_filter(string_split(text, ' '),
+      |                             t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
+      |      FROM documents)
+      |ORDER BY doc_id
+      |LIMIT 3000""".stripMargin) { (s, d) =>
+    val toks = split(col("text"), " ")
+    tbl(s, d, "documents")
+      .select(col("doc_id"),
+        size(toks).cast(LongType).as("n_tokens"),
+        length(col("text")).cast(LongType).as("chars"),
+        size(filter(toks, t => t.isInCollection(Seq("the", "a")))).cast(LongType).as("n_stop"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(
+          least(col("n_tokens") / 100.0, lit(1.0)) * 0.4 +
+            least(((col("chars") - (col("n_tokens") - 1.0)) / col("n_tokens")) / 8.0, lit(1.0)) * 0.4 +
+            (lit(1.0) - col("n_stop") / col("n_tokens").cast(DoubleType)) * 0.2, 6).as("quality"))
+      .orderBy("doc_id")
+      .limit(3000)
+  }
+
+  /** Token counting: whitespace words + a BPE-ish estimate
+    * (ceil(len/4) subword pieces per word) — pure integer fold over the
+    * token array, no UDF, no shuffle. */
+  val tokenCount = Query(
+    "q_token_count",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  CAST(list_sum(list_transform(string_split(text, ' '),
+      |                               t -> (length(t) + 3) // 4)) AS BIGINT) AS n_bpe_tokens
+      |FROM documents
+      |ORDER BY doc_id
+      |LIMIT 3000""".stripMargin) { (s, d) =>
+    tbl(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_words"),
+        expr("aggregate(transform(split(text, ' '), t -> CAST((length(t) + 3) div 4 AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+      .limit(3000)
+  }
+
+  /** Document fingerprinting: winnowing-style rolling fingerprint — the
+    * minimum md5 over all 8-token windows (md5 is identical in both
+    * engines, so the oracle is exact). Short docs fall back to md5(text). */
+  val fingerprint = Query(
+    "q_fingerprint",
+    """SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+      |  coalesce(list_min(list_transform(range(1, len(t) - 6),
+      |             i -> md5(array_to_string(t[i:i+7], ' ')))),
+      |           md5(text)) AS fingerprint
+      |FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+      |ORDER BY doc_id
+      |LIMIT 3000""".stripMargin) { (s, d) =>
+    tbl(s, d, "documents")
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), size(col("t")).cast(LongType).as("n_tokens"),
+        coalesce(
+          array_min(expr("transform(sequence(1, size(t) - 7), i -> md5(array_join(slice(t, i, 8), ' ')))")),
+          md5(col("text").cast(BinaryType))).as("fingerprint"))
+      .orderBy("doc_id")
+      .limit(3000)
+  }
+
+  /** Multimodal plumbing: media as opaque binary columns with typed,
+    * deterministically-derived metadata (the decode itself is stubbed —
+    * see [[Multimodal]] for the typed mapPartitions path). The oracle
+    * checks the binary schema + byte-level arithmetic end-to-end. */
+  val multimodalMeta = Query(
+    "q_multimodal_meta",
+    """SELECT doc_id, n_bytes,
+      |  n_bytes % 640 + 1 AS fake_width,
+      |  (chars * 7) % 480 + 1 AS fake_height,
+      |  n_bytes // 1024 + 1 AS n_frames
+      |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |             CAST(length(text) AS BIGINT) AS chars
+      |      FROM documents)
+      |ORDER BY doc_id
+      |LIMIT 3000""".stripMargin) { (s, d) =>
+    tbl(s, d, "documents")
+      .select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast(LongType).as("n_bytes"),
+        length(col("text")).cast(LongType).as("chars"))
+      .select(col("doc_id"), col("n_bytes"),
+        (col("n_bytes") % 640 + 1).as("fake_width"),
+        (col("chars") * 7 % 480 + 1).as("fake_height"),
+        (expr("n_bytes div 1024") + 1).as("n_frames"))
+      .orderBy("doc_id")
+      .limit(3000)
+  }
+
+  /** C7 — sessionization (gaps-and-islands): new session when the gap to
+    * the previous event exceeds 30 minutes; per-user session count and
+    * max session size. Microsecond-exact gap math on both engines. */
+  val sessionize = Query(
+    "q_sessionize",
+    """SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+      |  CAST(max(sess_n) AS BIGINT) AS max_session_len
+      |FROM (SELECT user_id, session_id, count(*) AS sess_n
+      |      FROM (SELECT user_id,
+      |              sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |            FROM (SELECT user_id, ts, event_id,
+      |                    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |                           OR date_diff('microsecond',
+      |                                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      |                                ts) > 1800000000
+      |                         THEN 1 ELSE 0 END AS new_s
+      |                  FROM events))
+      |      GROUP BY user_id, session_id)
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val byU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevTs = lag(col("ts"), 1).over(byU)
+    tbl(s, d, "events")
+      .withColumn("new_s",
+        when(prevTs.isNull || unix_micros(col("ts")) - unix_micros(prevTs) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("sess_n"))
+      .groupBy("user_id")
+      .agg(max(col("session_id")).cast(LongType).as("n_sessions"),
+        max(col("sess_n")).cast(LongType).as("max_session_len"))
+      .orderBy("user_id")
+  }
+
+  /** C8 — 1-hour tumbling event-time windows (same `window()` expression
+    * works unchanged under Structured Streaming — see Streaming). */
+  val windowTumbling = Query(
+    "q_window_tumbling",
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+      |  event_type, count(*) AS n
+      |FROM events
+      |GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin) { (s, d) =>
+    tbl(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** C9 — 1-hour windows sliding by 30 minutes: every event lands in
+    * exactly two windows; the oracle materializes both memberships. */
+  val windowSliding = Query(
+    "q_window_sliding",
+    """SELECT window_start, count(*) AS n
+      |FROM (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+      |        + CASE WHEN extract(minute FROM ts) >= 30
+      |               THEN INTERVAL '30 minutes' ELSE INTERVAL '0 minutes' END
+      |        - offs AS window_start
+      |      FROM events,
+      |           (SELECT unnest([INTERVAL '0 minutes', INTERVAL '30 minutes']) AS offs))
+      |GROUP BY window_start
+      |ORDER BY window_start""".stripMargin) { (s, d) =>
+    tbl(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("n"))
+      .orderBy("window_start")
+  }
+
+  val queries: Seq[Query] = Seq(
+    dedupExact, textTokens, textStats, langId, qualityScore, tokenCount,
+    fingerprint, multimodalMeta, sessionize, windowTumbling, windowSliding)
+}
