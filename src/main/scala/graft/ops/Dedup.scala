@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.api._
+
+/** Near-duplicate detection over `documents` (north-star LLM-pipeline
+  * operators, SURVEY §2C C6): MinHash+LSH, SimHash, and exact n-gram
+  * Jaccard.
+  *
+  * Determinism: all hashing is `xxhash64` (fixed Spark seed 42) composed
+  * with fixed odd-multiplier affine permutations — no randomness anywhere,
+  * so results are stable across runs/partitionings. MinHash/SimHash have
+  * no cheap SQL oracle (engine hash functions differ); they are covered
+  * by unit tests with planted near-duplicates (split-invariance style,
+  * SURVEY §5.2). n-gram Jaccard is pure set arithmetic and oracle-backed.
+  *
+  * Scale notes (100 TB): signatures are one scan + one groupBy(doc);
+  * LSH banding turns the quadratic pair search into an equi-join on
+  * (band, bandhash) — candidate volume is controlled by (bands, rows),
+  * and the same-bucket self-join is the only shuffle-heavy step. The
+  * exact-Jaccard op is blocked on (lang, source) for the same reason.
+  */
+object Dedup {
+
+  val NumPerms = 32 // MinHash signature length
+  val BandRows = 2  // rows per LSH band → 16 bands
+
+  /** Word 3-gram shingles of `text` as an array column. */
+  private def shingles(text: Column): Column = {
+    val t = split(text, " ")
+    when(size(t) >= 3,
+      expr("transform(sequence(1, size(split(text, ' ')) - 2), " +
+        "i -> array_join(slice(split(text, ' '), i, 3), ' '))"))
+      .otherwise(array(text))
+  }
+
+  /** doc_id → MinHash signature (array of NumPerms longs). One explode +
+    * one groupBy(doc_id) with NumPerms min-aggregates (single pass,
+    * partial+final, no per-permutation shuffle). The "permutations" are
+    * per-index salted xxhash64 evaluations (fixed Spark seed — fully
+    * deterministic, and overflow-free under ANSI mode). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .distinct()
+    val mins = (0 until NumPerms).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
+    sh.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** C6 — MinHash + LSH banding near-dup candidates: band the signature,
+    * equi-join on (band, hash-of-band-rows), estimate Jaccard as the
+    * matching-signature fraction. Top-20 candidate pairs. No SQL oracle
+    * (xxhash64 is Spark-specific); property-tested with planted dups. */
+  val dedupNear = Query.noOracle("q_dedup_near") { (s, d) =>
+    val sigs = minhashSignatures(tbl(s, d, "documents"))
+    val nBands = NumPerms / BandRows
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(expr(s"transform(sequence(0, ${nBands - 1}), " +
+        s"b -> xxhash64(b, slice(sig, b * $BandRows + 1, $BandRows)))"))
+        .as(Seq("band", "bh")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sa"), col("y.sig").as("sb"))
+      .distinct()
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        round(size(filter(zip_with(col("sa"), col("sb"), (a, b) => a === b),
+          x => x)).cast(DoubleType) / NumPerms, 6).as("est_jaccard"))
+      .orderBy(desc("est_jaccard"), col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** SimHash: 64-bit signature where bit k is the sign of the sum of
+    * (±1) contributions of token-hash bit k. Near-dups = small Hamming
+    * distance; candidate pairs share at least one of four 16-bit chunks
+    * (chunk blocking ≙ LSH banding for Hamming space). */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val th = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map(k =>
+      sum(shiftright(col("h"), k).bitwiseAND(1) * 2 - 1).as(s"b$k"))
+    val sh = (0 until 64).map(k =>
+      when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L)).reduce(_.bitwiseOR(_))
+    th.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sh.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: chunk-blocked pairs ranked by Hamming
+    * distance (bit_count of xor). No SQL oracle; unit-tested. */
+  val dedupSimhash = Query.noOracle("q_dedup_simhash") { (s, d) =>
+    val sigs = simhashSignatures(tbl(s, d, "documents"))
+    val chunks = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(expr("transform(sequence(0, 3), j -> (simhash >> (j * 16)) & 65535)"))
+        .as(Seq("j", "chunk")))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.j") === col("y.j") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(expr("x.simhash ^ y.simhash")).cast(LongType).as("hamming"))
+      .distinct()
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** Exact word-3-gram Jaccard similarity on (lang, source)-blocked
+    * pairs — the verification-grade near-dup measure (oracle-backed:
+    * set arithmetic only, no engine-specific hashing). */
+  val dedupNgram = Query(
+    "q_dedup_ngram",
+    """WITH s AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+      |FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source
+      |                 AND a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.sh, b.sh)) > 0
+      |ORDER BY jaccard DESC, doc_a, doc_b
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val docs = tbl(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(shingles(col("text"))).as("sh"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("sh").as("sha"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("sh").as("shb"))
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        inter.as("ni"), size(col("sha")).as("na"), size(col("shb")).as("nb"))
+      .filter(col("ni") > 0)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ni").cast(DoubleType) / (col("na") + col("nb") - col("ni")), 6).as("jaccard"))
+      .orderBy(desc("jaccard"), col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  val queries: Seq[Query] = Seq(dedupNear, dedupSimhash, dedupNgram)
+}

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.api._
+
+/** Similarity search over the `embeddings` table (north-star: ANN for
+  * training-data pipelines). Brute-force cosine top-k is the baseline;
+  * IVF (coarse-quantizer label buckets + nprobe) is the scale path.
+  *
+  * Determinism across engines (SURVEY §2 rules): float→double casts are
+  * exact; all reductions over vectors are SEQUENTIAL left folds in array
+  * order (Spark `aggregate`, DuckDB `list_reduce`), so double rounding is
+  * bit-identical; elementwise centroid means go through exact
+  * DECIMAL(27,12) sums + one IEEE division.
+  *
+  * Scale notes (100 TB): brute-force is one broadcast of the probe +
+  * a map-side fold + TakeOrdered — no shuffle of the corpus. IVF prunes
+  * the corpus to nprobe buckets before the fold; bucket assignment is a
+  * broadcast join. Never an all-pairs cross join.
+  */
+object Similarity {
+
+  /** Sequential dot product of two array columns (codegen'd, no UDF). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+
+  private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** DuckDB: sequential left-fold sum over a double list (matches Spark's
+    * aggregate fold bit-for-bit: 0.0 + x1 == x1). */
+  private def duckFoldSum(listExpr: String): String =
+    s"list_reduce($listExpr, (acc, x) -> acc + x)"
+
+  private def duckDot(a: String, b: String): String =
+    duckFoldSum(s"list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+
+  private def duckNorm(a: String): String =
+    s"sqrt(${duckFoldSum(s"list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
+
+  /** C2 — brute-force cosine top-10 for probe vec_id=0: broadcast probe,
+    * fold per row, TakeOrderedAndProject. The 100 TB plan is scan +
+    * broadcast + per-partition heap — zero shuffle of the corpus. */
+  val similarityTopk = Query(
+    "q_similarity_topk",
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |p AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+       |SELECT vec_id,
+       |  round(${duckDot("v", "pv")} / (${duckNorm("v")} * ${duckNorm("pv")}), 6) AS cos_sim
+       |FROM e, p
+       |WHERE vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id
+       |LIMIT 10""".stripMargin) { (s, d) =>
+    val e = tbl(s, d, "embeddings")
+    val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("pv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("pv")), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** Exact order-independent mean of a float column: quantize by an
+    * exact power-of-two scale (2^24 — a pure exponent shift, so
+    * `x * 2^24` and `floor` are exact in every engine), sum as integers,
+    * divide back. Bit-identical regardless of aggregation order; the
+    * deliberate quantization floor is 2^-24 ≈ 6e-8. */
+  private def fixedPointMean(x: Column): Column =
+    sum(floor(x.cast(DoubleType) * 16777216.0).cast(LongType)).cast(DoubleType) /
+      count(lit(1)) / 16777216.0
+
+  private def duckFixedPointMean(x: String): String =
+    s"CAST(sum(CAST(floor(CAST($x AS DOUBLE) * 16777216.0) AS BIGINT)) AS DOUBLE) / count(*) / 16777216.0"
+
+  /** C3 — per-label elementwise mean embedding (the IVF coarse
+    * quantizer's training step), order-independent via fixed-point sums. */
+  val centroidByLabel = Query(
+    "q_centroid_by_label",
+    s"""SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       |  ${duckFixedPointMean("embedding[dim + 1]")} AS centroid_val
+       |FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS dim)
+       |GROUP BY label, dim
+       |ORDER BY label, dim""".stripMargin) { (s, d) =>
+    tbl(s, d, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(fixedPointMean(col("x")).as("centroid_val"))
+      .select(col("label").cast(LongType).as("label"), col("dim").cast(LongType).as("dim"),
+        col("centroid_val"))
+      .orderBy("label", "dim")
+  }
+
+  /** IVF-style ANN: rank label centroids by distance to the probe, keep
+    * nprobe=2 buckets, brute-force only inside them. Centroids are
+    * decimal-exact, distance/cosine folds sequential — the whole plan is
+    * reproduced in the DuckDB oracle CTE by CTE. */
+  val annIvf = Query(
+    "q_ann_ivf",
+    s"""WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(0, 63)) AS dim),
+       |cent AS (
+       |  SELECT label, dim, ${duckFixedPointMean("v[dim + 1]")} AS c
+       |  FROM e, dims GROUP BY label, dim),
+       |cvec AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
+       |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+       |sel AS (
+       |  SELECT label FROM cvec, p
+       |  ORDER BY ${duckFoldSum("list_transform(range(1, 65), i -> (cv[i] - CAST(pv[i] AS DOUBLE)) * (cv[i] - CAST(pv[i] AS DOUBLE)))")}, label
+       |  LIMIT 2)
+       |SELECT vec_id,
+       |  round(${duckDot("v", "pv")} / (${duckNorm("v")} * ${duckNorm("pv")}), 6) AS cos_sim
+       |FROM e, p
+       |WHERE label IN (SELECT label FROM sel) AND vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id
+       |LIMIT 10""".stripMargin) { (s, d) =>
+    val e = tbl(s, d, "embeddings")
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(fixedPointMean(col("x")).as("c"))
+    val cvec = cent.groupBy("label")
+      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
+    val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("pv"))
+    val d2 = aggregate(
+      zip_with(col("cv"), col("pv"), (c, p) => (c - p.cast(DoubleType)) * (c - p.cast(DoubleType))),
+      lit(0.0), (acc, v) => acc + v)
+    val sel = cvec.crossJoin(broadcast(probe))
+      .orderBy(d2.asc, col("label"))
+      .select("label")
+      .limit(2)
+    e.join(broadcast(sel), "label")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("pv")), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** Embedding-cosine near-dup candidates: label-blocked pair generation
+    * (the blocking key bounds the quadratic term — never all-pairs),
+    * top-20 most-similar pairs. */
+  val dedupEmbed = Query(
+    "q_dedup_embed",
+    s"""WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(${duckDot("a.v", "b.v")} / (${duckNorm("a.v")} * ${duckNorm("b.v")}), 6) AS cos_sim
+       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |ORDER BY cos_sim DESC, vec_a, vec_b
+       |LIMIT 20""".stripMargin) { (s, d) =>
+    val e = tbl(s, d, "embeddings")
+    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("embedding").as("vb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
+  val queries: Seq[Query] = Seq(similarityTopk, centroidByLabel, annIvf, dedupEmbed)
+}
