@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface (SURVEY §2C C8/C9/C10): the same
+  * declarative expressions as the batch Pipeline windows, applied to an
+  * unbounded `events` stream. The reference is batch-only; this is the
+  * north-star streaming extension, mapped onto watermarks + event-time
+  * windows + session windows (no DStreams, no custom state unless the
+  * built-in operators can't express it).
+  *
+  * These builders take any DataFrame with the `events` schema
+  * (ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE) — in
+  * production a `readStream` source, in tests a MemoryStream. Batch/
+  * streaming parity is exactly Spark's contract: `window()` and
+  * `session_window()` are the same expressions Pipeline uses.
+  *
+  * Scale notes: state size is bounded by the watermark horizon — state
+  * for windows older than (max event time - delay) is dropped. Keys are
+  * (window, event_type) / (session, user) — the same partitioning story
+  * as the batch operators.
+  */
+object Streaming {
+
+  /** C10/C8 — tumbling hourly counts with a late-data watermark: events
+    * later than `delay` behind the max seen event time are dropped. */
+  def tumblingCounts(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** C9 streaming twin — sliding windows (1 h / 30 min) with watermark. */
+  def slidingCounts(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("n"))
+
+  /** C7 streaming twin — native session windows (30-min inactivity gap):
+    * the stateful analog of the batch gaps-and-islands query. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("sw.start").as("session_start"), col("sw.end").as("session_end"),
+        col("user_id"), col("n"))
+}

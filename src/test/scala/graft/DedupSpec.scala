@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** Planted near-duplicate recovery for the sketch-based dedup operators
+  * (no SQL oracle exists for them — SURVEY §5.2.3). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 0 and 1 are near-identical (one token changed); 2..5 unrelated.
+  private val base = "spark scala engine shuffles sort merge join hash " +
+    "aggregate window partition bucket column row group codegen filter scan"
+  private def docs: DataFrame = Seq(
+    (0L, base),
+    (1L, base.replace("codegen", "vector")),
+    (2L, "entirely different words about cooking pasta with tomatoes and basil leaves"),
+    (3L, "yet another topic concerning alpine skiing slopes powder snow and lifts"),
+    (4L, "database theory relational algebra normal forms and transaction isolation"),
+    (5L, "graph processing vertices edges pregel supersteps and message passing")
+  ).toDF("doc_id", "text")
+
+  test("minhash signatures recover the planted near-dup pair") {
+    val sigs = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[scala.collection.Seq[Long]]("sig").toSeq)
+      .toMap
+    assert(sigs.values.forall(_.length == Dedup.NumPerms))
+    def est(a: Long, b: Long): Double =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toDouble / Dedup.NumPerms
+    assert(est(0L, 1L) > 0.5, s"planted pair estimate too low: ${est(0L, 1L)}")
+    for (other <- 2L to 5L)
+      assert(est(0L, other) < 0.3, s"unrelated pair ($other) estimate too high")
+  }
+
+  test("minhash estimates are stable across repartitioning (determinism)") {
+    val once = Dedup.minhashSignatures(docs).orderBy("doc_id").collect().toSeq
+    val again = Dedup.minhashSignatures(docs.repartition(7)).orderBy("doc_id").collect().toSeq
+    assert(once == again)
+  }
+
+  test("simhash separates the planted pair from unrelated docs") {
+    val sh = Dedup.simhashSignatures(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(sh(a) ^ sh(b))
+    // one token changed out of 17 can still flip a visible fraction of
+    // bits at this tiny doc size; separation from unrelated docs (below)
+    // is the operative property.
+    assert(hamming(0L, 1L) <= 16, s"planted pair hamming too high: ${hamming(0L, 1L)}")
+    for (other <- 2L to 5L)
+      assert(hamming(0L, other) > hamming(0L, 1L),
+        s"unrelated doc $other closer than the planted dup")
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.ops.Gvcf
+
+/** The reference's golden combine scenario (FIXTURES.md §2) + the
+  * split-invariance property its stride-split logic must satisfy. */
+class GvcfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture: DataFrame = Seq(
+    ("a", "chr1", 1L, 14L, "block", Seq("REF"), 50),
+    ("a", "chr1", 15L, 15L, "site", Seq("G", "A"), 99),
+    ("a", "chr1", 16L, 30L, "block", Seq("REF"), 50),
+    ("b", "chr1", 1L, 8L, "block", Seq("REF"), 42),
+    ("b", "chr1", 9L, 9L, "site", Seq("T", "C"), 88),
+    ("b", "chr1", 10L, 30L, "block", Seq("REF"), 42)
+  ).toDF("sample", "contig", "start", "end", "kind", "alleles", "gq")
+
+  private def calls(df: DataFrame): Seq[(Long, Seq[String])] =
+    Gvcf.combineAtSites(df).collect()
+      .map(r => (r.getAs[Long]("pos"),
+        r.getAs[scala.collection.Seq[String]]("calls").toSeq)).toSeq
+
+  test("combine densifies both samples at every site") {
+    val out = calls(fixture)
+    assert(out.map(_._1) == Seq(9L, 15L))
+    // position 9: sample a covered by block [1,14], sample b has the site
+    assert(out(0)._2 == Seq("a:block:REF", "b:site:T/C"))
+    // position 15: sample a has the site, sample b covered by block [10,30]
+    assert(out(1)._2 == Seq("a:site:G/A", "b:block:REF"))
+  }
+
+  test("split-invariance: stride-splitting blocks never changes the combine") {
+    val expected = calls(fixture)
+    for (stride <- Seq(4L, 7L, 10L, 64L)) {
+      assert(calls(Gvcf.splitBlocks(fixture, stride)) == expected,
+        s"combine changed after splitting at stride $stride")
+    }
+  }
+
+  test("splitBlocks emits one clipped row per crossed stride window") {
+    val rows = Gvcf.splitBlocks(fixture.filter($"sample" === "a" && $"kind" === "block"), 10L)
+      .orderBy("start").select("start", "end").as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 9L), (10L, 14L), (16L, 19L), (20L, 29L), (30L, 30L)))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Hand-computed golden results for operator semantics on literal
+  * DataFrames (the small, fast complement to the DuckDB oracle gate). */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("multimodal stub decodes deterministic metadata from binary columns") {
+    val out = Multimodal.decodeStub(
+      Seq((1L, "abcd"), (2L, "a much longer simulated payload")).toDF("doc_id", "text")
+        .select($"doc_id", encode($"text", "UTF-8").as("media")))
+    val rows = out.orderBy("doc_id")
+      .select("doc_id", "n_bytes", "width", "height", "channels")
+      .as[(Long, Long, Int, Int, Int)].collect().toSeq
+    assert(rows.map(_._2) == Seq(4L, 31L))
+    assert(rows.forall { case (_, n, w, h, c) =>
+      w == (n % 640 + 1) && h == (n * 31 % 480 + 1) && c == 3 })
+    // determinism: same input → same features
+    assert(rows == out.orderBy("doc_id")
+      .select("doc_id", "n_bytes", "width", "height", "channels")
+      .as[(Long, Long, Int, Int, Int)].collect().toSeq)
+  }
+
+  test("sessionize splits on gaps strictly greater than 30 minutes") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1L), (1L, "2024-01-01 10:30:00", 2L), // exactly 30m → same
+      (1L, "2024-01-01 11:00:01", 3L), // 30m1s → new session
+      (2L, "2024-01-01 09:00:00", 4L)
+    ).toDF("user_id", "s", "event_id").select($"user_id", $"s".cast("timestamp").as("ts"), $"event_id")
+    df.createOrReplaceTempView("events_lit")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val prev = lag($"ts", 1).over(w)
+    val out = df
+      .withColumn("new_s", when(prev.isNull || unix_micros($"ts") - unix_micros(prev) > 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum($"new_s").over(run))
+      .groupBy("user_id").agg(max($"sid").as("n_sessions"))
+      .orderBy("user_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("fixed-point centroid mean is exact and order-independent") {
+    val vals = Seq(0.1f, 0.25f, -0.7f, 0.33f, 0.999f, -0.001f)
+    val df1 = vals.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "x")
+    val df2 = vals.reverse.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "x")
+    def fpMean(df: org.apache.spark.sql.DataFrame): Double = df.repartition(5)
+      .agg((sum(floor($"x".cast("double") * 16777216.0).cast("long")).cast("double")
+        / count(lit(1)) / 16777216.0).as("m")).as[Double].head()
+    assert(fpMean(df1) == fpMean(df2))
+    assert(math.abs(fpMean(df1) - vals.map(_.toDouble).sum / vals.size) < 1e-6)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.ops._
+
+/** Plan-shape assertions (SURVEY §5.2.4): the physical plans must carry
+  * the scale properties §4 claims — pruned scans, pushed filters,
+  * broadcast dimension joins, TakeOrdered top-k, and no nested-loop
+  * interval joins. Runs against sf0.001. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(q: graft.api.Query): String =
+    q.run(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_scan_project prunes columns at the parquet reader") {
+    val p = plan(Relational.scanProject)
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_extendedprice"), "unprojected column leaked into the scan")
+  }
+
+  test("q_filter_range pushes the range predicate into the scan") {
+    val p = plan(Relational.filterRange)
+    assert(p.contains("PushedFilters") &&
+      (p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate")),
+      s"no pushed filter on l_shipdate in:\n${p.take(2000)}")
+  }
+
+  test("q_join_broadcast uses broadcast hash joins for both dims") {
+    val p = plan(Relational.joinBroadcast)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, "dimension joins did not broadcast")
+  }
+
+  test("q_topk compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(Relational.topk)
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_join_interval avoids nested-loop joins (bucketed range join)") {
+    val p = plan(Combine.joinInterval)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval join fell back to a nested-loop strategy")
+  }
+
+  test("q_similarity_topk broadcasts the probe and takes ordered top-k") {
+    val p = plan(Similarity.similarityTopk)
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin"), "probe join must not shuffle the corpus")
+  }
+
+  test("aggregates are partial+final (map-side combine present)") {
+    val p = plan(Relational.aggCountByKey)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "no partial aggregation in count-by-key")
+  }
+}

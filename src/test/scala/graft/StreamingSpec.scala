@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.ops.Streaming
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** C10 — watermark + event-time window semantics via MemoryStream
+  * (SURVEY §5.2.3): on-time rows are counted, rows later than the
+  * watermark delay behind max event time are dropped. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling window counts with watermark drop late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val q = Streaming.tumblingCounts(input.toDF(), delay = "10 minutes")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        Ev(ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Ev(ts("2024-01-01 10:20:00"), 2, "click", 1.0),
+        Ev(ts("2024-01-01 11:20:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      // watermark = 11:20 - 10min = 11:10 > the [10:00,11:00) window END,
+      // so that window's state is finalized and late rows for it drop.
+      input.addData(Ev(ts("2024-01-01 10:30:00"), 3, "click", 1.0)) // late, beyond watermark
+      input.addData(Ev(ts("2024-01-01 11:25:00"), 2, "view", 1.0))  // on time
+      q.processAllAvailable()
+      val out = spark.table("tumbling_out")
+        .groupBy("window_start", "event_type").agg(max("n").as("n"))
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSeq
+      assert(out == Seq(
+        ("2024-01-01 10:00:00.0", "click", 2L), // late 10:30 row NOT counted
+        ("2024-01-01 11:00:00.0", "view", 2L)))
+    } finally q.stop()
+  }
+
+  test("session windows merge events within the gap and split across it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val q = Streaming.sessionCounts(input.toDF(), gap = "30 minutes", delay = "1 minute")
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        Ev(ts("2024-01-01 09:00:00"), 7, "click", 1.0),
+        Ev(ts("2024-01-01 09:10:00"), 7, "click", 1.0), // same session (gap 10m)
+        Ev(ts("2024-01-01 10:00:00"), 7, "click", 1.0)) // new session (gap 50m)
+      q.processAllAvailable()
+      val out = spark.table("session_out").orderBy("session_start")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(3))).toSeq
+      assert(out == Seq(("2024-01-01 09:00:00.0", 2L), ("2024-01-01 10:00:00.0", 1L)))
+    } finally q.stop()
+  }
+}
