@@ -27,14 +27,16 @@ object Dedup {
   val NumPerms = 32 // MinHash signature length
   val BandRows = 2  // rows per LSH band → 16 bands
 
-  /** Word 3-gram shingles of `text` as an array column. */
-  private def shingles(text: Column): Column = {
-    val t = split(text, " ")
-    when(size(t) >= 3,
-      expr("transform(sequence(1, size(split(text, ' ')) - 2), " +
-        "i -> array_join(slice(split(text, ' '), i, 3), ' '))"))
-      .otherwise(array(text))
-  }
+  /** Word 3-gram shingles from a token-array column. IMPORTANT: pass a
+    * MATERIALIZED attribute (a column that crossed an exchange), not an
+    * inline `split(...)` expression — Catalyst inlines expressions into
+    * the per-index lambda, re-tokenizing once per element (O(words²) per
+    * row; measured 20× slowdown in the r2 bench). */
+  def shinglesOf(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => array_join(slice(toks, i, lit(3)), " ")))
+      .otherwise(array(array_join(toks, " ")))
 
   /** doc_id → MinHash signature (array of NumPerms longs). One explode +
     * one groupBy(doc_id) with NumPerms min-aggregates (single pass,
@@ -42,8 +44,12 @@ object Dedup {
     * per-index salted xxhash64 evaluations (fixed Spark seed — fully
     * deterministic, and overflow-free under ANSI mode). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    // repartition = exchange barrier: tokens materialize once per row, so
+    // the shingle lambda slices an attribute instead of re-splitting.
+    val toked = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .repartition(col("doc_id"))
+    val sh = toked
+      .select(col("doc_id"), explode(shinglesOf(col("toks"))).as("sh"))
       .distinct()
     val mins = (0 until NumPerms).map(i =>
       min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
@@ -130,8 +136,10 @@ object Dedup {
       |ORDER BY jaccard DESC, doc_a, doc_b
       |LIMIT 20""".stripMargin) { (s, d) =>
     val docs = tbl(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), split(col("text"), " ").as("toks"))
+      .repartition(col("lang"), col("source")) // barrier + join-aligned partitioning
       .select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(shingles(col("text"))).as("sh"))
+        array_distinct(shinglesOf(col("toks"))).as("sh"))
     val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("sh").as("sha"))
     val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("sh").as("shb"))
     val inter = size(array_intersect(col("sha"), col("shb")))

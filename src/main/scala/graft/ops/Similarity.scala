@@ -152,13 +152,19 @@ object Similarity {
        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
        |ORDER BY cos_sim DESC, vec_a, vec_b
        |LIMIT 20""".stripMargin) { (s, d) =>
+    // Per-vector work (double cast + norm) happens ONCE per row below an
+    // exchange barrier; only the O(pairs) dot product runs per pair.
     val e = tbl(s, d, "embeddings")
-    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("embedding").as("vb"))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .repartition(col("label"))
+    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos_sim"))
       .orderBy(desc("cos_sim"), col("vec_a"), col("vec_b"))
       .limit(20)
   }
