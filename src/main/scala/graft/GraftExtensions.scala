@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{DotProduct, L2NormSq}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions, so `spark.sql("... graft_dot(a, b) ...")`
+  * works next to the Column API. Enable with
+  * `spark.sql.extensions=graft.GraftExtensions` (or call
+  * [[GraftExtensions.register]] on a live session). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_norm2"),
+      new ExpressionInfo(classOf[L2NormSq].getName, "graft_norm2"),
+      (args: Seq[Expression]) => L2NormSq(args.head)))
+  }
+}
+
+object GraftExtensions {
+  /** Imperative registration for sessions built without the extension
+    * config (e.g. the driver's own smoke session). Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", (args: Seq[Expression]) => DotProduct(args(0), args(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_norm2", (args: Seq[Expression]) => L2NormSq(args.head), "scala_udf")
+  }
+}

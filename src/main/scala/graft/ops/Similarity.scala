@@ -22,13 +22,12 @@ import graft.api._
   */
 object Similarity {
 
-  /** Sequential dot product of two array columns (codegen'd, no UDF). */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential dot product / norm via the native codegen'd expressions
+    * (graft.functions.VectorExpressions) — identical left-to-right double
+    * accumulation as the DuckDB list_reduce oracles. */
+  private def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.dotp(a, b)
 
-  private def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+  private def norm(a: Column): Column = sqrt(graft.functions.VectorExpressions.norm2(a))
 
   private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions._
+
+/** Codegen'd vector expressions: value parity with the interpreted
+  * higher-order fold they replaced, SQL registration, and edge cases. */
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)),
+    (2L, Seq(0.5f, -0.5f), Seq(2.0f, 2.0f)),
+    (3L, Seq.empty[Float], Seq.empty[Float])
+  ).toDF("id", "a", "b")
+
+  test("dot and norm2 match the interpreted sequential fold bit-for-bit") {
+    val fold = aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(dotp($"a", $"b").as("fast"), fold.as("slow"))
+      .as[(Double, Double)].collect()
+    assert(rows.forall { case (f, s) => f == s })
+    val n = df.select(norm2($"a").as("n")).as[Double].collect()
+    assert(n.toSeq == Seq(14.0, 0.5, 0.0))
+  }
+
+  test("expressions survive both codegen and interpreted paths") {
+    val expected = Seq(32.0, 0.0, 0.0)
+    val out = df.select(dotp($"a", $"b")).as[Double].collect().toSeq
+    assert(out == expected)
+    withClue("interpreted fallback") {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      try assert(df.select(dotp($"a", $"b")).as[Double].collect().toSeq == expected)
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  test("mismatched lengths use the shorter prefix; SQL surface works") {
+    val d = Seq((Seq(1.0, 2.0, 3.0), Seq(10.0, 10.0))).toDF("a", "b")
+    assert(d.select(dotp($"a", $"b")).as[Double].head() == 30.0)
+    GraftExtensions.register(spark)
+    d.createOrReplaceTempView("vecs")
+    assert(spark.sql("SELECT graft_dot(a, b) FROM vecs").as[Double].head() == 30.0)
+    assert(spark.sql("SELECT graft_norm2(a) FROM vecs").as[Double].head() == 14.0)
+  }
+}
