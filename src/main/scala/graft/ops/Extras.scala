@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.api._
+
+/** Second-wave relational/pipeline coverage: wide pivot, unpivot (melt),
+  * exact percentiles, deterministic sampling/splitting, and the salted
+  * two-stage aggregation pattern (the skew weapon at 100 TB, verified
+  * equal to the direct aggregate by the oracle).
+  */
+object Extras {
+
+  /** Wide pivot: order counts by year × status as columns
+    * (`groupBy().pivot()` — the relational transpose of A4's dense
+    * combine). Explicit pivot values keep the plan single-pass. */
+  val pivotWide = Query(
+    "q_pivot_wide",
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+      |FROM orders GROUP BY y ORDER BY y""".stripMargin) { (s, d) =>
+    tbl(s, d, "orders")
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("y"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .select(col("y"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("y")
+  }
+
+  /** Unpivot/melt: three money measures into (measure, value) rows —
+    * the inverse of pivot, a single Expand node (no shuffle). */
+  val unpivot = Query(
+    "q_unpivot",
+    """SELECT l_orderkey, l_linenumber, measure, value
+      |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax
+      |      FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice LIMIT 1000)
+      |UNPIVOT (value FOR measure IN (l_extendedprice, l_discount, l_tax))
+      |ORDER BY l_orderkey, l_linenumber, value, measure""".stripMargin) { (s, d) =>
+    tbl(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax")
+      .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+      .limit(1000)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .orderBy("l_orderkey", "l_linenumber", "value", "measure")
+  }
+
+  /** Exact percentiles (sort-based `percentile`, not the approx sketch —
+    * the hash gate needs exactness) per group, rounded. */
+  val percentile = Query(
+    "q_percentile",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+      |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+      |  round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    tbl(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Deterministic train/valid/test split by arithmetic key hash
+    * (Knuth multiplicative) — stable across runs/engines/partitionings,
+    * the reproducible-split primitive every training pipeline needs. */
+  val sampleSplit = Query(
+    "q_sample_split",
+    """SELECT split, count(*) AS n, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+      |FROM (SELECT o_custkey,
+      |        CASE WHEN (o_orderkey * 2654435761) % 100 < 80 THEN 'train'
+      |             WHEN (o_orderkey * 2654435761) % 100 < 90 THEN 'valid'
+      |             ELSE 'test' END AS split
+      |      FROM orders)
+      |GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+    val h = (col("o_orderkey") * 2654435761L) % 100
+    tbl(s, d, "orders")
+      .select(col("o_custkey"),
+        when(h < 80, "train").when(h < 90, "valid").otherwise("test").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy("split")
+  }
+
+  /** Salted two-stage aggregation — the skew pattern for 100 TB hot
+    * keys: stage 1 aggregates (key, salt) partitions, stage 2 merges
+    * per key. The oracle is the DIRECT single-stage aggregate, proving
+    * the decomposition exact (integer cents make both stages lossless). */
+  val aggSalted = Query(
+    "q_agg_salted",
+    """SELECT l_returnflag, CAST(sum(cents) AS BIGINT) AS total_cents, count(*) AS n
+      |FROM (SELECT l_returnflag,
+      |        CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+      |      FROM lineitem)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val cents = (dec("l_extendedprice") * 100).cast(LongType)
+    tbl(s, d, "lineitem")
+      .select(col("l_returnflag"), cents.as("cents"),
+        pmod(col("l_orderkey"), lit(8)).as("salt"))
+      .groupBy("l_returnflag", "salt") // stage 1: spread hot keys over salts
+      .agg(sum(col("cents")).as("part_cents"), count(lit(1)).as("part_n"))
+      .groupBy("l_returnflag")         // stage 2: merge per real key
+      .agg(sum(col("part_cents")).cast(LongType).as("total_cents"),
+        sum(col("part_n")).cast(LongType).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val queries: Seq[Query] = Seq(pivotWide, unpivot, percentile, sampleSplit, aggSalted)
+}
