@@ -3,7 +3,19 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 import graft.functions.{DotProduct, L2NormSq}
+
+/** Optimizer rule: a self-dot-product is a squared norm — rewrite
+  * `graft_dot(x, x)` to the cheaper single-pass `graft_norm2(x)`.
+  * A small but genuine Catalyst `Rule[LogicalPlan]` demonstrating the
+  * engine's optimizer extension point (SURVEY §4.2). */
+object SelfDotToNorm extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case DotProduct(a, b) if a.semanticEquals(b) => L2NormSq(a)
+  }
+}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions, so `spark.sql("... graft_dot(a, b) ...")`
@@ -18,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_norm2"),
       new ExpressionInfo(classOf[L2NormSq].getName, "graft_norm2"),
       (args: Seq[Expression]) => L2NormSq(args.head)))
+    ext.injectOptimizerRule(_ => SelfDotToNorm)
   }
 }
 
@@ -29,5 +42,8 @@ object GraftExtensions {
       "graft_dot", (args: Seq[Expression]) => DotProduct(args(0), args(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_norm2", (args: Seq[Expression]) => L2NormSq(args.head), "scala_udf")
+    if (!spark.experimental.extraOptimizations.contains(SelfDotToNorm))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SelfDotToNorm
   }
 }

@@ -289,7 +289,68 @@ object Pipeline {
       .orderBy("window_start")
   }
 
+  /** Text cleaning: regex redaction of numeric literals (the PII-scrub
+    * shape — Java and RE2 regexes agree on this class pattern). */
+  val redact = Query(
+    "q_redact",
+    """SELECT event_id, event_type,
+      |  regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted
+      |FROM events
+      |ORDER BY event_id
+      |LIMIT 2000""".stripMargin) { (s, d) =>
+    tbl(s, d, "events")
+      .select(col("event_id"), col("event_type"),
+        regexp_replace(col("props"), "[0-9]+", "#").as("props_redacted"))
+      .orderBy("event_id")
+      .limit(2000)
+  }
+
+  /** Repetition score: share of the document taken by its most frequent
+    * token (a standard crawl-quality signal). Integer counts → one
+    * double division, exact on both engines. */
+  val repetition = Query(
+    "q_repetition",
+    """SELECT doc_id, CAST(max(c) AS BIGINT) AS top_token_n,
+      |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS repetition_ratio
+      |FROM (SELECT doc_id, count(*) AS c
+      |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |      GROUP BY doc_id, tok)
+      |GROUP BY doc_id
+      |ORDER BY doc_id
+      |LIMIT 3000""".stripMargin) { (s, d) =>
+    tbl(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).cast(LongType).as("top_token_n"),
+        round(max(col("c")).cast(DoubleType) / sum(col("c")), 6).as("repetition_ratio"))
+      .orderBy("doc_id")
+      .limit(3000)
+  }
+
+  /** Benchmark-contamination screen: per language, how many documents
+    * contain any of a fixed set of marker phrases (substring match —
+    * the cheap first-pass filter before n-gram matching). */
+  val contamination = {
+    val markers = Seq("hash join", "sort merge", "window agg")
+    Query(
+      "q_contamination",
+      s"""SELECT lang,
+         |  CAST(count(*) FILTER (WHERE ${markers.map(m => s"contains(text, '$m')").mkString(" OR ")}) AS BIGINT) AS n_contaminated,
+         |  count(*) AS n_docs
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val hit = markers.map(m => col("text").contains(m)).reduce(_ || _)
+      tbl(s, d, "documents")
+        .groupBy("lang")
+        .agg(sum(when(hit, 1L).otherwise(0L)).cast(LongType).as("n_contaminated"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }
+  }
+
   val queries: Seq[Query] = Seq(
     dedupExact, textTokens, textStats, langId, qualityScore, tokenCount,
-    fingerprint, multimodalMeta, sessionize, windowTumbling, windowSliding)
+    fingerprint, multimodalMeta, sessionize, windowTumbling, windowSliding,
+    redact, repetition, contamination)
 }

@@ -35,6 +35,20 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("optimizer rule rewrites self-dot to norm2") {
+    GraftExtensions.register(spark)
+    // parquet-backed source so constant folding can't collapse the plan
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p = emb.select(dotp($"embedding", $"embedding").as("s"))
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("graft_norm2") && !p.contains("graft_dot"),
+      s"self-dot not rewritten:\n$p")
+    // and the rewrite preserves values (norm2 == self-dot by definition)
+    val both = emb.limit(5).select(dotp($"embedding", $"embedding").as("d"),
+      norm2($"embedding").as("n")).as[(Double, Double)].collect()
+    assert(both.forall { case (d, n) => d == n })
+  }
+
   test("mismatched lengths use the shorter prefix; SQL surface works") {
     val d = Seq((Seq(1.0, 2.0, 3.0), Seq(10.0, 10.0))).toDF("a", "b")
     assert(d.select(dotp($"a", $"b")).as[Double].head() == 30.0)
