@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[L2NormSq].getName, "graft_norm2"),
       (args: Seq[Expression]) => L2NormSq(args.head)))
     ext.injectOptimizerRule(_ => SelfDotToNorm)
+    ext.injectPlannerStrategy(s => graft.plans.RangeJoinStrategy(s))
   }
 }
 

@@ -205,7 +205,43 @@ object Combine {
       .orderBy("key_bucket")
   }
 
+  /** A6 via the custom physical operator: the same yearly-interval
+    * containment join expressed as a plain BETWEEN condition. On
+    * sessions with `graft.GraftExtensions` this plans as
+    * BroadcastRangeJoinExec (sorted intervals + binary-search probe);
+    * elsewhere Spark falls back to BNLJ — identical results, so the
+    * oracle holds on any session. Day-number longs keep pos/lo/hi in
+    * the strategy's supported type. */
+  val joinRangeNative = Query(
+    "q_join_range_native",
+    """SELECT CAST(y AS BIGINT) AS y, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM (SELECT range AS y,
+      |        date_diff('day', DATE '1970-01-01', make_date(CAST(range AS INT), 2, 15)) AS lo,
+      |        date_diff('day', DATE '1970-01-01', make_date(CAST(range AS INT), 9, 10)) AS hi
+      |      FROM range(1995, 2002)) iv
+      |JOIN (SELECT l_extendedprice,
+      |        date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS pos
+      |      FROM lineitem) li
+      |  ON pos >= lo AND pos <= hi
+      |GROUP BY y ORDER BY y""".stripMargin) { (s, d) =>
+    val iv = s.range(1995, 2002).select(
+      col("id").as("y"),
+      datediff(make_date(col("id"), lit(2), lit(15)), lit("1970-01-01").cast(DateType))
+        .cast(LongType).as("lo"),
+      datediff(make_date(col("id"), lit(9), lit(10)), lit("1970-01-01").cast(DateType))
+        .cast(LongType).as("hi"))
+    tbl(s, d, "lineitem")
+      .select(col("l_extendedprice"),
+        datediff(col("l_shipdate").cast(DateType), lit("1970-01-01").cast(DateType))
+          .cast(LongType).as("pos"))
+      .join(iv, col("pos") >= col("lo") && col("pos") <= col("hi"))
+      .groupBy("y")
+      .agg(count(lit(1)).as("n_lines"), sumMoney(col("l_extendedprice")).as("revenue"))
+      .orderBy("y")
+  }
+
   val queries: Seq[Query] = Seq(
-    pivotDense, asofFill, joinInterval, explodeSplit, dedupLatest,
-    unionIncremental, sortedWrite)
+    pivotDense, asofFill, joinInterval, joinRangeNative, explodeSplit,
+    dedupLatest, unionIncremental, sortedWrite)
 }
