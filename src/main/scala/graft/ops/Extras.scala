@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.api._
@@ -114,5 +115,51 @@ object Extras {
       .orderBy("l_returnflag")
   }
 
-  val queries: Seq[Query] = Seq(pivotWide, unpivot, percentile, sampleSplit, aggSalted)
+  /** Window navigation functions: lead/lag/first/last/ntile over the
+    * per-customer order timeline (the remaining window-function family
+    * B10–B12 didn't cover). */
+  val windowNav = Query(
+    "q_window_nav",
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  lag(o_orderkey) OVER w AS prev_order,
+      |  lead(o_orderkey) OVER w AS next_order,
+      |  first_value(o_orderkey) OVER w AS first_order,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey
+      |LIMIT 3000""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    tbl(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        ntile(4).over(w).cast(LongType).as("quartile"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      .limit(3000)
+  }
+
+  /** Regex extraction (capture groups) — parses the numeric payload out
+    * of the JSON-ish props string; same class pattern in Java and RE2. */
+  val regexpExtract = Query(
+    "q_regexp_extract",
+    """SELECT event_id,
+      |  regexp_extract(props, '"k": ([0-9]+)', 1) AS k_str,
+      |  CAST(CASE WHEN regexp_extract(props, '"k": ([0-9]+)', 1) = ''
+      |            THEN NULL
+      |            ELSE CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) END AS BIGINT) AS k_num
+      |FROM events
+      |ORDER BY event_id
+      |LIMIT 2000""".stripMargin) { (s, d) =>
+    val k = regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+    tbl(s, d, "events")
+      .select(col("event_id"), k.as("k_str"),
+        when(k === "", lit(null)).otherwise(k).cast(LongType).as("k_num"))
+      .orderBy("event_id")
+      .limit(2000)
+  }
+
+  val queries: Seq[Query] = Seq(
+    pivotWide, unpivot, percentile, sampleSplit, aggSalted, windowNav, regexpExtract)
 }

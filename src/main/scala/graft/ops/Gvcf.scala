@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's core computation as a reusable API: combine sparse
@@ -35,6 +36,32 @@ object Gvcf {
       .withColumn("start", greatest(col("start"), col("k") * stride))
       .withColumn("end", least(col("end"), col("k") * stride + stride - 1))
       .drop("k")
+
+  /** GQ-band block merging (the gVCF banding semantics the reference's
+    * storage assumes, per GATK CombineGVCFs): adjacent reference blocks
+    * of the same sample/contig that touch (prev.end + 1 == start) and
+    * fall in the same GQ band collapse into one block carrying the
+    * band-minimum GQ. Gaps-and-islands over the position order; sites
+    * pass through untouched. Inverse of [[splitBlocks]] up to banding —
+    * merge(split(v)) == merge(v) (GvcfSpec). */
+  def mergeAdjacentBlocks(variants: DataFrame): DataFrame = {
+    val bandOf = when(col("gq") < 20, 0).when(col("gq") < 60, 1).otherwise(2)
+    val w = Window.partitionBy(col("sample"), col("contig")).orderBy(col("start"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blocks = variants.filter(col("kind") === "block").withColumn("band", bandOf)
+    val newGrp = when(
+      lag(col("end"), 1).over(w).isNull ||
+        col("start") =!= lag(col("end"), 1).over(w) + 1 ||
+        col("band") =!= lag(col("band"), 1).over(w), 1).otherwise(0)
+    val merged = blocks
+      .withColumn("grp", sum(newGrp).over(run))
+      .groupBy(col("sample"), col("contig"), col("grp"), col("band"))
+      .agg(min(col("start")).as("start"), max(col("end")).as("end"),
+        first(col("alleles")).as("alleles"), min(col("gq")).as("gq"))
+      .withColumn("kind", lit("block"))
+      .select("sample", "contig", "start", "end", "kind", "alleles", "gq")
+    merged.unionByName(variants.filter(col("kind") === "site"))
+  }
 
   /** A4+A6 — dense combine at every variant site: for each (contig, pos)
     * with at least one site record, emit each sample's state there

@@ -39,6 +39,33 @@ class GvcfSpec extends SparkSpec {
     }
   }
 
+  test("mergeAdjacentBlocks is the banding inverse of splitBlocks") {
+    // splitting then merging restores the original blocks (same band)
+    val split = Gvcf.splitBlocks(fixture, 5L)
+    val merged = Gvcf.mergeAdjacentBlocks(split)
+      .orderBy("sample", "start")
+      .select("sample", "start", "end", "kind")
+      .as[(String, Long, Long, String)].collect().toSeq
+    val original = fixture.orderBy("sample", "start")
+      .select("sample", "start", "end", "kind")
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(merged == original)
+    // and combine is invariant under merge as well
+    assert(calls(Gvcf.mergeAdjacentBlocks(split)) == calls(fixture))
+  }
+
+  test("mergeAdjacentBlocks keeps blocks apart across GQ band boundaries") {
+    val v = Seq(
+      ("a", "chr1", 1L, 10L, "block", Seq("REF"), 15),  // band 0 (gq<20)
+      ("a", "chr1", 11L, 20L, "block", Seq("REF"), 55), // band 1 — no merge
+      ("a", "chr1", 21L, 30L, "block", Seq("REF"), 45), // band 1 — merges with prev
+      ("a", "chr1", 40L, 50L, "block", Seq("REF"), 50)  // gap — no merge
+    ).toDF("sample", "contig", "start", "end", "kind", "alleles", "gq")
+    val out = Gvcf.mergeAdjacentBlocks(v).orderBy("start")
+      .select("start", "end", "gq").as[(Long, Long, Int)].collect().toSeq
+    assert(out == Seq((1L, 10L, 15), (11L, 30L, 45), (40L, 50L, 50)))
+  }
+
   test("splitBlocks emits one clipped row per crossed stride window") {
     val rows = Gvcf.splitBlocks(fixture.filter($"sample" === "a" && $"kind" === "block"), 10L)
       .orderBy("start").select("start", "end").as[(Long, Long)].collect().toSeq
