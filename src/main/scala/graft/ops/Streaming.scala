@@ -1,7 +1,14 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Typed event row for the custom-state operators. */
+case class StreamEvent(ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Accumulated per-user state carried across micro-batches. */
+case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
 /** Structured Streaming surface (SURVEY §2C C8/C9/C10): the same
   * declarative expressions as the batch Pipeline windows, applied to an
@@ -39,6 +46,28 @@ object Streaming {
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("n"))
+
+  /** Custom state the built-in windows can't express: per-user running
+    * totals carried across micro-batches via
+    * `KeyValueGroupedDataset.mapGroupsWithState` (the reference's
+    * per-sample carry state, unbounded in time). State is one small
+    * record per user — bounded by key cardinality, partitioned by the
+    * grouping key like every other operator here. */
+  def runningUserTotals(events: Dataset[StreamEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[StreamEvent], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          batch.foreach { e => n += 1; total += e.value }
+          val next = UserTotals(uid, n, total)
+          state.update(next)
+          next
+      }
+  }
 
   /** C7 streaming twin — native session windows (30-min inactivity gap):
     * the stateful analog of the batch gaps-and-islands query. */

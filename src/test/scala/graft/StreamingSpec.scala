@@ -42,6 +42,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState carries per-user totals across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.StreamEvent
+    val input = MemoryStream[StreamEvent]
+    val q = Streaming.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("totals_out")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        StreamEvent(ts("2024-01-01 10:00:00"), 1, "click", 2.0),
+        StreamEvent(ts("2024-01-01 10:01:00"), 1, "view", 3.0),
+        StreamEvent(ts("2024-01-01 10:02:00"), 2, "click", 5.0))
+      q.processAllAvailable()
+      input.addData(StreamEvent(ts("2024-01-01 10:10:00"), 1, "purchase", 10.0))
+      q.processAllAvailable()
+      // latest state per user: user 1 accumulated across both batches
+      val out = spark.table("totals_out")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("t"))
+        .orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(out == Seq((1L, 3L, 15.0), (2L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap and split across it") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
