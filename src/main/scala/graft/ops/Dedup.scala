@@ -48,11 +48,15 @@ object Dedup {
     // the shingle lambda slices an attribute instead of re-splitting.
     val toked = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .repartition(col("doc_id"))
+    // hash each shingle STRING exactly once; the NumPerms "permutations"
+    // then re-hash the 8-byte value (≈10× cheaper than hashing the
+    // string per permutation, same uniformity).
     val sh = toked
       .select(col("doc_id"), explode(shinglesOf(col("toks"))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
       .distinct()
     val mins = (0 until NumPerms).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
+      min(xxhash64(lit(i), col("h"))).as(s"m$i"))
     sh.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
