@@ -160,6 +160,68 @@ object Extras {
       .limit(2000)
   }
 
+  /** MERGE/upsert semantics (A8/A9 completed into a full upsert): a
+    * delta batch overwrites matching keys and inserts the rest — the
+    * full-outer-join + coalesce plan a MERGE INTO compiles to. The
+    * delta here re-prices every 10th order, so key overlap is real. */
+  val mergeUpsert = Query(
+    "q_merge_upsert",
+    """WITH delta AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) + 100 AS new_price
+      |  FROM orders WHERE o_orderkey % 10 = 0)
+      |SELECT CAST(year(o_orderdate) AS BIGINT) AS y, count(*) AS n,
+      |  CAST(sum(coalesce(new_price, CAST(o_totalprice AS DECIMAL(18,4)))) AS DOUBLE) AS total
+      |FROM orders LEFT JOIN delta USING (o_orderkey)
+      |GROUP BY y ORDER BY y""".stripMargin) { (s, d) =>
+    val base = tbl(s, d, "orders")
+    val delta = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), (dec("o_totalprice") + 100).as("new_price"))
+    base.join(delta, Seq("o_orderkey"), "left")
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("new_price"), dec("o_totalprice"))).cast(DoubleType).as("total"))
+      .orderBy("y")
+  }
+
+  /** Fixed-width histogram of order totals — arithmetic bucketing is
+    * identical across engines (one double division + floor). */
+  val histogram = Query(
+    "q_histogram",
+    """SELECT CAST(least(floor(o_totalprice / 50000.0), 11) AS BIGINT) AS bucket,
+      |  count(*) AS n,
+      |  CAST(min(o_totalprice) AS DOUBLE) AS lo,
+      |  CAST(max(o_totalprice) AS DOUBLE) AS hi
+      |FROM orders
+      |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+    tbl(s, d, "orders")
+      .groupBy(least(floor(col("o_totalprice") / 50000.0), lit(11)).cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).cast(DoubleType).as("lo"),
+        max(col("o_totalprice")).cast(DoubleType).as("hi"))
+      .orderBy("bucket")
+  }
+
+  /** Correlated scalar subquery (RewriteCorrelatedScalarSubquery — a
+    * distinct analyzer/optimizer path from the join operators; Catalyst
+    * decorrelates it into an aggregate + left outer join). */
+  val scalarSubquery = Query(
+    "q_scalar_subquery",
+    """SELECT c_custkey,
+      |  CAST((SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS BIGINT) AS n_orders
+      |FROM customer
+      |ORDER BY c_custkey
+      |LIMIT 2000""".stripMargin) { (s, d) =>
+    tbl(s, d, "customer").createOrReplaceTempView("customer_sq")
+    tbl(s, d, "orders").createOrReplaceTempView("orders_sq")
+    s.sql(
+      """SELECT c_custkey,
+        |  CAST((SELECT count(*) FROM orders_sq WHERE o_custkey = c_custkey) AS BIGINT) AS n_orders
+        |FROM customer_sq
+        |ORDER BY c_custkey
+        |LIMIT 2000""".stripMargin)
+  }
+
   val queries: Seq[Query] = Seq(
-    pivotWide, unpivot, percentile, sampleSplit, aggSalted, windowNav, regexpExtract)
+    pivotWide, unpivot, percentile, sampleSplit, aggSalted, windowNav,
+    regexpExtract, mergeUpsert, histogram, scalarSubquery)
 }

@@ -69,6 +69,23 @@ object Streaming {
       }
   }
 
+  /** Stream-stream self-join: pair each purchase with the same user's
+    * clicks from the preceding hour (time-bounded interval condition —
+    * both watermarks bound the join state Spark retains). */
+  def purchaseAttribution(events: DataFrame, delay: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", delay)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("interval 1 hour") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** C7 streaming twin — native session windows (30-min inactivity gap):
     * the stateful analog of the batch gaps-and-islands query. */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes",

@@ -67,6 +67,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join attributes purchases to prior-hour clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val q = Streaming.purchaseAttribution(input.toDF())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(ts("2024-01-01 10:00:00"), 1, "click", 0.0),    // within the hour → attributed
+        Ev(ts("2024-01-01 08:00:00"), 1, "click", 0.0),    // 2.5h before → NOT attributed
+        Ev(ts("2024-01-01 10:20:00"), 2, "click", 0.0),    // other user → NOT attributed
+        Ev(ts("2024-01-01 10:30:00"), 1, "purchase", 42.0))
+      q.processAllAvailable()
+      val out = spark.table("attr_out")
+        .select("user_id", "click_ts", "value")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getDouble(2))).toSeq
+      assert(out == Seq((1L, "2024-01-01 10:00:00.0", 42.0)),
+        s"unexpected attribution rows: $out")
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap and split across it") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
