@@ -241,7 +241,50 @@ object Combine {
       .orderBy("y")
   }
 
+  /** Two-table as-of join — each purchase matched to the same user's
+    * most recent click at or before it — via the scalable pattern: tag
+    * both sides, union, ONE window per key carrying the build side
+    * forward, filter probe rows. One shuffle total, no range join, no
+    * per-row search; the oracle is DuckDB's native ASOF JOIN. Clicks
+    * are deduped to one per (user, ts) so tie-breaks are well-defined
+    * on both engines. */
+  val asofJoin = Query(
+    "q_asof_join",
+    """WITH clicks AS (
+      |  SELECT user_id, ts, max(event_id) AS click_id FROM events
+      |  WHERE event_type = 'click' GROUP BY user_id, ts),
+      |purchases AS (
+      |  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id AS purchase_id, p.user_id,
+      |  CAST(p.ts AS TIMESTAMP) AS purchase_ts, p.value,
+      |  c.click_id, CAST(c.ts AS TIMESTAMP) AS click_ts
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND c.ts <= p.ts
+      |ORDER BY purchase_id""".stripMargin) { (s, d) =>
+    val ev = tbl(s, d, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("ts"), col("click_id"),
+        lit(null).cast(LongType).as("purchase_id"), lit(null).cast(DoubleType).as("value"),
+        lit(0).as("kind"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(null).cast(LongType).as("click_id"),
+        col("event_id").as("purchase_id"), col("value"), lit(1).as("kind"))
+    // kind orders clicks before purchases at equal ts → inclusive c.ts <= p.ts
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click",
+        last(when(col("kind") === 0, struct(col("click_id"), col("ts").as("cts"))),
+          ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("purchase_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("value"), col("last_click.click_id").as("click_id"),
+        col("last_click.cts").as("click_ts"))
+      .orderBy("purchase_id")
+  }
+
   val queries: Seq[Query] = Seq(
-    pivotDense, asofFill, joinInterval, joinRangeNative, explodeSplit,
-    dedupLatest, unionIncremental, sortedWrite)
+    pivotDense, asofFill, asofJoin, joinInterval, joinRangeNative,
+    explodeSplit, dedupLatest, unionIncremental, sortedWrite)
 }
