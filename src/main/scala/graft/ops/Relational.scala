@@ -490,7 +490,75 @@ object Relational {
         |ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST""".stripMargin)
   }
 
+  /** TPC-H Q3-shaped composite: segment filter → 3-way join → revenue
+    * per order → top 10 (the canonical scan→join→agg→topk workload;
+    * plans as two broadcast-or-shuffle joins + partial agg +
+    * TakeOrdered). */
+  val tpchQ3 = Query(
+    "q_tpch_q3",
+    """SELECT l_orderkey,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |       (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue,
+      |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-30'
+      |  AND l_shipdate > TIMESTAMP '1998-06-30'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    tbl(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(tbl(s, d, "orders").filter(col("o_orderdate") < ts("1998-06-30")),
+        col("c_custkey") === col("o_custkey"))
+      .join(tbl(s, d, "lineitem").filter(col("l_shipdate") > ts("1998-06-30")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(round(sum(dec("l_extendedprice") * (oneDec - dec("l_discount"))), 4)
+        .cast(DoubleType).as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate")
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped composite: region-local supplier revenue per
+    * nation in one year — the 6-way star join (two broadcast dims, two
+    * fact joins, local-supplier residual). */
+  val tpchQ5 = Query(
+    "q_tpch_q5",
+    """SELECT n_name,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |       (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+    tbl(s, d, "customer")
+      .join(tbl(s, d, "orders")
+        .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1998-01-01")),
+        col("c_custkey") === col("o_custkey"))
+      .join(tbl(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(tbl(s, d, "supplier")),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(tbl(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(tbl(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(round(sum(dec("l_extendedprice") * (oneDec - dec("l_discount"))), 4)
+        .cast(DoubleType).as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
   val queries: Seq[Query] = Seq(
+    tpchQ3, tpchQ5,
     scanProject, filterRange, joinBroadcast, aggCountByKey,
     aggLinestatus, aggDistinct, rollup, cube, joinShuffle, joinSemi,
     joinAnti, joinTheta, topk, windowRank, windowRunning, windowFrame,

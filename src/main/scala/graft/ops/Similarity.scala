@@ -118,12 +118,12 @@ object Similarity {
        |ORDER BY cos_sim DESC, vec_id
        |LIMIT 10""".stripMargin) { (s, d) =>
     val e = tbl(s, d, "embeddings")
-    val cent = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .groupBy("label", "dim")
-      .agg(fixedPointMean(col("x")).as("c"))
-    val cvec = cent.groupBy("label")
-      .agg(expr("transform(sort_array(collect_list(struct(dim, c))), s -> s.c)").as("cv"))
+    // single-pass centroid build: 64 fixed-point-mean aggregates in one
+    // groupBy (no explode, no second shuffle) — same math as
+    // centroidByLabel, assembled into the vector in dim order.
+    val cvec = e.groupBy("label")
+      .agg(array((0 until 64).map(i =>
+        fixedPointMean(element_at(col("embedding"), i + 1))): _*).as("cv"))
     val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("pv"))
     val d2 = aggregate(
       zip_with(col("cv"), col("pv"), (c, p) => (c - p.cast(DoubleType)) * (c - p.cast(DoubleType))),
