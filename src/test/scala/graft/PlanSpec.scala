@@ -48,6 +48,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "probe join must not shuffle the corpus")
   }
 
+  test("q_tpch_q5 broadcasts all three dimensions") {
+    val p = plan(Relational.tpchQ5)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "supplier/nation/region joins did not all broadcast")
+  }
+
+  test("q_asof_join is a single-shuffle union window (no join node)") {
+    val p = plan(Combine.asofJoin)
+    assert(!p.contains("Join"), "as-of should be union+window, not a physical join")
+    assert(p.contains("Window") && p.contains("Union"))
+  }
+
   test("aggregates are partial+final (map-side combine present)") {
     val p = plan(Relational.aggCountByKey)
     assert(p.contains("partial_count") || p.contains("HashAggregate"),
