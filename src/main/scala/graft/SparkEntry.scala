@@ -16,7 +16,8 @@ object SparkEntry {
   /** Every declared operator, in SURVEY.md §2 order. */
   def all: Seq[Query] =
     Relational.queries ++ Combine.queries ++ Pipeline.queries ++
-      Similarity.queries ++ Dedup.queries ++ Extras.queries ++ Udaf.queries
+      Similarity.queries ++ Dedup.queries ++ Extras.queries ++ Udaf.queries ++
+      Sources.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A4 `q_pivot_dense` — the reference's defining combine computation

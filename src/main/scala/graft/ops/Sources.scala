@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.api._
+
+/** Source/sink coverage beyond parquet: CSV, JSON, and ORC round trips.
+  * Each query writes a projected slice to the format, reads it back with
+  * an EXPLICIT schema (no inference in production paths, SURVEY §1.2),
+  * and aggregates — the oracle runs against the parquet original, so a
+  * hash match proves the round trip lossless.
+  *
+  * Money columns travel as integer cents (exact in every text format);
+  * timestamps as epoch microseconds. That is the 100 TB guidance too:
+  * text formats get exact integer encodings at the boundary, columnar
+  * formats keep native types.
+  */
+object Sources {
+
+  private def outDir(s: SparkSession, d: String, fmt: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_src_${fmt}_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+
+  /** Shared slice: exact-integer projection of lineitem. */
+  private def slice(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+      (dec("l_quantity") * 100).cast(LongType).as("qty_cents"),
+      (dec("l_extendedprice") * 100).cast(LongType).as("price_cents"),
+      col("l_returnflag"),
+      unix_micros(col("l_shipdate").cast(TimestampType)).as("ship_us"))
+
+  private val sliceSchema = StructType(Seq(
+    StructField("l_orderkey", LongType), StructField("l_linenumber", LongType),
+    StructField("qty_cents", LongType), StructField("price_cents", LongType),
+    StructField("l_returnflag", StringType), StructField("ship_us", LongType)))
+
+  private val oracleSlice =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,4)) * 100 AS BIGINT)) AS BIGINT) AS qty_cents,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT)) AS BIGINT) AS price_cents,
+      |  CAST(min(epoch_us(CAST(l_shipdate AS TIMESTAMP))) AS BIGINT) AS min_ship_us
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  private def roundTrip(fmt: String) = Query(s"q_source_$fmt", oracleSlice) { (s, d) =>
+    val dir = outDir(s, d, fmt)
+    val w = slice(s, d).coalesce(4).write.mode("overwrite")
+    fmt match {
+      case "csv" => w.option("header", "true").csv(dir)
+      case "json" => w.json(dir)
+      case "orc" => w.orc(dir)
+    }
+    val r = s.read.schema(sliceSchema)
+    val back = fmt match {
+      case "csv" => r.option("header", "true").csv(dir)
+      case "json" => r.json(dir)
+      case "orc" => r.orc(dir)
+    }
+    back.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty_cents")).cast(LongType).as("qty_cents"),
+        sum(col("price_cents")).cast(LongType).as("price_cents"),
+        min(col("ship_us")).cast(LongType).as("min_ship_us"))
+      .orderBy("l_returnflag")
+  }
+
+  val sourceCsv = roundTrip("csv")
+  val sourceJson = roundTrip("json")
+  val sourceOrc = roundTrip("orc")
+
+  val queries: Seq[Query] = Seq(sourceCsv, sourceJson, sourceOrc)
+}
