@@ -158,22 +158,30 @@ object Dedup {
       .limit(20)
   }
 
-  /** Edit-distance near-dup on short strings: brand-blocked part-name
-    * pairs ranked by Levenshtein distance (identical definition in both
-    * engines — exact integer oracle). The character-level complement to
-    * the token-level measures above. */
+  /** Edit-distance near-dup on short strings: part-name pairs ranked by
+    * Levenshtein distance (identical definition in both engines — exact
+    * integer oracle). Blocking key is (brand, 4-char name prefix) —
+    * classic prefix blocking; candidates whose first edit falls inside
+    * the prefix are sacrificed, which bounds the quadratic term hard
+    * (the same recall-for-scale trade every blocking scheme makes). */
   val dedupEditDistance = Query(
     "q_dedup_editdist",
     """SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
       |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
       |FROM part a JOIN part b
-      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |  ON a.p_brand = b.p_brand
+      | AND substring(a.p_name, 1, 4) = substring(b.p_name, 1, 4)
+      | AND a.p_partkey < b.p_partkey
       |ORDER BY edit_dist, part_a, part_b
       |LIMIT 20""".stripMargin) { (s, d) =>
     val p = tbl(s, d, "part")
-    val a = p.select(col("p_partkey").as("part_a"), col("p_brand"), col("p_name").as("name_a"))
-    val b = p.select(col("p_partkey").as("part_b"), col("p_brand"), col("p_name").as("name_b"))
-    a.join(b, Seq("p_brand"))
+      .select(col("p_partkey"), col("p_brand"), col("p_name"),
+        substring(col("p_name"), 1, 4).as("pfx"))
+    val a = p.select(col("p_partkey").as("part_a"), col("p_brand"), col("pfx"),
+      col("p_name").as("name_a"))
+    val b = p.select(col("p_partkey").as("part_b"), col("p_brand"), col("pfx"),
+      col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand", "pfx"))
       .filter(col("part_a") < col("part_b"))
       .select(col("part_a"), col("part_b"),
         levenshtein(col("name_a"), col("name_b")).cast(LongType).as("edit_dist"))
