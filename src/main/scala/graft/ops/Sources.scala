@@ -68,5 +68,36 @@ object Sources {
   val sourceJson = roundTrip("json")
   val sourceOrc = roundTrip("orc")
 
-  val queries: Seq[Query] = Seq(sourceCsv, sourceJson, sourceOrc)
+  /** Hive-style partitioned layout + partition pruning: write orders
+    * partitioned by year, read back with a year predicate — the filter
+    * must become a PartitionFilter (directories skipped, not rows
+    * filtered; asserted in PlanSpec). This is the storage layout the
+    * reference gets from HBase region pre-splitting (SURVEY §4.1). */
+  val partitionPrune = Query(
+    "q_partition_prune",
+    """SELECT CAST(y AS BIGINT) AS y, o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM (SELECT year(o_orderdate) AS y, o_orderpriority, o_totalprice FROM orders)
+      |WHERE y BETWEEN 1997 AND 1999
+      |GROUP BY y, o_orderpriority
+      |ORDER BY y, o_orderpriority""".stripMargin) { (s, d) =>
+    partitionedOrdersDf(s, d)
+      .filter(col("y").between(1997, 1999))
+      .groupBy("y", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("total"))
+      .orderBy("y", "o_orderpriority")
+  }
+
+  /** Write-once-per-(session,sf) partitioned copy of orders, read back. */
+  def partitionedOrdersDf(s: SparkSession, d: String): DataFrame = {
+    val dir = outDir(s, d, "part_orders")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      tbl(s, d, "orders")
+        .withColumn("y", year(col("o_orderdate")).cast(LongType))
+        .write.mode("overwrite").partitionBy("y").parquet(dir)
+    }
+    s.read.parquet(dir)
+  }
+
+  val queries: Seq[Query] = Seq(sourceCsv, sourceJson, sourceOrc, partitionPrune)
 }

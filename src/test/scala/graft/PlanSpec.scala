@@ -60,6 +60,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window") && p.contains("Union"))
   }
 
+  test("q_partition_prune turns the year predicate into partition filters") {
+    val p = plan(Sources.partitionPrune)
+    assert(p.contains("PartitionFilters: [") &&
+      (p.contains("(y") || p.contains("y#")),
+      s"year filter did not reach PartitionFilters:\n${p.take(1500)}")
+  }
+
   test("aggregates are partial+final (map-side combine present)") {
     val p = plan(Relational.aggCountByKey)
     assert(p.contains("partial_count") || p.contains("HashAggregate"),

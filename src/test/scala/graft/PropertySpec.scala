@@ -1,0 +1,74 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.ops.{Dedup, Gvcf}
+
+/** Randomized properties (SURVEY §5.2.3): MinHash estimates track true
+  * shingle Jaccard, and the combine is invariant under arbitrary stride
+  * splits of arbitrary block layouts. Each case runs real Spark jobs,
+  * so the case count is kept small. */
+object PropertySpec extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = TestSpark.spark
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+    "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi")
+
+  private def shingleSet(tokens: Seq[String]): Set[String] =
+    if (tokens.length < 3) Set(tokens.mkString(" "))
+    else tokens.sliding(3).map(_.mkString(" ")).toSet
+
+  private val genDocPair: Gen[(Seq[String], Seq[String])] = for {
+    n <- Gen.choose(12, 40)
+    base <- Gen.listOfN(n, Gen.oneOf(vocab))
+    nEdits <- Gen.choose(0, n / 2)
+    editPos <- Gen.listOfN(nEdits, Gen.choose(0, n - 1))
+    editTok <- Gen.listOfN(nEdits, Gen.oneOf(vocab))
+  } yield {
+    val edited = editPos.zip(editTok).foldLeft(base.toVector) {
+      case (acc, (i, t)) => acc.updated(i, t)
+    }
+    (base, edited)
+  }
+
+  property("minhash estimate tracks true shingle jaccard") =
+    forAll(genDocPair) { case (da, db) =>
+      import spark.implicits._
+      spark.sparkContext.setLogLevel("ERROR")
+      val docs = Seq((0L, da.mkString(" ")), (1L, db.mkString(" "))).toDF("doc_id", "text")
+      val sigs = Dedup.minhashSignatures(docs).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[scala.collection.Seq[Long]]("sig")).toMap
+      val est = sigs(0L).zip(sigs(1L)).count { case (x, y) => x == y }.toDouble / Dedup.NumPerms
+      val sa = shingleSet(da); val sb = shingleSet(db)
+      val truth = (sa & sb).size.toDouble / (sa | sb).size
+      // 32 permutations → σ ≈ sqrt(J(1-J)/32) ≤ 0.09; allow ~4σ
+      math.abs(est - truth) <= 0.37
+    }
+
+  private val genBlocks: Gen[Seq[(String, Long, Long, String)]] = for {
+    nSites <- Gen.choose(1, 4)
+    sites <- Gen.listOfN(nSites, Gen.choose(2L, 95L))
+  } yield {
+    // one sample: non-overlapping blocks covering [1,100] minus the sites
+    val cuts = sites.distinct.sorted
+    val blocks = (Seq(0L) ++ cuts).zip(cuts ++ Seq(101L)).collect {
+      case (lo, hi) if lo + 1 <= hi - 1 => ("s", lo + 1, hi - 1, "block")
+    }
+    blocks ++ cuts.map(p => ("s", p, p, "site"))
+  }
+
+  property("combine invariant under arbitrary stride splits") =
+    forAll(genBlocks, Gen.choose(2L, 33L)) { (rows, stride) =>
+      import spark.implicits._
+      spark.sparkContext.setLogLevel("ERROR")
+      val df = rows.map { case (s, lo, hi, kind) =>
+        (s, "chr1", lo, hi, kind, Seq(if (kind == "site") "ALT" else "REF"), 50)
+      }.toDF("sample", "contig", "start", "end", "kind", "alleles", "gq")
+      val direct = Gvcf.combineAtSites(df).collect().toSeq
+      val split = Gvcf.combineAtSites(Gvcf.splitBlocks(df, stride)).collect().toSeq
+      direct == split
+    }
+}
