@@ -67,6 +67,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows count each event in exactly two windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val q = Streaming.slidingCounts(input.toDF())
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        Ev(ts("2024-01-01 10:40:00"), 1, "click", 1.0),
+        Ev(ts("2024-01-01 10:50:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sliding_out")
+        .groupBy("window_start").agg(max("n").as("n")).orderBy("window_start")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq
+      // both events live in the 10:00 and 10:30 windows
+      assert(out == Seq(("2024-01-01 10:00:00.0", 2L), ("2024-01-01 10:30:00.0", 2L)))
+    } finally q.stop()
+  }
+
   test("stream-stream join attributes purchases to prior-hour clicks") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
