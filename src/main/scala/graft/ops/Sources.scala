@@ -99,5 +99,26 @@ object Sources {
     s.read.parquet(dir)
   }
 
-  val queries: Seq[Query] = Seq(sourceCsv, sourceJson, sourceOrc, partitionPrune)
+  /** The custom DSv2 source (graft.sources.RangeVariantSource) read
+    * through the normal reader API with a pos-range predicate that the
+    * source itself consumes (pushdown narrows generation, asserted in
+    * SourceSpec). Rows are pure arithmetic, so DuckDB's range()
+    * reproduces the source exactly — a fully oracle-backed custom
+    * source. */
+  val sourceCustom = Query(
+    "q_source_custom",
+    """SELECT gq, count(*) AS n, CAST(sum(depth) AS BIGINT) AS sum_depth
+      |FROM (SELECT (range * 2654435761) % 100 AS gq, range % 64 AS depth
+      |      FROM range(5000, 20000))
+      |GROUP BY gq ORDER BY gq""".stripMargin) { (s, _) =>
+    s.read.format("graft.sources.RangeVariantSource")
+      .option("lo", "0").option("hi", "100000").load()
+      .filter(col("pos") >= 5000L && col("pos") < 20000L)
+      .groupBy("gq")
+      .agg(count(lit(1)).as("n"), sum(col("depth")).cast(LongType).as("sum_depth"))
+      .orderBy("gq")
+  }
+
+  val queries: Seq[Query] =
+    Seq(sourceCsv, sourceJson, sourceOrc, partitionPrune, sourceCustom)
 }
