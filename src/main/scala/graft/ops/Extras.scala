@@ -221,7 +221,24 @@ object Extras {
         |LIMIT 2000""".stripMargin)
   }
 
+  /** Boolean aggregates (bool_and/bool_or/count-if) per group. */
+  val boolAggs = Query(
+    "q_bool_aggs",
+    """SELECT l_returnflag,
+      |  bool_and(l_quantity > 0) AS all_positive_qty,
+      |  bool_or(l_discount > 0.05) AS any_big_discount,
+      |  CAST(count(*) FILTER (WHERE l_tax > 0.04) AS BIGINT) AS n_high_tax
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    tbl(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        bool_and(col("l_quantity") > 0).as("all_positive_qty"),
+        bool_or(col("l_discount") > 0.05).as("any_big_discount"),
+        sum(when(col("l_tax") > 0.04, 1L).otherwise(0L)).cast(LongType).as("n_high_tax"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Seq[Query] = Seq(
     pivotWide, unpivot, percentile, sampleSplit, aggSalted, windowNav,
-    regexpExtract, mergeUpsert, histogram, scalarSubquery)
+    regexpExtract, mergeUpsert, histogram, scalarSubquery, boolAggs)
 }
