@@ -39,6 +39,22 @@ class GvcfSpec extends SparkSpec {
     }
   }
 
+  test("combine keeps contigs independent (multi-contig isolation)") {
+    // valid gVCF: a sample's blocks never cover its own site positions
+    val multi = fixture.unionByName(Seq(
+      ("a", "chr2", 1L, 30L, "block", Seq("REF"), 50),
+      ("b", "chr2", 9L, 9L, "site", Seq("A", "G"), 77),
+      ("b", "chr2", 1L, 8L, "block", Seq("REF"), 42),
+      ("b", "chr2", 10L, 30L, "block", Seq("REF"), 42)
+    ).toDF("sample", "contig", "start", "end", "kind", "alleles", "gq"))
+    val out = Gvcf.combineAtSites(multi)
+      .select("contig", "pos", "n_samples")
+      .as[(String, Long, Long)].collect().toSeq
+    // chr1 results unchanged; chr2 adds one site with both samples
+    // covered (a by its block, b by its site)
+    assert(out == Seq(("chr1", 9L, 2L), ("chr1", 15L, 2L), ("chr2", 9L, 2L)))
+  }
+
   test("mergeAdjacentBlocks is the banding inverse of splitBlocks") {
     // splitting then merging restores the original blocks (same band)
     val split = Gvcf.splitBlocks(fixture, 5L)
