@@ -83,7 +83,9 @@ object Sources {
       |ORDER BY y, o_orderpriority""".stripMargin) { (s, d) =>
     partitionedOrdersDf(s, d)
       .filter(col("y").between(1997, 1999))
-      .groupBy("y", "o_orderpriority")
+      // partition-directory values read back as int32 regardless of the
+      // written type — re-cast so the output schema stays BIGINT.
+      .groupBy(col("y").cast(LongType).as("y"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("total"))
       .orderBy("y", "o_orderpriority")
   }
