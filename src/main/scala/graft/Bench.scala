@@ -23,10 +23,18 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir).count() catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = f"${results.map(_._2).sum}%.3f"
+    // "value" goes LAST: the driver tail-captures stdout, so a truncated
+    // line loses its HEAD (r2 lost the total + first 8 queries). Values
+    // are ms-rounded to keep the whole line inside the capture window,
+    // and the untruncated artifact is also written to BENCH_full.json.
+    val line =
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+      line.getBytes("UTF-8"))
+    println(line)
     spark.stop()
   }
 }

@@ -90,19 +90,50 @@ object Dedup {
   /** SimHash: 64-bit signature where bit k is the sign of the sum of
     * (±1) contributions of token-hash bit k. Near-dups = small Hamming
     * distance; candidate pairs share at least one of four 16-bit chunks
-    * (chunk blocking ≙ LSH banding for Hamming space). */
-  def simhashSignatures(docs: DataFrame): DataFrame = {
-    val th = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map(k =>
-      sum(shiftright(col("h"), k).bitwiseAND(1) * 2 - 1).as(s"b$k"))
-    val sh = (0 until 64).map(k =>
-      when(col(s"b$k") > 0, lit(1L << k)).otherwise(0L)).reduce(_.bitwiseOR(_))
-    th.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), sh.as("simhash"))
-  }
+    * (chunk blocking ≙ LSH banding for Hamming space).
+    *
+    * Perf (r2 verdict fix): the old shape — explode + a 64-column
+    * aggregate + a 64-deep bitwiseOR fold — blew past the JIT method
+    * limit into interpreted eval (29.6 s at sf0.1, 32% of the whole
+    * bench). Now the signature is pure per-row array math: token hashes
+    * materialize once as ONE array column, each signature bit is an
+    * allocation-free integer fold over that array, and the 64 bits
+    * assemble with a single OR fold. No explode, no aggregate node —
+    * the only exchange is the repartition barrier below, which both
+    * sides of the LSH self-join then reuse (ReusedExchange). Integer
+    * sums are order-independent, so the signature is bit-identical to
+    * the old grouped version (DedupSpec planted-dup tests unchanged). */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        transform(split(col("text"), " "), t => xxhash64(t)).as("hs"))
+      // exchange barrier: hs must be a materialized attribute, else
+      // CollapseProject inlines split+xxhash into all 64 folds below
+      // (the r2 shingle lesson — see shinglesOf).
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+
+  /** Packed-lane bit counting: word j (j = 0..15) accumulates
+    * `(h >> j) & 0x0001000100010001` over all token hashes, so its four
+    * 16-bit lanes count bits j, j+16, j+32, j+48 — 16 folds of 2 integer
+    * ops per token instead of 64 folds (or a 64-column aggregate). Lanes
+    * are carry-safe up to 65,535 tokens/doc. Sign-extension from the
+    * arithmetic shift only touches bits ≥ 64-j ≥ 49 > 48 = the highest
+    * mask bit, so negative hashes are safe. Bit k of the signature is
+    * set iff 2*count_k > n_tokens (≡ the ±1 sum being > 0). The
+    * `transform(array(...), ws -> ...)` wrapper binds the 16 fold
+    * results ONCE as a lambda variable — referencing a plain alias 64
+    * times would re-inline (and re-run) all 16 folds per reference
+    * (CollapseProject, the r2 shingle lesson). */
+  private val simhashExpr =
+    """element_at(transform(array(
+      |    transform(sequence(0, 15), j ->
+      |      aggregate(hs, 0L, (acc, h) -> acc + (shiftright(h, j) & 281479271743489L)))),
+      |  ws -> aggregate(
+      |    transform(sequence(0, 63), k ->
+      |      IF(2 * (shiftright(element_at(ws, (k % 16) + 1), 16 * (k div 16)) & 65535) > size(hs),
+      |         shiftleft(CAST(1 AS BIGINT), k), 0L)),
+      |    0L, (acc, x) -> acc | x)), 1)""".stripMargin
 
   /** SimHash near-dup candidates: chunk-blocked pairs ranked by Hamming
     * distance (bit_count of xor). No SQL oracle; unit-tested. */

@@ -67,6 +67,15 @@ class PlanSpec extends SparkSpec {
       s"year filter did not reach PartitionFilters:\n${p.take(1500)}")
   }
 
+  test("simhash signatures are per-row folds: no aggregate node, one exchange") {
+    val p = Dedup.simhashSignatures(graft.api.tbl(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      "signature computation regressed to a wide aggregate (r2 29.6s plan)")
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      "signatures should need only the single materialization barrier")
+  }
+
   test("aggregates are partial+final (map-side combine present)") {
     val p = plan(Relational.aggCountByKey)
     assert(p.contains("partial_count") || p.contains("HashAggregate"),
