@@ -29,7 +29,7 @@ object Similarity {
 
   private def norm(a: Column): Column = sqrt(graft.functions.VectorExpressions.norm2(a))
 
-  private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  private[ops] def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** DuckDB: sequential left-fold sum over a double list (matches Spark's
     * aggregate fold bit-for-bit: 0.0 + x1 == x1). */
@@ -69,7 +69,7 @@ object Similarity {
     * `x * 2^24` and `floor` are exact in every engine), sum as integers,
     * divide back. Bit-identical regardless of aggregation order; the
     * deliberate quantization floor is 2^-24 ≈ 6e-8. */
-  private def fixedPointMean(x: Column): Column =
+  private[ops] def fixedPointMean(x: Column): Column =
     sum(floor(x.cast(DoubleType) * 16777216.0).cast(LongType)).cast(DoubleType) /
       count(lit(1)) / 16777216.0
 
@@ -94,10 +94,13 @@ object Similarity {
       .orderBy("label", "dim")
   }
 
-  /** IVF-style ANN: rank label centroids by distance to the probe, keep
-    * nprobe=2 buckets, brute-force only inside them. Centroids are
-    * decimal-exact, distance/cosine folds sequential — the whole plan is
-    * reproduced in the DuckDB oracle CTE by CTE. */
+  /** IVF ANN against the real materialized index ([[Ivf]], r2 verdict
+    * item 2): vectors assigned to their NEAREST label-seeded centroid
+    * (not trusting `label`), index written once bucket-partitioned,
+    * probe searches nprobe=2 buckets via a DPP-pruned join. Centroids
+    * are fixed-point-exact, every distance a sequential fold — the
+    * oracle reproduces the plan CTE by CTE, including the assignment
+    * (`row_number` argmin with label tie-break). */
   val annIvf = Query(
     "q_ann_ivf",
     s"""WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
@@ -106,38 +109,25 @@ object Similarity {
        |  SELECT label, dim, ${duckFixedPointMean("v[dim + 1]")} AS c
        |  FROM e, dims GROUP BY label, dim),
        |cvec AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
+       |asg AS (
+       |  SELECT vec_id, v, bucket FROM (
+       |    SELECT e.vec_id, e.v, c.label AS bucket,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${duckFoldSum("list_transform(range(1, 65), i -> (c.cv[i] - CAST(e.v[i] AS DOUBLE)) * (c.cv[i] - CAST(e.v[i] AS DOUBLE)))")},
+       |        c.label) AS rn
+       |    FROM e, cvec c) WHERE rn = 1),
        |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
        |sel AS (
-       |  SELECT label FROM cvec, p
+       |  SELECT label AS bucket FROM cvec, p
        |  ORDER BY ${duckFoldSum("list_transform(range(1, 65), i -> (cv[i] - CAST(pv[i] AS DOUBLE)) * (cv[i] - CAST(pv[i] AS DOUBLE)))")}, label
        |  LIMIT 2)
        |SELECT vec_id,
        |  round(${duckDot("v", "pv")} / (${duckNorm("v")} * ${duckNorm("pv")}), 6) AS cos_sim
-       |FROM e, p
-       |WHERE label IN (SELECT label FROM sel) AND vec_id <> 0
+       |FROM asg, sel, p
+       |WHERE asg.bucket = sel.bucket AND vec_id <> 0
        |ORDER BY cos_sim DESC, vec_id
        |LIMIT 10""".stripMargin) { (s, d) =>
-    val e = tbl(s, d, "embeddings")
-    // single-pass centroid build: 64 fixed-point-mean aggregates in one
-    // groupBy (no explode, no second shuffle) — same math as
-    // centroidByLabel, assembled into the vector in dim order.
-    val cvec = e.groupBy("label")
-      .agg(array((0 until 64).map(i =>
-        fixedPointMean(element_at(col("embedding"), i + 1))): _*).as("cv"))
-    val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("pv"))
-    val d2 = aggregate(
-      zip_with(col("cv"), col("pv"), (c, p) => (c - p.cast(DoubleType)) * (c - p.cast(DoubleType))),
-      lit(0.0), (acc, v) => acc + v)
-    val sel = cvec.crossJoin(broadcast(probe))
-      .orderBy(d2.asc, col("label"))
-      .select("label")
-      .limit(2)
-    e.join(broadcast(sel), "label")
-      .filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(probe))
-      .select(col("vec_id"), round(cosine(col("embedding"), col("pv")), 6).as("cos_sim"))
-      .orderBy(desc("cos_sim"), col("vec_id"))
-      .limit(10)
+    Ivf.search(s, d, probeVecId = 0L, nprobe = 2, k = 10)
   }
 
   /** Embedding-cosine near-dup candidates: label-blocked pair generation

@@ -76,6 +76,13 @@ class PlanSpec extends SparkSpec {
       "signatures should need only the single materialization barrier")
   }
 
+  test("IVF search prunes the index scan to the probed buckets (DPP)") {
+    val p = ops.Ivf.search(spark, sf, probeVecId = 0L, nprobe = 2, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"bucket join did not become a dynamic partition pruning filter:\n${p.take(2000)}")
+  }
+
   test("aggregates are partial+final (map-side combine present)") {
     val p = plan(Relational.aggCountByKey)
     assert(p.contains("partial_count") || p.contains("HashAggregate"),
