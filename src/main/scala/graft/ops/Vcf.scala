@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.api._
+
+/** gVCF text ingestion — the reference's actual entry point (SURVEY §3.1:
+  * htsjdk `VCFFileReader` → records → store). htsjdk is unavailable
+  * offline, so this is a pure-expression VCF line parser: tab-split plus
+  * `regexp_extract`, fully codegen-able, no UDFs. Lines parse straight to
+  * the `variants` schema (FIXTURES.md §2) that [[Gvcf]] consumes, plus the
+  * per-sample GT call for [[Gvcf.combineSites]].
+  *
+  * Scale notes: `spark.read.text` splits large files by HDFS block, so
+  * parsing is embarrassingly parallel map work; header lines are a
+  * per-partition filter. At 100 TB you'd bgzip-chunk per contig and get
+  * the same plan.
+  *
+  * The `q_source_vcf` round trip: a deterministic synthetic gVCF is
+  * written once per (session, sf) as text — sites every third record
+  * (concrete ALT + `<NON_REF>`), reference blocks otherwise (END in
+  * INFO) — read back, parsed, and aggregated. The DuckDB oracle builds
+  * the IDENTICAL lines with string concatenation and parses them with
+  * its own `string_split`/`regexp_extract`, so a hash match proves the
+  * parser inverts the format exactly against an independent
+  * implementation.
+  */
+object Vcf {
+
+  val NonRef = "<NON_REF>"
+
+  /** Parse VCF/gVCF text lines (one row per line, `value` column — the
+    * `spark.read.text` schema) into the `variants` schema + `gt`.
+    *   - `end`: INFO `END=` if present (reference blocks), else
+    *     `start + len(ref) - 1` (spanning deletions handled).
+    *   - `kind`: 'block' iff ALT is exactly `<NON_REF>`.
+    *   - `alleles`: ref followed by the concrete alts (`<NON_REF>`
+    *     dropped) — the merged-combine input shape.
+    *   - `gq`/`gt`: located by position of GQ/GT in FORMAT (null-safe
+    *     when the file omits them). */
+  def parseLines(lines: DataFrame, sample: String): DataFrame = {
+    def field(fmt: String) = {
+      val pos = array_position(col("fmt"), fmt)
+      when(pos > 0, element_at(col("vals"), pos.cast(IntegerType)))
+    }
+    lines
+      .filter(!col("value").startsWith("#"))
+      .select(split(col("value"), "\t").as("f"))
+      .select(
+        element_at(col("f"), 1).as("contig"),
+        element_at(col("f"), 2).cast(LongType).as("start"),
+        element_at(col("f"), 4).as("ref"),
+        split(element_at(col("f"), 5), ",").as("alts"),
+        element_at(col("f"), 8).as("info"),
+        split(element_at(col("f"), 9), ":").as("fmt"),
+        split(element_at(col("f"), 10), ":").as("vals"))
+      .select(
+        lit(sample).as("sample"),
+        col("contig"),
+        col("start"),
+        when(col("info").contains("END="),
+          regexp_extract(col("info"), "END=([0-9]+)", 1).cast(LongType))
+          .otherwise(col("start") + length(col("ref")) - 1).as("end"),
+        when(size(col("alts")) === 1 && element_at(col("alts"), 1) === NonRef, "block")
+          .otherwise("site").as("kind"),
+        concat(array(col("ref")), filter(col("alts"), a => a =!= NonRef)).as("alleles"),
+        field("GQ").cast(IntegerType).as("gq"),
+        field("GT").as("gt"))
+  }
+
+  /** Read one single-sample gVCF text file into `variants` rows. */
+  def readGvcf(s: SparkSession, path: String, sample: String): DataFrame =
+    parseLines(s.read.text(path), sample)
+
+  /** Deterministic synthetic gVCF body: record i is a site (ALT =
+    * concrete base + `<NON_REF>`) when i % 3 == 0, else a reference
+    * block spanning 10 positions with END in INFO. Pure integer/string
+    * arithmetic — the oracle rebuilds the same lines character for
+    * character. */
+  private[ops] def syntheticLines(s: SparkSession, n: Long): DataFrame =
+    s.range(0, n).selectExpr(
+      """concat(
+        |  'chr', 1 + id % 2, '\t',
+        |  (id div 2) * 10 + 1, '\t.\t',
+        |  substr('ACGT', CAST(id % 4 AS INT) + 1, 1), '\t',
+        |  CASE WHEN id % 3 = 0
+        |       THEN concat(substr('ACGT', CAST((id + 1) % 4 AS INT) + 1, 1), ',<NON_REF>')
+        |       ELSE '<NON_REF>' END, '\t',
+        |  CASE WHEN id % 3 = 0 THEN CAST(id % 100 AS STRING) ELSE '.' END, '\t.\t',
+        |  CASE WHEN id % 3 = 0 THEN concat('DP=', id % 64)
+        |       ELSE concat('END=', (id div 2) * 10 + 10) END, '\t',
+        |  'GT:GQ', '\t',
+        |  CASE WHEN id % 3 = 0 THEN '0/1' ELSE '0/0' END, ':', id % 90 + 10
+        |) AS value""".stripMargin)
+
+  private def vcfDir(d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_vcf_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+
+  /** Write-once synthetic gVCF (headers + 2000 body lines) per (session, sf). */
+  def syntheticGvcfPath(s: SparkSession, d: String): String = {
+    val dir = vcfDir(d)
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      import s.implicits._
+      val header = Seq(
+        "##fileformat=VCFv4.2",
+        "##INFO=<ID=END,Number=1,Type=Integer,Description=\"End position\">",
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1").toDF("value")
+      header.coalesce(1).union(syntheticLines(s, 2000)).write.mode("overwrite").text(dir)
+    }
+    dir
+  }
+
+  /** Ingest round trip: parse the synthetic gVCF and aggregate every
+    * parsed field; the oracle re-derives the lines and parses them with
+    * DuckDB string functions. */
+  val sourceVcf = Query(
+    "q_source_vcf",
+    """WITH g AS (SELECT range AS i FROM range(0, 2000)),
+      |lines AS (
+      |  SELECT 'chr' || CAST(1 + i % 2 AS VARCHAR) || chr(9) ||
+      |    CAST((i // 2) * 10 + 1 AS VARCHAR) || chr(9) || '.' || chr(9) ||
+      |    substr('ACGT', CAST(i % 4 AS INT) + 1, 1) || chr(9) ||
+      |    CASE WHEN i % 3 = 0
+      |         THEN substr('ACGT', CAST((i + 1) % 4 AS INT) + 1, 1) || ',<NON_REF>'
+      |         ELSE '<NON_REF>' END || chr(9) ||
+      |    CASE WHEN i % 3 = 0 THEN CAST(i % 100 AS VARCHAR) ELSE '.' END || chr(9) || '.' || chr(9) ||
+      |    CASE WHEN i % 3 = 0 THEN 'DP=' || CAST(i % 64 AS VARCHAR)
+      |         ELSE 'END=' || CAST((i // 2) * 10 + 10 AS VARCHAR) END || chr(9) ||
+      |    'GT:GQ' || chr(9) ||
+      |    CASE WHEN i % 3 = 0 THEN '0/1' ELSE '0/0' END || ':' || CAST(i % 90 + 10 AS VARCHAR)
+      |    AS line
+      |  FROM g),
+      |f AS (SELECT string_split(line, chr(9)) AS p FROM lines),
+      |parsed AS (
+      |  SELECT p[1] AS contig,
+      |    CAST(p[2] AS BIGINT) AS pos,
+      |    CASE WHEN contains(p[8], 'END=')
+      |         THEN CAST(regexp_extract(p[8], 'END=([0-9]+)', 1) AS BIGINT)
+      |         ELSE CAST(p[2] AS BIGINT) + length(p[4]) - 1 END AS pend,
+      |    CASE WHEN p[5] = '<NON_REF>' THEN 'block' ELSE 'site' END AS kind,
+      |    array_to_string(list_prepend(p[4],
+      |      list_filter(string_split(p[5], ','), a -> a <> '<NON_REF>')), '/') AS alleles,
+      |    CAST(string_split(p[10], ':')[list_position(string_split(p[9], ':'), 'GQ')] AS INT) AS gq,
+      |    string_split(p[10], ':')[list_position(string_split(p[9], ':'), 'GT')] AS gt
+      |  FROM f)
+      |SELECT contig, kind, count(*) AS n,
+      |  CAST(sum(pos) AS BIGINT) AS sum_start,
+      |  CAST(sum(pend) AS BIGINT) AS sum_end,
+      |  CAST(sum(gq) AS BIGINT) AS sum_gq,
+      |  CAST(count(DISTINCT alleles) AS BIGINT) AS n_allele_patterns,
+      |  CAST(count(DISTINCT gt) AS BIGINT) AS n_gts
+      |FROM parsed
+      |GROUP BY contig, kind
+      |ORDER BY contig, kind""".stripMargin) { (s, d) =>
+    readGvcf(s, syntheticGvcfPath(s, d), "S1")
+      .groupBy("contig", "kind")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("start")).cast(LongType).as("sum_start"),
+        sum(col("end")).cast(LongType).as("sum_end"),
+        sum(col("gq")).cast(LongType).as("sum_gq"),
+        countDistinct(array_join(col("alleles"), "/")).cast(LongType).as("n_allele_patterns"),
+        countDistinct(col("gt")).cast(LongType).as("n_gts"))
+      .orderBy("contig", "kind")
+  }
+
+  val queries: Seq[Query] = Seq(sourceVcf)
+}

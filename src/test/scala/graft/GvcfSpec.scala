@@ -82,6 +82,29 @@ class GvcfSpec extends SparkSpec {
     assert(out == Seq((1L, 10L, 15), (11L, 30L, 45), (40L, 50L, 50)))
   }
 
+  test("parsed gVCF text lines flow through combineAtSites (ingest path)") {
+    import graft.ops.Vcf
+    val aLines = Seq(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ta",
+      "chr1\t1\t.\tA\t<NON_REF>\t.\t.\tEND=14\tGT:GQ\t0/0:50",
+      "chr1\t15\t.\tG\tA,<NON_REF>\t99\t.\tDP=30\tGT:GQ\t0/1:99",
+      "chr1\t16\t.\tT\t<NON_REF>\t.\t.\tEND=30\tGT:GQ\t0/0:50").toDF("value")
+    val bLines = Seq(
+      "chr1\t1\t.\tC\t<NON_REF>\t.\t.\tEND=8\tGT:GQ\t0/0:42",
+      "chr1\t9\t.\tT\tC,<NON_REF>\t88\t.\tDP=22\tGT:GQ\t0/1:88",
+      "chr1\t10\t.\tG\t<NON_REF>\t.\t.\tEND=30\tGT:GQ\t0/0:42").toDF("value")
+    val v = Vcf.parseLines(aLines, "a").unionByName(Vcf.parseLines(bLines, "b"))
+    // parsed fields: END honored for blocks, GQ located via FORMAT
+    val siteA = v.filter($"kind" === "site" && $"sample" === "a")
+      .select("start", "end", "gq", "gt").as[(Long, Long, Int, String)].head()
+    assert(siteA == ((15L, 15L, 99, "0/1")))
+    val out = calls(v.select("sample", "contig", "start", "end", "kind", "alleles", "gq"))
+    assert(out.map(_._1) == Seq(9L, 15L))
+    assert(out(0)._2 == Seq("a:block:A", "b:site:T/C"))
+    assert(out(1)._2 == Seq("a:site:G/A", "b:block:G"))
+  }
+
   test("splitBlocks emits one clipped row per crossed stride window") {
     val rows = Gvcf.splitBlocks(fixture.filter($"sample" === "a" && $"kind" === "block"), 10L)
       .orderBy("start").select("start", "end").as[(Long, Long)].collect().toSeq
