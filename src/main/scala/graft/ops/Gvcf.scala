@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.api._
 
 /** The reference's core computation as a reusable API: combine sparse
   * per-sample interval records (gVCF reference blocks + variant sites)
@@ -90,4 +92,169 @@ object Gvcf {
           .as("calls"))
       .orderBy("contig", "pos")
   }
+
+  /** The reference's SampleNameIndex analog (SURVEY §1.1: dense sample →
+    * column-qualifier int mapping), built FROM the data: row_number over
+    * the sorted distinct sample names, 0-based. The unpartitioned window
+    * is deliberate — the distinct-sample set is tiny (cohort size), so
+    * this is a metadata-scale computation, broadcast afterwards. */
+  def sampleNameIndex(variants: DataFrame): DataFrame =
+    variants.select("sample").distinct()
+      .withColumn("sample_idx",
+        (row_number().over(Window.orderBy(col("sample"))) - 1).cast(LongType))
+
+  /** A4 completed (r2 verdict item 3) — the MERGED site record with GATK
+    * CombineGVCFs semantics, not just densified per-sample states:
+    *   ref  — the site records' reference allele;
+    *   alt  — sorted distinct union of every sample's concrete alts,
+    *          with `<NON_REF>` kept as the trailing symbolic allele;
+    *   calls — every covered sample's genotype REMAPPED to indices in
+    *          the merged allele list (a sample's local allele j resolves
+    *          through its own `alleles` array — or `<NON_REF>` past its
+    *          end — then to the merged index; block-covered samples stay
+    *          0/0 with their block GQ), ordered by [[sampleNameIndex]].
+    * Input may carry a `gt` column (the [[Vcf]] parser emits one); the
+    * legacy fixture schema without it defaults to het 0/1 sites and 0/0
+    * blocks. Same bucketed interval join as [[combineAtSites]] — one
+    * equi-join + residual, never a nested loop. */
+  def combineSites(variants: DataFrame, bucketWidth: Long = 64): DataFrame = {
+    val v = if (variants.columns.contains("gt")) variants
+      else variants.withColumn("gt",
+        when(col("kind") === "site", lit("0/1")).otherwise(lit("0/0")))
+    val sites = v.filter(col("kind") === "site")
+      .select(col("contig"), col("start").as("pos")).distinct()
+    val recs = v.withColumn("bkt", explode(sequence(
+      expr(s"start div $bucketWidth"), expr(s"end div $bucketWidth"))))
+    val probe = sites.withColumn("bkt", expr(s"pos div $bucketWidth"))
+    val cov = probe.join(recs, Seq("contig", "bkt"))
+      .filter(col("pos") >= col("start") && col("pos") <= col("end"))
+      .select("contig", "pos", "sample", "kind", "alleles", "gq", "gt")
+    val merged = cov.filter(col("kind") === "site")
+      .groupBy("contig", "pos")
+      .agg(
+        min(element_at(col("alleles"), 1)).as("ref"),
+        concat(
+          array_sort(array_distinct(flatten(collect_list(
+            expr("slice(alleles, 2, greatest(size(alleles) - 1, 0))"))))),
+          array(lit(Vcf.NonRef))).as("alts"))
+    val remapped = expr(
+      s"""CASE WHEN kind = 'block' THEN replace(gt, '|', '/') ELSE
+         |  array_join(transform(split(replace(gt, '|', '/'), '/'), g ->
+         |    CASE WHEN g = '.' THEN '.'
+         |         WHEN CAST(g AS INT) = 0 THEN '0'
+         |         ELSE CAST(array_position(alts,
+         |                CASE WHEN CAST(g AS INT) < size(alleles)
+         |                     THEN element_at(alleles, CAST(g AS INT) + 1)
+         |                     ELSE '${Vcf.NonRef}' END) AS STRING)
+         |    END), '/')
+         |END""".stripMargin)
+    cov.join(merged, Seq("contig", "pos"))
+      .join(broadcast(sampleNameIndex(v)), "sample")
+      .withColumn("gtm", remapped)
+      .groupBy("contig", "pos")
+      .agg(
+        first(col("ref")).as("ref"),
+        array_join(first(col("alts")), ",").as("alt"),
+        count(lit(1)).as("n_samples"),
+        expr("transform(sort_array(collect_list(struct(sample_idx AS i, " +
+          "concat(sample, ':', gtm, ':', CAST(gq AS STRING)) AS c))), s -> s.c)")
+          .as("calls"))
+      .orderBy("contig", "pos")
+  }
+
+  /** Deterministic 3-sample synthetic cohort (pure arithmetic — the
+    * DuckDB oracle rebuilds it value for value): record j of sample k is
+    * a het/hom site at position 10j+1 when (j+k)%3 < 2 (so every
+    * position has TWO samples with different alts — the merge union is
+    * exercised), else a reference block spanning [10j+1, 10j+10]. */
+  def syntheticVariants(s: SparkSession, n: Long): DataFrame =
+    s.range(0, n).selectExpr(
+      "concat('s', id % 3) AS sample",
+      "concat('chr', 1 + (id div 3) % 2) AS contig",
+      "(id div 3) * 10 + 1 AS start",
+      "CASE WHEN ((id div 3) + id % 3) % 3 < 2 THEN (id div 3) * 10 + 1 " +
+        "ELSE (id div 3) * 10 + 10 END AS end",
+      "CASE WHEN ((id div 3) + id % 3) % 3 < 2 THEN 'site' ELSE 'block' END AS kind",
+      "CASE WHEN ((id div 3) + id % 3) % 3 < 2 " +
+        "THEN array(substr('ACGT', CAST((id div 3) % 4 AS INT) + 1, 1), " +
+        "           substr('ACGT', CAST(((id div 3) + 1 + id % 3) % 4 AS INT) + 1, 1)) " +
+        "ELSE array(substr('ACGT', CAST((id div 3) % 4 AS INT) + 1, 1)) END AS alleles",
+      "CAST(((id div 3) * 7 + (id % 3) * 13) % 90 + 10 AS INT) AS gq",
+      "CASE WHEN ((id div 3) + id % 3) % 3 >= 2 THEN '0/0' " +
+        "WHEN ((id div 3) + id % 3) % 2 = 0 THEN '0/1' ELSE '1/1' END AS gt")
+
+  /** The same cohort as [[syntheticVariants]] in DuckDB CTE form
+    * (column names vstart/vend dodge the END keyword). */
+  private val duckSyntheticV =
+    """g AS (SELECT range AS i FROM range(0, 3000)),
+      |v AS (
+      |  SELECT 's' || CAST(i % 3 AS VARCHAR) AS sample,
+      |    'chr' || CAST(1 + (i // 3) % 2 AS VARCHAR) AS contig,
+      |    (i // 3) * 10 + 1 AS vstart,
+      |    CASE WHEN ((i // 3) + i % 3) % 3 < 2 THEN (i // 3) * 10 + 1
+      |         ELSE (i // 3) * 10 + 10 END AS vend,
+      |    CASE WHEN ((i // 3) + i % 3) % 3 < 2 THEN 'site' ELSE 'block' END AS kind,
+      |    substr('ACGT', CAST((i // 3) % 4 AS INT) + 1, 1) AS ref,
+      |    substr('ACGT', CAST(((i // 3) + 1 + i % 3) % 4 AS INT) + 1, 1) AS alt,
+      |    CAST(((i // 3) * 7 + (i % 3) * 13) % 90 + 10 AS INT) AS gq,
+      |    CASE WHEN ((i // 3) + i % 3) % 3 >= 2 THEN '0/0'
+      |         WHEN ((i // 3) + i % 3) % 2 = 0 THEN '0/1' ELSE '1/1' END AS gt
+      |  FROM g)""".stripMargin
+
+  /** Merged-record combine over the synthetic cohort, oracle-backed: the
+    * DuckDB side rebuilds the cohort and performs the same merge (site
+    * union, genotype remap via list_position, sample-ordered calls). */
+  val combineMerge = Query(
+    "q_combine_merge",
+    s"""WITH $duckSyntheticV,
+       |sites AS (SELECT DISTINCT contig, vstart AS pos FROM v WHERE kind = 'site'),
+       |cov AS (
+       |  SELECT s.contig, s.pos, v.sample, v.kind, v.ref, v.alt, v.gt, v.gq
+       |  FROM sites s JOIN v ON v.contig = s.contig AND s.pos BETWEEN v.vstart AND v.vend),
+       |merged AS (
+       |  SELECT contig, pos, min(ref) AS mref,
+       |    list_sort(list_distinct(list(alt))) AS calts
+       |  FROM cov WHERE kind = 'site' GROUP BY contig, pos),
+       |remap AS (
+       |  SELECT c.contig, c.pos, c.sample,
+       |    CASE WHEN c.kind = 'block' THEN c.gt
+       |         ELSE array_to_string(list_transform(string_split(c.gt, '/'), g ->
+       |           CASE WHEN g = '0' THEN '0'
+       |                ELSE CAST(list_position(m.calts, c.alt) AS VARCHAR) END), '/')
+       |    END AS gtm, c.gq
+       |  FROM cov c JOIN merged m ON c.contig = m.contig AND c.pos = m.pos)
+       |SELECT r.contig, r.pos, m.mref AS ref,
+       |  array_to_string(m.calts, ',') || ',<NON_REF>' AS alt,
+       |  count(*) AS n_samples,
+       |  list(r.sample || ':' || r.gtm || ':' || CAST(r.gq AS VARCHAR) ORDER BY r.sample) AS calls
+       |FROM remap r JOIN merged m ON r.contig = m.contig AND r.pos = m.pos
+       |GROUP BY r.contig, r.pos, m.mref, m.calts
+       |ORDER BY r.contig, r.pos""".stripMargin) { (s, _) =>
+    combineSites(syntheticVariants(s, 3000))
+  }
+
+  /** Dense sample-name index as an oracle-backed query: the index joined
+    * back against the cohort with per-sample extents. */
+  val sampleIndexQuery = Query(
+    "q_sample_index",
+    s"""WITH $duckSyntheticV,
+       |idx AS (
+       |  SELECT sample, CAST(row_number() OVER (ORDER BY sample) - 1 AS BIGINT) AS sample_idx
+       |  FROM (SELECT DISTINCT sample FROM v))
+       |SELECT v.sample, idx.sample_idx, count(*) AS n_records,
+       |  CAST(min(v.vstart) AS BIGINT) AS min_start,
+       |  CAST(max(v.vend) AS BIGINT) AS max_end
+       |FROM v JOIN idx ON v.sample = idx.sample
+       |GROUP BY v.sample, idx.sample_idx
+       |ORDER BY idx.sample_idx""".stripMargin) { (s, _) =>
+    val v = syntheticVariants(s, 3000)
+    v.join(broadcast(sampleNameIndex(v)), "sample")
+      .groupBy("sample", "sample_idx")
+      .agg(count(lit(1)).as("n_records"),
+        min(col("start")).cast(LongType).as("min_start"),
+        max(col("end")).cast(LongType).as("max_end"))
+      .orderBy("sample_idx")
+  }
+
+  val queries: Seq[Query] = Seq(combineMerge, sampleIndexQuery)
 }

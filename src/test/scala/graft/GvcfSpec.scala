@@ -105,6 +105,58 @@ class GvcfSpec extends SparkSpec {
     assert(out(1)._2 == Seq("a:site:G/A", "b:block:G"))
   }
 
+  test("combineSites merges alt alleles and remaps genotypes (CombineGVCFs)") {
+    // three samples at one site: two sites with different alts + a block
+    val v = Seq(
+      ("a", "chr1", 15L, 15L, "site", Seq("G", "A"), 99, "0/1"),
+      ("a", "chr1", 1L, 14L, "block", Seq("G"), 50, "0/0"),
+      ("b", "chr1", 15L, 15L, "site", Seq("G", "C", "T"), 88, "1/2"),
+      ("b", "chr1", 1L, 14L, "block", Seq("G"), 42, "0/0"),
+      ("c", "chr1", 1L, 30L, "block", Seq("G"), 60, "0/0")
+    ).toDF("sample", "contig", "start", "end", "kind", "alleles", "gq", "gt")
+    val out = Gvcf.combineSites(v).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("pos") == 15L)
+    assert(r.getAs[String]("ref") == "G")
+    // union of {A} and {C,T}, sorted, NON_REF trailing
+    assert(r.getAs[String]("alt") == "A,C,T,<NON_REF>")
+    assert(r.getAs[Long]("n_samples") == 3L)
+    // a's alt A is merged allele 1; b's C,T become 2,3; c stays hom-ref
+    assert(r.getAs[scala.collection.Seq[String]]("calls").toSeq ==
+      Seq("a:0/1:99", "b:2/3:88", "c:0/0:60"))
+  }
+
+  test("combineSites maps a local <NON_REF> genotype to the merged symbolic allele") {
+    // d's gt index 2 points past its concrete alleles — i.e. at <NON_REF>,
+    // which sits last in the merged list (position 2 here)
+    val v = Seq(
+      ("a", "chr1", 9L, 9L, "site", Seq("T", "C"), 91, "0/1"),
+      ("d", "chr1", 9L, 9L, "site", Seq("T", "C"), 77, "0/2")
+    ).toDF("sample", "contig", "start", "end", "kind", "alleles", "gq", "gt")
+    val r = Gvcf.combineSites(v).collect().head
+    assert(r.getAs[String]("alt") == "C,<NON_REF>")
+    assert(r.getAs[scala.collection.Seq[String]]("calls").toSeq ==
+      Seq("a:0/1:91", "d:0/2:77"))
+  }
+
+  test("combineSites defaults genotypes for the legacy fixture schema (no gt)") {
+    val out = Gvcf.combineSites(fixture).collect()
+    assert(out.map(_.getAs[Long]("pos")).toSeq == Seq(9L, 15L))
+    val p9 = out.head
+    // b's site T→C; a covered by its [1,14] block
+    assert(p9.getAs[String]("ref") == "T")
+    assert(p9.getAs[String]("alt") == "C,<NON_REF>")
+    assert(p9.getAs[scala.collection.Seq[String]]("calls").toSeq ==
+      Seq("a:0/0:50", "b:0/1:88"))
+  }
+
+  test("sampleNameIndex densely numbers sorted distinct samples from the data") {
+    val idx = Gvcf.sampleNameIndex(fixture)
+      .orderBy("sample_idx").as[(String, Long)].collect().toSeq
+    assert(idx == Seq(("a", 0L), ("b", 1L)))
+  }
+
   test("splitBlocks emits one clipped row per crossed stride window") {
     val rows = Gvcf.splitBlocks(fixture.filter($"sample" === "a" && $"kind" === "block"), 10L)
       .orderBy("start").select("start", "end").as[(Long, Long)].collect().toSeq
