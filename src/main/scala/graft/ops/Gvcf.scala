@@ -185,7 +185,7 @@ object Gvcf {
 
   /** The same cohort as [[syntheticVariants]] in DuckDB CTE form
     * (column names vstart/vend dodge the END keyword). */
-  private val duckSyntheticV =
+  private[ops] val duckSyntheticV =
     """g AS (SELECT range AS i FROM range(0, 3000)),
       |v AS (
       |  SELECT 's' || CAST(i % 3 AS VARCHAR) AS sample,
