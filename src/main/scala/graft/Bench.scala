@@ -16,7 +16,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (w <- Seq("q_agg_count_by_key", "q_text_stats"))
+    // Warm-ups cover each input family (lineitem, documents, embeddings)
+    // so first-touch parquet-footer/codegen costs don't pollute whichever
+    // measured query happens to run first. q_ann_ivf in warm-up also
+    // materializes the IVF index, so its measured number is the
+    // deterministic index-reuse search (the build-once contract) whether
+    // or not a prior run left the index on disk.
+    for (w <- Seq("q_agg_count_by_key", "q_text_stats", "q_similarity_topk", "q_ann_ivf"))
       try SparkEntry.queries(w)(spark, sfDir).count() catch { case _: Throwable => }
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()

@@ -72,9 +72,15 @@ object Ivf {
     if (!new java.io.File(s"$dir/vectors", "_SUCCESS").exists()) {
       val e = graft.api.tbl(s, d, "embeddings")
       val cents = trainCentroids(e)
-      cents.write.mode("overwrite").parquet(s"$dir/centroids")
+      // K centroids are a handful of rows — one file, not 32 shards.
+      cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      // Cluster by bucket before the partitioned write so each inverted
+      // list is ONE file per shuffle partition, not tasks x buckets tiny
+      // files — the same layout a 100 TB build needs for DPP-prunable,
+      // sanely-sized list files.
       assignToNearest(e, s.read.parquet(s"$dir/centroids"))
         .select(col("vec_id"), col("embedding"), col("bucket"))
+        .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/vectors")
     }
     dir
