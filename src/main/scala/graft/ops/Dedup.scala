@@ -220,5 +220,110 @@ object Dedup {
       .limit(20)
   }
 
-  val queries: Seq[Query] = Seq(dedupNear, dedupSimhash, dedupNgram, dedupEditDistance)
+  /** Minimum-label propagation connected components (Pregel shape): each
+    * node starts as its own representative; every round each node takes
+    * the min rep over itself and its neighbors until fixpoint. The
+    * converged rep (min doc_id reachable) is unique, so the result is
+    * independent of partitioning and iteration order.
+    *
+    * Scale notes: each round is ONE equi-join + ONE partial+final min
+    * aggregate — no all-pairs anywhere; rounds = component diameter
+    * (near-dup clusters are shallow). The driver-side loop is algorithm
+    * control flow (a convergence check per round), not per-row work; the
+    * per-round `localCheckpoint` truncates lineage so plan depth stays
+    * constant — at cluster scale you'd swap in a reliable checkpoint dir.
+    *
+    * @param nodes single-column `doc_id`; @param edges `doc_a`/`doc_b`. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val e2 = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var lab = nodes.select(col("doc_id"), col("doc_id").as("rep")).localCheckpoint()
+    // Labels only ever decrease, so the fixpoint test is one tiny
+    // aggregate — sum(rep) unchanged — instead of a self-join per round.
+    var prevSum = Option.empty[Long]
+    var converged = false
+    while (!converged) {
+      val viaNbr = e2.join(lab.withColumnRenamed("doc_id", "dst"), "dst")
+        .select(col("src").as("doc_id"), col("rep"))
+      // Checkpoint before the self-join below: both sides then share one
+      // clean leaf (Catalyst's constraint rewrite rejects a self-joined
+      // Union), and lineage stays constant-depth across rounds.
+      val propagated = lab.select("doc_id", "rep").union(viaNbr)
+        .groupBy("doc_id").agg(min("rep").as("rep"))
+        .localCheckpoint(eager = false) // materialized by the sum below
+      // Pointer jumping: follow rep -> rep-of-rep, halving label-chain
+      // lengths so convergence takes O(log diameter) rounds, not
+      // O(diameter). Same fixpoint (min reachable id), reached faster.
+      val next = propagated
+        .join(propagated.select(col("doc_id").as("rep"), col("rep").as("rep2")), "rep")
+        .select(col("doc_id"), col("rep2").as("rep"))
+      val s = next.agg(sum("rep")).head.getLong(0)
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
+      lab = next
+    }
+    lab
+  }
+
+  /** Near-dup candidate edges: same (lang, source) block AND at least one
+    * shared distinct word-3-gram — the q_dedup_ngram pair condition
+    * relaxed to candidate level, but generated via an INVERTED-INDEX
+    * equi-join on the shingle itself rather than blocked all-pairs +
+    * array_intersect: pair work is sum(df²) over shingle doc-frequencies
+    * (df ≤ 5 in this corpus) instead of |block|² intersections. Both
+    * sides of the self-join are the same exchange (reused). */
+  private def candidateEdges(docs: DataFrame): DataFrame = {
+    val postings = docs
+      .select(col("doc_id"), col("lang"), col("source"), split(col("text"), " ").as("toks"))
+      .repartition(col("doc_id")) // barrier: materialize toks before the shingle lambda
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(shinglesOf(col("toks")))).as("sh"))
+    postings.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("sh"))
+      .join(postings.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("sh")),
+        Seq("lang", "source", "sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Duplicate-cluster assignment — the step after candidate generation
+    * in every production dedup pipeline: candidate pairs → connected
+    * components → one canonical representative (min doc_id) per cluster.
+    * Emits the non-singleton clusters with their sorted member list. */
+  val dedupCluster = Query(
+    "q_dedup_cluster",
+    """WITH RECURSIVE s AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+      |  FROM documents),
+      |e0 AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db
+      |  FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source
+      |                   AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh)) >= 1),
+      |edges AS (SELECT da AS a, db AS b FROM e0
+      |          UNION ALL SELECT db, da FROM e0),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM s
+      |  UNION
+      |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+      |lab AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id)
+      |SELECT rep, count(*) AS n_docs,
+      |  array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',') AS members
+      |FROM lab GROUP BY rep HAVING count(*) > 1
+      |ORDER BY rep""".stripMargin) { (s, d) =>
+    val docs = tbl(s, d, "documents")
+    val lab = connectedComponents(docs.select("doc_id"), candidateEdges(docs))
+    lab.groupBy("rep")
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast(StringType)), ",").as("members"))
+      .filter(col("n_docs") > 1)
+      .orderBy("rep")
+  }
+
+  val queries: Seq[Query] =
+    Seq(dedupNear, dedupSimhash, dedupNgram, dedupEditDistance, dedupCluster)
 }

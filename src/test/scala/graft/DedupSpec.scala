@@ -51,4 +51,21 @@ class DedupSpec extends SparkSpec {
       assert(hamming(0L, other) > hamming(0L, 1L),
         s"unrelated doc $other closer than the planted dup")
   }
+
+  test("connected components: chain merges transitively, islands stay apart") {
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    // 1-2, 2-3 chain (3 reaches 1 only transitively); 10-11 pair; 20 alone.
+    val edges = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val reps = Dedup.connectedComponents(nodes, edges).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rep")).toMap
+    assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("cluster reps are the min doc_id over planted near-dup components") {
+    val lab = Dedup.connectedComponents(
+      docs.select("doc_id"),
+      Seq((0L, 1L)).toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rep")).toMap
+    assert(lab(1L) == 0L && (2L to 5L).forall(i => lab(i) == i))
+  }
 }
