@@ -37,8 +37,29 @@ object Ivf {
       .agg(array((0 until 64).map(i =>
         Similarity.fixedPointMean(element_at(col("embedding"), i + 1))): _*).as("cv"))
 
+  /** Lloyd (k-means) refinement of the coarse quantizer: assign every
+    * vector to its nearest centroid, recompute per-bucket exact
+    * fixed-point means, repeat. Each iteration is one broadcast of the
+    * K×64 centroid table + one partial+final aggregate over the corpus —
+    * the exact shape a 100 TB training pass needs (no per-iteration
+    * shuffle of the vectors beyond the aggregate's). Buckets that lose
+    * all members simply drop out (deterministic; the oracle's GROUP BY
+    * does the same). Fully deterministic: exact means, sequential-fold
+    * distances, (d², label) argmin tie-break. */
+  def lloydIterate(e: DataFrame, cents0: DataFrame, iters: Int): DataFrame = {
+    var cents = cents0
+    for (_ <- 1 to iters) {
+      cents = assignToNearest(e, cents)
+        .groupBy(col("bucket").as("label"))
+        .agg(array((0 until 64).map(i =>
+          Similarity.fixedPointMean(element_at(col("embedding"), i + 1))): _*).as("cv"),
+          count(lit(1)).as("n")) // member count of the assignment that produced cv
+    }
+    cents
+  }
+
   /** Squared L2 distance as a sequential left fold (oracle-identical). */
-  private val d2ToProbe: Column = aggregate(
+  private[ops] val d2ToProbe: Column = aggregate(
     zip_with(col("cv"), col("pv"), (c, p) => (c - p.cast(DoubleType)) * (c - p.cast(DoubleType))),
     lit(0.0), (acc, v) => acc + v)
 

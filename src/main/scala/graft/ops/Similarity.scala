@@ -158,5 +158,131 @@ object Similarity {
       .limit(20)
   }
 
-  val queries: Seq[Query] = Seq(similarityTopk, centroidByLabel, annIvf, dedupEmbed)
+  private def duckD2(cv: String, v: String): String =
+    duckFoldSum(s"list_transform(range(1, 65), i -> ($cv[i] - CAST($v[i] AS DOUBLE)) * ($cv[i] - CAST($v[i] AS DOUBLE)))")
+
+  /** Shared oracle CTE prefix: embeddings, label-seeded centroid vectors
+    * (the quantizer's seed), and the argmin assignment — the exact CTEs
+    * q_ann_ivf uses, factored for reuse. */
+  private val duckIvfPrefix =
+    s"""e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(0, 63)) AS dim),
+       |cent AS (
+       |  SELECT label, dim, ${duckFixedPointMean("v[dim + 1]")} AS c
+       |  FROM e, dims GROUP BY label, dim),
+       |cvec AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label)""".stripMargin
+
+  /** K-means (Lloyd) training for the IVF quantizer, 2 iterations from
+    * the label-seeded means: assign → exact fixed-point means → assign →
+    * means. Output: per surviving bucket its member count, first centroid
+    * coordinate, and centroid norm². The oracle replays both iterations
+    * CTE by CTE with the identical argmin and fold arithmetic. */
+  val kmeansIter = Query(
+    "q_kmeans_iter",
+    s"""WITH $duckIvfPrefix,
+       |a1 AS (
+       |  SELECT vec_id, v, bucket FROM (
+       |    SELECT e.vec_id, e.v, c.label AS bucket,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${duckD2("c.cv", "e.v")}, c.label) AS rn
+       |    FROM e, cvec c) WHERE rn = 1),
+       |c1 AS (
+       |  SELECT bucket AS label, dim, ${duckFixedPointMean("v[dim + 1]")} AS c
+       |  FROM a1, dims GROUP BY bucket, dim),
+       |cv1 AS (SELECT label, list(c ORDER BY dim) AS cv FROM c1 GROUP BY label),
+       |a2 AS (
+       |  SELECT vec_id, v, bucket FROM (
+       |    SELECT e.vec_id, e.v, c.label AS bucket,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${duckD2("c.cv", "e.v")}, c.label) AS rn
+       |    FROM e, cv1 c) WHERE rn = 1),
+       |c2 AS (
+       |  SELECT bucket AS label, dim, ${duckFixedPointMean("v[dim + 1]")} AS c
+       |  FROM a2, dims GROUP BY bucket, dim),
+       |cv2 AS (SELECT label, list(c ORDER BY dim) AS cv FROM c2 GROUP BY label),
+       |n2 AS (SELECT bucket, count(*) AS n FROM a2 GROUP BY bucket)
+       |SELECT CAST(cv2.label AS BIGINT) AS bucket, n2.n AS n,
+       |  round(cv2.cv[1], 6) AS c0,
+       |  round(${duckFoldSum("list_transform(cv2.cv, x -> x * x)")}, 6) AS cnorm2
+       |FROM cv2 JOIN n2 ON n2.bucket = cv2.label
+       |ORDER BY bucket""".stripMargin) { (s, d) =>
+    val e = tbl(s, d, "embeddings")
+    Ivf.lloydIterate(e, Ivf.trainCentroids(e), 2)
+      .select(col("label").cast(LongType).as("bucket"), col("n"),
+        round(element_at(col("cv"), 1), 6).as("c0"),
+        round(aggregate(col("cv"), lit(0.0), (acc, x) => acc + x * x), 6).as("cnorm2"))
+      .orderBy("bucket")
+  }
+
+  /** Recall@10 of the materialized IVF index (nprobe=2) against exact
+    * brute-force top-10, for the first 20 vectors as probes — the
+    * quality metric every ANN deployment tracks next to its latency.
+    * Spark side searches the REAL index (bucket-partitioned files from
+    * Ivf.buildIndex); the oracle recomputes assignment + both top-10s. */
+  val annRecall = Query(
+    "q_ann_recall",
+    s"""WITH $duckIvfPrefix,
+       |asg AS (
+       |  SELECT vec_id, v, bucket FROM (
+       |    SELECT e.vec_id, e.v, c.label AS bucket,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${duckD2("c.cv", "e.v")}, c.label) AS rn
+       |    FROM e, cvec c) WHERE rn = 1),
+       |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 20),
+       |sel AS (
+       |  SELECT pid, label AS bucket FROM (
+       |    SELECT p.pid, c.label,
+       |      row_number() OVER (PARTITION BY p.pid ORDER BY ${duckD2("c.cv", "p.pv")}, c.label) AS rn
+       |    FROM cvec c, p) WHERE rn <= 2),
+       |brute AS (
+       |  SELECT pid, vec_id FROM (
+       |    SELECT p.pid, e.vec_id,
+       |      row_number() OVER (PARTITION BY p.pid ORDER BY
+       |        ${duckDot("e.v", "p.pv")} / (${duckNorm("e.v")} * ${duckNorm("p.pv")}) DESC, e.vec_id) AS rn
+       |    FROM e, p WHERE e.vec_id <> p.pid) WHERE rn <= 10),
+       |ivf AS (
+       |  SELECT pid, vec_id FROM (
+       |    SELECT s.pid, a.vec_id,
+       |      row_number() OVER (PARTITION BY s.pid ORDER BY
+       |        ${duckDot("a.v", "p.pv")} / (${duckNorm("a.v")} * ${duckNorm("p.pv")}) DESC, a.vec_id) AS rn
+       |    FROM asg a JOIN sel s ON a.bucket = s.bucket JOIN p ON p.pid = s.pid
+       |    WHERE a.vec_id <> s.pid) WHERE rn <= 10)
+       |SELECT b.pid AS vec_id, CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+       |  round(CAST(count(i.vec_id) AS DOUBLE) / 10, 6) AS recall
+       |FROM brute b LEFT JOIN ivf i ON b.pid = i.pid AND b.vec_id = i.vec_id
+       |GROUP BY b.pid
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val dir = Ivf.buildIndex(s, d)
+    val e = tbl(s, d, "embeddings")
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("pid"), col("embedding").as("pv"))
+    val sel = s.read.parquet(s"$dir/centroids")
+      .crossJoin(broadcast(probes))
+      .select(col("pid"), col("label").as("bucket"), Ivf.d2ToProbe.as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("pid").orderBy(col("d2"), col("bucket"))))
+      .filter(col("rn") <= 2).select("pid", "bucket")
+    val ivfTop = s.read.parquet(s"$dir/vectors")
+      .join(broadcast(sel), "bucket")
+      .join(broadcast(probes), Seq("pid"))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"), cosine(col("embedding"), col("pv")).as("cs"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("pid").orderBy(desc("cs"), col("vec_id"))))
+      .filter(col("rn") <= 10)
+      .select(col("pid"), col("vec_id"), lit(1).as("hit"))
+    val brute = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"), cosine(col("embedding"), col("pv")).as("cs"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("pid").orderBy(desc("cs"), col("vec_id"))))
+      .filter(col("rn") <= 10)
+      .select("pid", "vec_id")
+    brute.join(ivfTop, Seq("pid", "vec_id"), "left")
+      .groupBy(col("pid").as("vec_id"))
+      .agg(count(col("hit")).as("n_hits"),
+        round(count(col("hit")).cast(DoubleType) / 10, 6).as("recall"))
+      .orderBy("vec_id")
+  }
+
+  val queries: Seq[Query] =
+    Seq(similarityTopk, centroidByLabel, annIvf, dedupEmbed, kmeansIter, annRecall)
 }

@@ -123,6 +123,52 @@ object Sources {
       .orderBy("gq")
   }
 
+  /** Write-once-per-(session,sf) bucketed copies of lineitem and orders,
+    * both bucketed AND sorted on the join key into the same bucket count —
+    * the Spark analog of HBase's pre-split, key-sorted regions (A11) and
+    * the layout that makes fact-fact joins shuffle-free at 100 TB. */
+  def bucketedTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val suf = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val (liName, ordName) = (s"graft_li_bkt_$suf", s"graft_ord_bkt_$suf")
+    if (!s.catalog.tableExists(liName)) {
+      tbl(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .repartition(8, col("l_orderkey")) // align tasks with buckets: 8 files, not tasks×8
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", outDir(s, d, "bkt_li")).mode("overwrite").saveAsTable(liName)
+    }
+    if (!s.catalog.tableExists(ordName)) {
+      tbl(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(8, col("o_orderkey"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", outDir(s, d, "bkt_ord")).mode("overwrite").saveAsTable(ordName)
+    }
+    (s.table(liName), s.table(ordName))
+  }
+
+  /** Co-located fact-fact join: both sides bucketed on the join key into
+    * the same bucket count, so the sort-merge join needs NO exchange on
+    * either side (asserted in PlanSpec — the only shuffle in the plan is
+    * the final small aggregate). The `merge` hint pins the strategy so
+    * the plan shape is stable across AQE/broadcast thresholds. */
+  val bucketedJoin = Query(
+    "q_bucketed_join",
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |           (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val (li, ord) = bucketedTables(s, d)
+    li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(dec("l_extendedprice") * (oneDec - dec("l_discount"))), 4)
+          .cast(DoubleType).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Seq[Query] =
-    Seq(sourceCsv, sourceJson, sourceOrc, partitionPrune, sourceCustom)
+    Seq(sourceCsv, sourceJson, sourceOrc, partitionPrune, sourceCustom, bucketedJoin)
 }

@@ -83,6 +83,15 @@ class PlanSpec extends SparkSpec {
       s"bucket join did not become a dynamic partition pruning filter:\n${p.take(2000)}")
   }
 
+  test("q_bucketed_join is shuffle-free: SMJ with only the agg exchange") {
+    val df = Sources.bucketedJoin.run(spark, sf)
+    df.count() // execute so AQE finalizes the plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n${p.take(1500)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"bucketed join introduced a shuffle on a join side:\n${p.take(2500)}")
+  }
+
   test("aggregates are partial+final (map-side combine present)") {
     val p = plan(Relational.aggCountByKey)
     assert(p.contains("partial_count") || p.contains("HashAggregate"),
