@@ -201,12 +201,11 @@ object Gvcf {
       |         WHEN ((i // 3) + i % 3) % 2 = 0 THEN '0/1' ELSE '1/1' END AS gt
       |  FROM g)""".stripMargin
 
-  /** Merged-record combine over the synthetic cohort, oracle-backed: the
-    * DuckDB side rebuilds the cohort and performs the same merge (site
-    * union, genotype remap via list_position, sample-ordered calls). */
-  val combineMerge = Query(
-    "q_combine_merge",
-    s"""WITH $duckSyntheticV,
+  /** Shared oracle CTEs: cohort → coverage → merged alleles → remapped
+    * genotypes (the CombineGVCFs pipeline, reused by q_combine_merge and
+    * q_gvcf_export). */
+  private val duckCombineCtes =
+    s"""$duckSyntheticV,
        |sites AS (SELECT DISTINCT contig, vstart AS pos FROM v WHERE kind = 'site'),
        |cov AS (
        |  SELECT s.contig, s.pos, v.sample, v.kind, v.ref, v.alt, v.gt, v.gq
@@ -222,7 +221,14 @@ object Gvcf {
        |           CASE WHEN g = '0' THEN '0'
        |                ELSE CAST(list_position(m.calts, c.alt) AS VARCHAR) END), '/')
        |    END AS gtm, c.gq
-       |  FROM cov c JOIN merged m ON c.contig = m.contig AND c.pos = m.pos)
+       |  FROM cov c JOIN merged m ON c.contig = m.contig AND c.pos = m.pos)""".stripMargin
+
+  /** Merged-record combine over the synthetic cohort, oracle-backed: the
+    * DuckDB side rebuilds the cohort and performs the same merge (site
+    * union, genotype remap via list_position, sample-ordered calls). */
+  val combineMerge = Query(
+    "q_combine_merge",
+    s"""WITH $duckCombineCtes
        |SELECT r.contig, r.pos, m.mref AS ref,
        |  array_to_string(m.calts, ',') || ',<NON_REF>' AS alt,
        |  count(*) AS n_samples,
@@ -231,6 +237,47 @@ object Gvcf {
        |GROUP BY r.contig, r.pos, m.mref, m.calts
        |ORDER BY r.contig, r.pos""".stripMargin) { (s, _) =>
     combineSites(syntheticVariants(s, 3000))
+  }
+
+  /** The reference's output path (SURVEY §3.2 `load → collect →
+    * string-format`): merged combine records rendered as gVCF body lines
+    * `CHROM POS ID REF ALT QUAL FILTER INFO FORMAT cell…` with one
+    * `GT:GQ` cell per cohort sample in [[sampleNameIndex]] order.
+    * Samples not covered at a site render as the VCF missing cell
+    * `./.:.` (exercised in GvcfSpec; the synthetic cohort covers every
+    * sample everywhere). Pure per-row string work over [[combineSites]]
+    * plus one broadcast of the sample list — export adds no shuffle. */
+  def exportLines(variants: DataFrame, bucketWidth: Long = 64): DataFrame = {
+    val samplesArr = sampleNameIndex(variants)
+      .agg(sort_array(collect_list(col("sample"))).as("samples"))
+    combineSites(variants, bucketWidth)
+      .crossJoin(broadcast(samplesArr))
+      .withColumn("m", expr("map_from_entries(transform(calls, " +
+        "c -> struct(split(c, ':')[0] AS k, concat(split(c, ':')[1], ':', split(c, ':')[2]) AS v)))"))
+      .select(col("contig"), col("pos"),
+        concat_ws("\t",
+          col("contig"), col("pos").cast(StringType), lit("."), col("ref"), col("alt"),
+          lit("."), lit("PASS"),
+          concat(lit("NS="), col("n_samples").cast(StringType)), lit("GT:GQ"),
+          array_join(transform(col("samples"),
+            n => coalesce(element_at(col("m"), n), lit("./.:."))), "\t")).as("line"))
+  }
+
+  /** gVCF export over the synthetic cohort; the oracle builds the
+    * byte-identical lines (chr(9) = tab) from the shared combine CTEs. */
+  val gvcfExport = Query(
+    "q_gvcf_export",
+    s"""WITH $duckCombineCtes
+       |SELECT r.contig, r.pos,
+       |  r.contig || chr(9) || CAST(r.pos AS VARCHAR) || chr(9) || '.' || chr(9) ||
+       |  m.mref || chr(9) || array_to_string(m.calts, ',') || ',<NON_REF>' || chr(9) ||
+       |  '.' || chr(9) || 'PASS' || chr(9) ||
+       |  'NS=' || CAST(count(*) AS VARCHAR) || chr(9) || 'GT:GQ' || chr(9) ||
+       |  array_to_string(list(r.gtm || ':' || CAST(r.gq AS VARCHAR) ORDER BY r.sample), chr(9)) AS line
+       |FROM remap r JOIN merged m ON r.contig = m.contig AND r.pos = m.pos
+       |GROUP BY r.contig, r.pos, m.mref, m.calts
+       |ORDER BY r.contig, r.pos""".stripMargin) { (s, _) =>
+    exportLines(syntheticVariants(s, 3000)).orderBy("contig", "pos")
   }
 
   /** Dense sample-name index as an oracle-backed query: the index joined
@@ -256,5 +303,5 @@ object Gvcf {
       .orderBy("sample_idx")
   }
 
-  val queries: Seq[Query] = Seq(combineMerge, sampleIndexQuery)
+  val queries: Seq[Query] = Seq(combineMerge, sampleIndexQuery, gvcfExport)
 }

@@ -10,6 +10,15 @@ case class StreamEvent(ts: java.sql.Timestamp, user_id: Long, event_type: String
 /** Accumulated per-user state carried across micro-batches. */
 case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
+/** A variant record arriving on the ingest stream (gVCF order). */
+case class VarEvent(sample: String, contig: String, start: Long, end: Long, kind: String, gq: Int)
+
+/** The carried per-(sample, contig) spanning block. */
+case class BlockState(start: Long, end: Long, gq: Int)
+
+/** A site call densified against the carried block state. */
+case class FilledCall(sample: String, contig: String, pos: Long, covered: Boolean, gq: Int)
+
 /** Structured Streaming surface (SURVEY §2C C8/C9/C10): the same
   * declarative expressions as the batch Pipeline windows, applied to an
   * unbounded `events` stream. The reference is batch-only; this is the
@@ -84,6 +93,45 @@ object Streaming {
         col("click_ts") >= col("purchase_ts") - expr("interval 1 hour") &&
         col("click_ts") <= col("purchase_ts"))
       .select(col("p_user").as("user_id"), col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
+  /** C1 streaming twin — exact dedup on the event identity with state
+    * bounded by the watermark horizon: a duplicate arriving within
+    * `delay` of the original is dropped; state for keys older than the
+    * watermark is evicted (unlike plain `dropDuplicates`, whose state
+    * grows forever on an unbounded stream). */
+  def dedupWithinWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("user_id", "ts", "event_type")
+
+  /** The reference's scan carry-state (SURVEY §3.2: per-sample "current
+    * spanning block" held while iterating positions in order) as TRUE
+    * streaming state: records arrive in genomic order per (sample,
+    * contig); blocks update the carried state, sites densify against it
+    * — covered = a spanning block exists, gq = the block's (else the
+    * site's own). State is ONE small record per (sample, contig), the
+    * same bound the reference's scanner holds in memory. */
+  def carryForwardFill(vs: Dataset[VarEvent]): Dataset[FilledCall] = {
+    import vs.sparkSession.implicits._
+    vs.groupByKey(v => (v.sample, v.contig))
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: (String, String), batch: Iterator[VarEvent], state: GroupState[BlockState]) =>
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[FilledCall]
+          batch.toSeq.sortBy(_.start).foreach { v =>
+            if (v.kind == "block") { cur = Some(BlockState(v.start, v.end, v.gq)) }
+            else {
+              val spanning = cur.filter(b => v.start >= b.start && v.start <= b.end)
+              out += FilledCall(key._1, key._2, v.start,
+                covered = spanning.isDefined, gq = spanning.map(_.gq).getOrElse(v.gq))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
   }
 
   /** C7 streaming twin — native session windows (30-min inactivity gap):

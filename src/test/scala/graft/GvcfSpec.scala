@@ -162,4 +162,20 @@ class GvcfSpec extends SparkSpec {
       .orderBy("start").select("start", "end").as[(Long, Long)].collect().toSeq
     assert(rows == Seq((1L, 9L), (10L, 14L), (16L, 19L), (20L, 29L), (30L, 30L)))
   }
+
+  test("exportLines renders gVCF body lines; uncovered samples are missing cells") {
+    // sample c exists in the cohort but covers nothing at position 9.
+    val withC = fixture.union(Seq(
+      ("c", "chr1", 20L, 30L, "block", Seq("REF"), 33)).toDF(fixture.columns: _*))
+    val lines = Gvcf.exportLines(withC).orderBy("pos")
+      .select("line").as[String].collect().toSeq
+    assert(lines.size == 2)
+    val p9 = lines.head.split("\t", -1).toSeq
+    // CHROM POS ID REF ALT QUAL FILTER INFO FORMAT a b c
+    assert(p9.take(9) == Seq("chr1", "9", ".", "T", "C,<NON_REF>", ".", "PASS", "NS=2", "GT:GQ"))
+    assert(p9.drop(9) == Seq("0/0:50", "0/1:88", "./.:."), "sample c must render missing")
+    // position 15: c's block [20,30] does not span it either
+    val p15 = lines(1).split("\t", -1).toSeq
+    assert(p15(3) == "G" && p15(4) == "A,<NON_REF>" && p15.drop(9) == Seq("0/1:99", "0/0:42", "./.:."))
+  }
 }

@@ -109,6 +109,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark drops re-delivered events across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val q = Streaming.dedupWithinWatermark(input.toDF(), delay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val e1 = Ev(ts("2024-01-01 10:00:00"), 1, "click", 1.0)
+      input.addData(e1, Ev(ts("2024-01-01 10:01:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(e1.copy(value = 9.0)) // same identity re-delivered → dropped
+      input.addData(Ev(ts("2024-01-01 10:02:00"), 1, "click", 1.0)) // new ts → kept
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").orderBy("ts", "user_id")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(3))).toSeq
+      assert(out == Seq(
+        ("2024-01-01 10:00:00.0", 1L, 1.0), // original kept, value 9.0 duplicate dropped
+        ("2024-01-01 10:01:00.0", 2L, 1.0),
+        ("2024-01-01 10:02:00.0", 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("carryForwardFill densifies sites against blocks carried across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.VarEvent
+    val input = MemoryStream[VarEvent]
+    val q = Streaming.carryForwardFill(input.toDS())
+      .writeStream.format("memory").queryName("fill_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        VarEvent("s1", "chr1", 1L, 100L, "block", 50),
+        VarEvent("s1", "chr1", 10L, 10L, "site", 99)) // covered within the batch
+      q.processAllAvailable()
+      input.addData(
+        VarEvent("s1", "chr1", 50L, 50L, "site", 88),   // covered by CARRIED block
+        VarEvent("s1", "chr1", 200L, 200L, "site", 77), // past the block → uncovered
+        VarEvent("s2", "chr1", 5L, 5L, "site", 66))     // no state for s2 → uncovered
+      q.processAllAvailable()
+      val out = spark.table("fill_out").orderBy("sample", "pos")
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(3), r.getInt(4))).toSeq
+      assert(out == Seq(
+        ("s1", 10L, true, 50),   // block gq, not the site's own
+        ("s1", 50L, true, 50),   // state carried across micro-batches
+        ("s1", 200L, false, 77), // beyond the carried block
+        ("s2", 5L, false, 66)))
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap and split across it") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
