@@ -216,6 +216,48 @@ object Pipeline {
       .limit(3000)
   }
 
+  /** REAL media decode (vs the stub above): synthesize P6 PPM payloads
+    * from the deterministic pixel formula, parse them back with the real
+    * Netpbm decoder, and emit exact per-channel pixel sums. The oracle
+    * recomputes every statistic straight from the formula — a hash match
+    * proves header parse + pixel-plane layout + byte decode end-to-end. */
+  val mediaDecode = Query(
+    "q_media_decode",
+    """WITH d AS (SELECT doc_id, doc_id % 8 + 4 AS w, doc_id % 5 + 3 AS h FROM documents),
+      |px AS (SELECT doc_id, w, h, x.range AS x, y.range AS y
+      |       FROM d, range(0, 11) x, range(0, 7) y
+      |       WHERE x.range < w AND y.range < h)
+      |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(sum((doc_id*9349 + y*193 + x*17) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum((doc_id*9349 + y*193 + x*17 + 71) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((doc_id*9349 + y*193 + x*17 + 142) % 256) AS BIGINT) AS sum_b
+      |FROM px GROUP BY doc_id, w, h
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Multimodal.decodePpm(Multimodal.syntheticPpm(tbl(s, d, "documents")))
+      .orderBy("doc_id")
+  }
+
+  /** REAL resize: nearest-neighbor half downsample producing an actual
+    * new P6 payload, re-verified through the same decoder. The oracle
+    * samples the formula at (2x, 2y) — decoded stats of the resized
+    * bytes must equal the direct arithmetic. */
+  val mediaResize = Query(
+    "q_media_resize",
+    """WITH d AS (SELECT doc_id, doc_id % 8 + 4 AS w, doc_id % 5 + 3 AS h FROM documents),
+      |px AS (SELECT doc_id, (w+1)//2 AS rw, (h+1)//2 AS rh, x.range AS x, y.range AS y
+      |       FROM d, range(0, 6) x, range(0, 4) y
+      |       WHERE x.range < (w+1)//2 AND y.range < (h+1)//2)
+      |SELECT doc_id, CAST(rw AS BIGINT) AS width, CAST(rh AS BIGINT) AS height,
+      |  CAST(sum((doc_id*9349 + (2*y)*193 + (2*x)*17) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum((doc_id*9349 + (2*y)*193 + (2*x)*17 + 71) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((doc_id*9349 + (2*y)*193 + (2*x)*17 + 142) % 256) AS BIGINT) AS sum_b
+      |FROM px GROUP BY doc_id, rw, rh
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Multimodal.decodePpm(
+      Multimodal.resizeHalf(Multimodal.syntheticPpm(tbl(s, d, "documents"))))
+      .orderBy("doc_id")
+  }
+
   /** C7 — sessionization (gaps-and-islands): new session when the gap to
     * the previous event exceeds 30 minutes; per-user session count and
     * max session size. Microsecond-exact gap math on both engines. */
@@ -351,6 +393,6 @@ object Pipeline {
 
   val queries: Seq[Query] = Seq(
     dedupExact, textTokens, textStats, langId, qualityScore, tokenCount,
-    fingerprint, multimodalMeta, sessionize, windowTumbling, windowSliding,
+    fingerprint, multimodalMeta, mediaDecode, mediaResize, sessionize, windowTumbling, windowSliding,
     redact, repetition, contamination)
 }

@@ -24,6 +24,25 @@ class OperatorSpec extends SparkSpec {
       .as[(Long, Long, Int, Int, Int)].collect().toSeq)
   }
 
+  test("P6 decode recovers the exact synthesized pixels; resize halves dims") {
+    val docs = Seq(3L, 10L).toDF("doc_id")
+    val media = Multimodal.syntheticPpm(docs)
+    // doc 3: w = 3%8+4 = 7, h = 3%5+3 = 6
+    val dec = Multimodal.decodePpm(media).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    def sums(id: Long, w: Int, h: Int, step: Int) = (0 until 3).map { c =>
+      (for (y <- 0 until h; x <- 0 until w)
+        yield (id * 9349 + (step * y) * 193 + (step * x) * 17 + c * 71) % 256).sum
+    }
+    assert(dec.head._1 == 3L && dec.head._2 == 7L && dec.head._3 == 6L)
+    assert(Seq(dec.head._4, dec.head._5, dec.head._6) == sums(3L, 7, 6, 1))
+    // resized: ceil(7/2)=4, ceil(6/2)=3; pixel (x,y) = source (2x,2y)
+    val rs = Multimodal.decodePpm(Multimodal.resizeHalf(media)).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rs.head._2 == 4L && rs.head._3 == 3L)
+    assert(Seq(rs.head._4, rs.head._5, rs.head._6) == sums(3L, 4, 3, 2))
+  }
+
   test("sessionize splits on gaps strictly greater than 30 minutes") {
     val df = Seq(
       (1L, "2024-01-01 10:00:00", 1L), (1L, "2024-01-01 10:30:00", 2L), // exactly 30m → same
