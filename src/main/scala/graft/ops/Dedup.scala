@@ -273,7 +273,7 @@ object Dedup {
     * array_intersect: pair work is sum(df²) over shingle doc-frequencies
     * (df ≤ 5 in this corpus) instead of |block|² intersections. Both
     * sides of the self-join are the same exchange (reused). */
-  private def candidateEdges(docs: DataFrame): DataFrame = {
+  private[ops] def candidateEdges(docs: DataFrame): DataFrame = {
     val postings = docs
       .select(col("doc_id"), col("lang"), col("source"), split(col("text"), " ").as("toks"))
       .repartition(col("doc_id")) // barrier: materialize toks before the shingle lambda
@@ -324,6 +324,81 @@ object Dedup {
       .orderBy("rep")
   }
 
+  /** The end-to-end corpus-cleaning accounting every LLM data pipeline
+    * runs before training: integer-exact filters (length, stopword
+    * density), exact-dup detection on normalized text, and near-dup
+    * cluster membership (non-representatives dropped), with one reason
+    * per document by fixed priority. Emits per-(lang, reason) document
+    * and token counts — the "what survived and why" report. All
+    * predicates are integer/string-exact, so the oracle replays every
+    * stage including the recursive component computation. */
+  val corpusClean = Query(
+    "q_corpus_clean",
+    """WITH RECURSIVE base AS (
+      |  SELECT doc_id, lang, source, text,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |                         t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop,
+      |    lower(trim(text)) AS norm
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+      |  FROM documents),
+      |e0 AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db
+      |  FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source
+      |                   AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh)) >= 1),
+      |edges AS (SELECT da AS a, db AS b FROM e0
+      |          UNION ALL SELECT db, da FROM e0),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM s
+      |  UNION
+      |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+      |lab AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
+      |ex AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY norm) AS mdoc FROM base),
+      |r AS (
+      |  SELECT b.lang, b.n_tokens,
+      |    CASE WHEN b.n_tokens < 20 THEN 'too_short'
+      |         WHEN 10 * b.n_stop > b.n_tokens THEN 'low_quality'
+      |         WHEN ex.mdoc <> b.doc_id THEN 'exact_dup'
+      |         WHEN lab.rep <> b.doc_id THEN 'near_dup'
+      |         ELSE 'kept' END AS reason
+      |  FROM base b JOIN ex ON ex.doc_id = b.doc_id
+      |              JOIN lab ON lab.doc_id = b.doc_id)
+      |SELECT lang, reason, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM r GROUP BY lang, reason
+      |ORDER BY lang, reason""".stripMargin) { (s, d) =>
+    cleanReasons(tbl(s, d, "documents"))
+      .groupBy("lang", "reason")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast(LongType).as("sum_tokens"))
+      .orderBy("lang", "reason")
+  }
+
+  /** Per-document drop/keep verdict with one reason by fixed priority
+    * (too_short > low_quality > exact_dup > near_dup > kept). Exposed
+    * separately so planted-fixture tests can exercise every branch. */
+  def cleanReasons(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val base = docs.select(col("doc_id"), col("lang"),
+      size(toks).cast(LongType).as("n_tokens"),
+      size(filter(toks, t => t.isInCollection(Seq("the", "a")))).cast(LongType).as("n_stop"),
+      lower(trim(col("text"))).as("norm"))
+      .withColumn("mdoc", min(col("doc_id")).over(Window.partitionBy(col("norm"))))
+    val lab = connectedComponents(docs.select("doc_id"), candidateEdges(docs))
+    base.join(lab, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("n_stop") * 10 > col("n_tokens"), "low_quality")
+          .when(col("mdoc") =!= col("doc_id"), "exact_dup")
+          .when(col("rep") =!= col("doc_id"), "near_dup")
+          .otherwise("kept").as("reason"))
+  }
+
   val queries: Seq[Query] =
-    Seq(dedupNear, dedupSimhash, dedupNgram, dedupEditDistance, dedupCluster)
+    Seq(dedupNear, dedupSimhash, dedupNgram, dedupEditDistance, dedupCluster, corpusClean)
 }

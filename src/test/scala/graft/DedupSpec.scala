@@ -61,6 +61,24 @@ class DedupSpec extends SparkSpec {
     assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("cleanReasons assigns every branch by priority on a planted corpus") {
+    val long = (1 to 30).map(i => s"w$i").mkString(" ")            // 30 unique tokens
+    val planted = Seq(
+      (1L, "en", "web", long),                                     // kept (rep of {1,2})
+      (2L, "en", "web", long.replace("w30", "x30")),               // near_dup of 1
+      (3L, "en", "web", "short doc"),                              // too_short (2 tokens)
+      (4L, "en", "web", ("the a " * 15).trim),                     // low_quality (all stopwords)
+      (5L, "en", "web", (31 to 60).map(i => s"v$i").mkString(" ")),// kept, no shared shingle
+      (6L, "en", "web", " " + (31 to 60).map(i => s"v$i").mkString(" ").toUpperCase + " ")
+    ).toDF("doc_id", "lang", "source", "text")
+    // doc 6 normalizes (lower+trim) to doc 5's text → exact_dup; its
+    // shingles stay case-sensitive, so it is NOT a near-dup candidate.
+    val reasons = Dedup.cleanReasons(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(reasons == Map(1L -> "kept", 2L -> "near_dup", 3L -> "too_short",
+      4L -> "low_quality", 5L -> "kept", 6L -> "exact_dup"))
+  }
+
   test("cluster reps are the min doc_id over planted near-dup components") {
     val lab = Dedup.connectedComponents(
       docs.select("doc_id"),
