@@ -283,6 +283,90 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Symmetric per-vector int8 quantization: scale = max|x|, code_i =
+    * round(x_i * 127 / scale) ∈ [-127, 127] — the 4× storage compression
+    * every 100 TB embedding store runs (float32 → int8 + one scale).
+    * Every step is identical IEEE double arithmetic in both engines;
+    * code sums are exact BIGINTs and the reconstruction error a
+    * sequential fold. */
+  val embedQuantize = Query(
+    "q_embed_quantize",
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale,
+       |    list_transform(v, x ->
+       |      CASE WHEN list_max(list_transform(v, y -> abs(y))) = 0 THEN 0
+       |           ELSE CAST(round(x * 127 / list_max(list_transform(v, y -> abs(y)))) AS BIGINT)
+       |      END) AS code
+       |  FROM e)
+       |SELECT vec_id, round(scale, 6) AS scale_r,
+       |  CAST(${duckFoldSum("code")} AS BIGINT) AS sum_code,
+       |  CAST(${duckFoldSum("list_transform(code, c -> CAST(abs(c) AS DOUBLE))")} AS BIGINT) AS sum_abs_code,
+       |  round(${duckFoldSum("list_transform(range(1, 65), i -> abs(v[i] - code[i] * scale / 127))")}, 6) AS recon_err
+       |FROM q
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val e = tbl(s, d, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      // barrier: materialize v before the lambdas below reference it
+      // repeatedly (CollapseProject would re-inline the cast transform).
+      .repartition(col("vec_id"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+    e.withColumn("code", transform(col("v"), x =>
+        when(col("scale") === 0, lit(0L))
+          .otherwise(round(x * 127 / col("scale")).cast(LongType))))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+        aggregate(col("code"), lit(0L), (acc, c) => acc + c).as("sum_code"),
+        aggregate(col("code"), lit(0L), (acc, c) => acc + abs(c)).as("sum_abs_code"),
+        round(aggregate(
+          zip_with(col("v"), col("code"), (x, c) => abs(x - c * col("scale") / 127)),
+          lit(0.0), (acc, t) => acc + t), 6).as("recon_err"))
+      .orderBy("vec_id")
+  }
+
+  /** Top-k neighbor search over the QUANTIZED codes: rank by the exact
+    * integer dot product of int8 codes against probe vec_id=0 — the
+    * memory-bandwidth-bound inner loop of a compressed vector store,
+    * and (being all-integer) bit-exact across engines with no rounding
+    * discipline needed at all. */
+  val similarityQuantized = Query(
+    "q_similarity_quantized",
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id,
+       |    list_transform(v, x ->
+       |      CASE WHEN list_max(list_transform(v, y -> abs(y))) = 0 THEN 0
+       |           ELSE CAST(round(x * 127 / list_max(list_transform(v, y -> abs(y)))) AS BIGINT)
+       |      END) AS code
+       |  FROM e),
+       |p AS (SELECT code AS pc FROM q WHERE vec_id = 0)
+       |SELECT vec_id,
+       |  CAST(${duckFoldSum("list_transform(range(1, 65), i -> CAST(code[i] * pc[i] AS DOUBLE))")} AS BIGINT) AS dot_q
+       |FROM q, p
+       |WHERE vec_id <> 0
+       |ORDER BY dot_q DESC, vec_id
+       |LIMIT 10""".stripMargin) { (s, d) =>
+    val codes = tbl(s, d, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+      .repartition(col("vec_id"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .select(col("vec_id"), transform(col("v"), x =>
+        when(col("scale") === 0, lit(0L))
+          .otherwise(round(x * 127 / col("scale")).cast(LongType))).as("code"))
+    val probe = codes.filter(col("vec_id") === 0).select(col("code").as("pc"))
+    codes.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("code"), col("pc"), (a, b) => a * b),
+          lit(0L), (acc, t) => acc + t).as("dot_q"))
+      .orderBy(desc("dot_q"), col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Seq[Query] =
-    Seq(similarityTopk, centroidByLabel, annIvf, dedupEmbed, kmeansIter, annRecall)
+    Seq(similarityTopk, centroidByLabel, annIvf, dedupEmbed, kmeansIter, annRecall,
+      embedQuantize, similarityQuantized)
 }
