@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import graft.functions.{DotProduct, L2NormSq}
+import graft.functions.{DotProduct, DotProductLong, L2NormSq}
 
 /** Optimizer rule: a self-dot-product is a squared norm — rewrite
   * `graft_dot(x, x)` to the cheaper single-pass `graft_norm2(x)`.
@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_norm2"),
       new ExpressionInfo(classOf[L2NormSq].getName, "graft_norm2"),
       (args: Seq[Expression]) => L2NormSq(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_dotl"),
+      new ExpressionInfo(classOf[DotProductLong].getName, "graft_dotl"),
+      (args: Seq[Expression]) => DotProductLong(args(0), args(1))))
     ext.injectOptimizerRule(_ => SelfDotToNorm)
     ext.injectPlannerStrategy(s => graft.plans.RangeJoinStrategy(s))
   }
@@ -43,6 +46,8 @@ object GraftExtensions {
       "graft_dot", (args: Seq[Expression]) => DotProduct(args(0), args(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_norm2", (args: Seq[Expression]) => L2NormSq(args.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dotl", (args: Seq[Expression]) => DotProductLong(args(0), args(1)), "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(SelfDotToNorm))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SelfDotToNorm

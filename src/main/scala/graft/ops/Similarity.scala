@@ -359,9 +359,10 @@ object Similarity {
     val probe = codes.filter(col("vec_id") === 0).select(col("code").as("pc"))
     codes.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(probe))
+      // codegen'd integer multiply-accumulate (graft_dotl) — HOF lambdas
+      // would evaluate interpreted, one boxed call per element.
       .select(col("vec_id"),
-        aggregate(zip_with(col("code"), col("pc"), (a, b) => a * b),
-          lit(0L), (acc, t) => acc + t).as("dot_q"))
+        graft.functions.VectorExpressions.dotl(col("code"), col("pc")).as("dot_q"))
       .orderBy(desc("dot_q"), col("vec_id"))
       .limit(10)
   }

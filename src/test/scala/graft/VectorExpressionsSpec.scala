@@ -35,6 +35,23 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("integer dotl matches the fold on both codegen paths; SQL works") {
+    val d = Seq(
+      (Seq(1L, -2L, 127L), Seq(3L, 4L, 127L)),
+      (Seq.empty[Long], Seq.empty[Long])
+    ).toDF("a", "b")
+    val expected = Seq(1L * 3 - 2 * 4 + 127L * 127, 0L)
+    assert(d.select(dotl($"a", $"b")).as[Long].collect().toSeq == expected)
+    withClue("interpreted fallback") {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      try assert(d.select(dotl($"a", $"b")).as[Long].collect().toSeq == expected)
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    GraftExtensions.register(spark)
+    d.limit(1).createOrReplaceTempView("lvecs")
+    assert(spark.sql("SELECT graft_dotl(a, b) FROM lvecs").as[Long].head() == expected.head)
+  }
+
   test("optimizer rule rewrites self-dot to norm2") {
     GraftExtensions.register(spark)
     // parquet-backed source so constant folding can't collapse the plan
