@@ -557,8 +557,48 @@ object Relational {
       .orderBy(desc("revenue"), col("n_name"))
   }
 
+  /** TPC-H Q7-shaped composite: cross-nation shipping volume per year —
+    * the SAME dimension table joined in TWO roles (supplier nation vs
+    * customer nation), both broadcast, over the fact-fact orderkey
+    * join. */
+  val tpchQ7 = Query(
+    "q_tpch_q7",
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |       (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS volume
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name <> n2.n_name
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+    val n1 = tbl(s, d, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n2 = tbl(s, d, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    tbl(s, d, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1998-01-01"))
+      .join(tbl(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(tbl(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(tbl(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast(LongType).as("l_year"))
+      .agg(round(sum(dec("l_extendedprice") * (oneDec - dec("l_discount"))), 4)
+        .cast(DoubleType).as("volume"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   val queries: Seq[Query] = Seq(
-    tpchQ3, tpchQ5,
+    tpchQ3, tpchQ5, tpchQ7,
     scanProject, filterRange, joinBroadcast, aggCountByKey,
     aggLinestatus, aggDistinct, rollup, cube, joinShuffle, joinSemi,
     joinAnti, joinTheta, topk, windowRank, windowRunning, windowFrame,

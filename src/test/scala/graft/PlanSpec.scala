@@ -92,6 +92,19 @@ class PlanSpec extends SparkSpec {
       s"bucketed join introduced a shuffle on a join side:\n${p.take(2500)}")
   }
 
+  test("q_tpch_q7 broadcasts all four dimension roles") {
+    val p = plan(Relational.tpchQ7)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      "customer/supplier/nation-role joins did not all broadcast")
+  }
+
+  test("q_similarity_quantized uses the codegen'd dotl + TakeOrdered") {
+    val p = plan(Similarity.similarityQuantized)
+    assert(p.contains("graft_dotl"), "integer dot not the native expression")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin"), "probe join must not shuffle the corpus")
+  }
+
   test("aggregates are partial+final (map-side combine present)") {
     val p = plan(Relational.aggCountByKey)
     assert(p.contains("partial_count") || p.contains("HashAggregate"),
