@@ -303,5 +303,50 @@ object Gvcf {
       .orderBy("sample_idx")
   }
 
-  val queries: Seq[Query] = Seq(combineMerge, sampleIndexQuery, gvcfExport)
+  /** Per-site allele statistics over the merged records — the
+    * GenotypeGVCFs-style AC/AN accounting downstream of combine: for
+    * every merged site and every called alt-allele index, the allele
+    * count (AC) and the total called allele number (AN = 2 × covered
+    * samples; the synthetic cohort is fully diploid-called). Pure
+    * explode + count over [[combineSites]] output — one extra narrow
+    * aggregate after the combine's own shuffle. */
+  def siteAlleleStats(variants: DataFrame, bucketWidth: Long = 64): DataFrame = {
+    val combined = combineSites(variants, bucketWidth)
+    combined
+      .select(col("contig"), col("pos"), split(col("alt"), ",").as("alts"),
+        (col("n_samples") * 2).as("an"),
+        explode(expr(
+          "flatten(transform(calls, c -> split(split(c, ':')[1], '/')))")).as("g"))
+      .filter(col("g") =!= "0" && col("g") =!= ".")
+      .groupBy(col("contig"), col("pos"), col("g").cast(LongType).as("alt_idx"))
+      .agg(first(col("alts")).as("alts"), first(col("an")).as("an"),
+        count(lit(1)).as("ac"))
+      .select(col("contig"), col("pos"), col("alt_idx"),
+        element_at(col("alts"), col("alt_idx").cast(IntegerType)).as("alt"),
+        col("ac"), col("an"))
+      .orderBy("contig", "pos", "alt_idx")
+  }
+
+  /** AC/AN oracle: replays the merged-genotype CTEs, unnests genotype
+    * entries, and counts non-reference calls per allele index. */
+  val siteStats = Query(
+    "q_site_stats",
+    s"""WITH $duckCombineCtes,
+       |an AS (SELECT contig, pos, 2 * count(*) AS an FROM remap GROUP BY contig, pos),
+       |gt AS (
+       |  SELECT r.contig, r.pos, CAST(g AS BIGINT) AS alt_idx, m.calts
+       |  FROM remap r JOIN merged m ON r.contig = m.contig AND r.pos = m.pos,
+       |       unnest(string_split(r.gtm, '/')) AS t(g)
+       |  WHERE g <> '0' AND g <> '.')
+       |SELECT gt.contig, gt.pos, gt.alt_idx,
+       |  CASE WHEN gt.alt_idx <= len(gt.calts) THEN gt.calts[CAST(gt.alt_idx AS INT)]
+       |       ELSE '<NON_REF>' END AS alt,
+       |  count(*) AS ac, CAST(min(an.an) AS BIGINT) AS an
+       |FROM gt JOIN an ON gt.contig = an.contig AND gt.pos = an.pos
+       |GROUP BY gt.contig, gt.pos, gt.alt_idx, alt
+       |ORDER BY gt.contig, gt.pos, gt.alt_idx""".stripMargin) { (s, _) =>
+    siteAlleleStats(syntheticVariants(s, 3000))
+  }
+
+  val queries: Seq[Query] = Seq(combineMerge, sampleIndexQuery, gvcfExport, siteStats)
 }

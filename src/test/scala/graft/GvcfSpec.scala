@@ -163,6 +163,15 @@ class GvcfSpec extends SparkSpec {
     assert(rows == Seq((1L, 9L), (10L, 14L), (16L, 19L), (20L, 29L), (30L, 30L)))
   }
 
+  test("siteAlleleStats counts alt alleles against diploid AN") {
+    val out = Gvcf.siteAlleleStats(fixture).orderBy("pos", "alt_idx")
+      .select("pos", "alt_idx", "alt", "ac", "an")
+      .as[(Long, Long, String, Long, Long)].collect().toSeq
+    // pos 9: a=0/0 (block), b=0/1 site T->C → AC(C)=1, AN=4
+    // pos 15: a=0/1 site G->A, b=0/0 (block) → AC(A)=1, AN=4
+    assert(out == Seq((9L, 1L, "C", 1L, 4L), (15L, 1L, "A", 1L, 4L)))
+  }
+
   test("exportLines renders gVCF body lines; uncovered samples are missing cells") {
     // sample c exists in the cohort but covers nothing at position 9.
     val withC = fixture.union(Seq(
