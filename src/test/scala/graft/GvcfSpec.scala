@@ -163,6 +163,15 @@ class GvcfSpec extends SparkSpec {
     assert(rows == Seq((1L, 9L), (10L, 14L), (16L, 19L), (20L, 29L), (30L, 30L)))
   }
 
+  test("split-invariance holds for the MERGED combine too") {
+    def rows(df: DataFrame): Seq[String] =
+      Gvcf.combineSites(df).collect().map(_.toString).toSeq
+    val expected = rows(fixture)
+    for (stride <- Seq(4L, 7L, 64L))
+      assert(rows(Gvcf.splitBlocks(fixture, stride)) == expected,
+        s"merged combine changed after splitting at stride $stride")
+  }
+
   test("siteAlleleStats counts alt alleles against diploid AN") {
     val out = Gvcf.siteAlleleStats(fixture).orderBy("pos", "alt_idx")
       .select("pos", "alt_idx", "alt", "ac", "an")

@@ -160,6 +160,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file sink + checkpoint recovers exactly-once across query restarts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val input = MemoryStream[Ev]
+    def start() = input.toDF()
+      .writeStream.format("parquet")
+      .option("path", s"$dir/data").option("checkpointLocation", s"$dir/chk")
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData(Ev(ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the same checkpoint: the committed batch must not
+    // replay, the new batch must land exactly once.
+    input.addData(Ev(ts("2024-01-01 10:05:00"), 2, "view", 2.0))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/data")
+        .select("user_id", "event_type").as[(Long, String)].collect().toSeq.sorted
+      assert(out == Seq((1L, "click"), (2L, "view")), s"not exactly-once: $out")
+    } finally q2.stop()
+  }
+
   test("session windows merge events within the gap and split across it") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
