@@ -169,6 +169,32 @@ object Sources {
       .orderBy("o_orderpriority")
   }
 
+  /** The custom DSv2 SINK (graft.sources.VariantStoreSink — the bulkPut
+    * analog): write lineitem range-partitioned + sorted through the V2
+    * write path (sorted-contract enforced per task, manifest committed
+    * driver-side), then aggregate the store files read back. The oracle
+    * computes the same aggregates from the parquet original — a hash
+    * match proves the sink lossless end-to-end. */
+  val sinkStore = Query(
+    "q_sink_store",
+    """SELECT l_returnflag AS payload, count(*) AS n,
+      |  CAST(sum(l_orderkey) AS BIGINT) AS sum_key
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY payload""".stripMargin) { (s, d) =>
+    val dir = outDir(s, d, "sink_store")
+    tbl(s, d, "lineitem")
+      .select(col("l_orderkey").as("key"), col("l_returnflag").as("payload"))
+      .repartitionByRange(8, col("key")).sortWithinPartitions("key")
+      .write.format("graft.sources.VariantStoreSink")
+      .option("path", dir).mode("overwrite").save()
+    // read the directory: the listing skips _-prefixed files (_MANIFEST)
+    s.read.schema("key LONG, payload STRING").csv(dir)
+      .groupBy("payload")
+      .agg(count(lit(1)).as("n"), sum(col("key")).cast(LongType).as("sum_key"))
+      .orderBy("payload")
+  }
+
   val queries: Seq[Query] =
-    Seq(sourceCsv, sourceJson, sourceOrc, partitionPrune, sourceCustom, bucketedJoin)
+    Seq(sourceCsv, sourceJson, sourceOrc, partitionPrune, sourceCustom, bucketedJoin,
+      sinkStore)
 }

@@ -1,0 +1,147 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A custom DataSource V2 SINK — the write-path analog of the
+  * reference's bulk load (`JavaHBaseContext.bulkPut` /
+  * HFile-bulk-load, `GVCFHBase.java:~50`, reconstructed per SURVEY §0):
+  * every task streams its partition to one store file, ENFORCING the
+  * bulk-load contract that rows arrive sorted by the leading long key
+  * within each partition (the writer throws on the first out-of-order
+  * key, exactly like an HFile writer). On driver-side commit, the
+  * per-task messages — (file, rows, minKey, maxKey) — become a
+  * `_MANIFEST` the next reader can range-prune with, the region-index
+  * analog.
+  *
+  * Usage:
+  * {{{
+  * df.repartitionByRange(n, col("key")).sortWithinPartitions("key")
+  *   .write.format("graft.sources.VariantStoreSink")
+  *   .option("path", dir).mode("overwrite").save()
+  * }}}
+  *
+  * Scale notes: writers are per-task and independent (no driver data
+  * path); commit moves only tiny metadata. Files are CSV for harness
+  * inspectability — the format is pluggable behind the same contract.
+  * Only `overwrite` (truncate) mode is supported: bulk load replaces a
+  * region generation, it does not append into one.
+  */
+class VariantStoreSink extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StructType(Seq(StructField("key", LongType), StructField("payload", StringType)))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null, "VariantStoreSink requires a path option")
+    new StoreTable(path, schema)
+  }
+}
+
+private[sources] class StoreTable(path: String, tschema: StructType)
+    extends Table with SupportsWrite {
+  override def name(): String = s"variant_store($path)"
+  override def schema(): StructType = tschema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new StoreWriteBuilder(path, info.schema())
+}
+
+private[sources] class StoreWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncating = false
+  override def truncate(): WriteBuilder = { truncating = true; this }
+  override def build(): Write = {
+    require(truncating,
+      "VariantStoreSink supports only mode('overwrite'): bulk load replaces a generation")
+    require(schema.nonEmpty && schema.head.dataType == LongType,
+      s"leading field must be the LONG sort key, got ${schema.headOption}")
+    new Write {
+      override def toBatch: BatchWrite = new StoreBatchWrite(path, schema)
+    }
+  }
+}
+
+private[sources] case class StoreCommit(
+    file: String, rows: Long, minKey: Long, maxKey: Long) extends WriterCommitMessage
+
+private[sources] class StoreBatchWrite(path: String, schema: StructType) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    StoreWriterFactory(path, schema)
+
+  /** Driver-side commit: publish the manifest (region index). Task
+    * files were written under unique attempt names, so a failed/retried
+    * task leaves only orphans the manifest never references. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(dir)
+    val commits = messages.collect { case m: StoreCommit if m.rows > 0 => m }
+    // truncate semantics: drop any file from a previous generation
+    val keep = commits.map(_.file).toSet + "_MANIFEST"
+    val old = dir.toFile.listFiles()
+    if (old != null) old.filterNot(f => keep(f.getName)).foreach(_.delete())
+    val lines = commits.map(m => s"${m.file},${m.rows},${m.minKey},${m.maxKey}").sorted
+    java.nio.file.Files.write(dir.resolve("_MANIFEST"),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    messages.collect { case m: StoreCommit =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, m.file))
+    }
+  }
+}
+
+private[sources] case class StoreWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new StoreDataWriter(path, schema, partitionId, taskId)
+}
+
+/** One store file per task; rejects out-of-order keys (bulk-load
+  * contract) and tracks the key range for the commit manifest. */
+private[sources] class StoreDataWriter(
+    path: String, schema: StructType, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val file = f"part-$partitionId%05d-$taskId.csv"
+  private val tmp = java.nio.file.Paths.get(path, file)
+  java.nio.file.Files.createDirectories(tmp.getParent)
+  private val out = java.nio.file.Files.newBufferedWriter(tmp)
+  private var rows = 0L
+  private var minKey = Long.MaxValue
+  private var maxKey = Long.MinValue
+
+  private def render(row: InternalRow, i: Int): String = schema(i).dataType match {
+    case LongType => row.getLong(i).toString
+    case IntegerType => row.getInt(i).toString
+    case DoubleType => row.getDouble(i).toString
+    case StringType => row.getUTF8String(i).toString
+    case TimestampType => row.getLong(i).toString // epoch micros
+    case dt => throw new UnsupportedOperationException(s"unsupported sink type $dt")
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val key = row.getLong(0)
+    if (rows > 0 && key < maxKey)
+      throw new IllegalStateException(
+        s"bulk-load contract violated: key $key after $maxKey in partition $partitionId " +
+          "(repartitionByRange + sortWithinPartitions the input)")
+    minKey = math.min(minKey, key); maxKey = math.max(maxKey, key)
+    out.write((0 until schema.length).map(render(row, _)).mkString(","))
+    out.write("\n")
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = { out.close(); StoreCommit(file, rows, minKey, maxKey) }
+  override def abort(): Unit = { out.close(); java.nio.file.Files.deleteIfExists(tmp) }
+  override def close(): Unit = out.close()
+}

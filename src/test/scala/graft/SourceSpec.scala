@@ -39,4 +39,51 @@ class SourceSpec extends SparkSpec {
     assert(src(50, 50).count() == 0)
     assert(src(0, 1000).filter($"pos" >= 900L && $"pos" < 100L).count() == 0)
   }
+
+  private def sinkDir(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_sink_$name").toString
+
+  test("DSv2 sink writes range-partitioned sorted store files + manifest") {
+    val dir = sinkDir("ok")
+    val df = (0L until 1000L).map(i => ((i * 37) % 1000, s"p$i")).toDF("key", "payload")
+    df.repartitionByRange(4, $"key").sortWithinPartitions("key")
+      .write.format("graft.sources.VariantStoreSink")
+      .option("path", dir).mode("overwrite").save()
+    val manifest = scala.io.Source.fromFile(s"$dir/_MANIFEST").getLines().toSeq
+      .map(_.split(",")).map(a => (a(0), a(1).toLong, a(2).toLong, a(3).toLong))
+    assert(manifest.map(_._2).sum == 1000L, "manifest row count")
+    // region contract: per-file ranges are disjoint and ordered
+    val ranges = manifest.map(m => (m._3, m._4)).sortBy(_._1)
+    assert(ranges.sliding(2).forall { case Seq((_, e), (s2, _)) => e < s2; case _ => true },
+      s"overlapping store-file key ranges: $ranges")
+    // data round-trips through the store files
+    val back = spark.read.schema("key LONG, payload STRING").csv(s"$dir/part-*")
+    assert(back.count() == 1000L)
+    assert(back.agg(sum($"key")).head.getLong(0) == (0L until 1000L).map(i => (i * 37) % 1000).sum)
+  }
+
+  test("DSv2 sink rejects out-of-order keys (bulk-load contract)") {
+    val dir = sinkDir("unsorted")
+    val df = Seq((5L, "a"), (1L, "b")).toDF("key", "payload").coalesce(1)
+    val e = intercept[Exception] {
+      df.write.format("graft.sources.VariantStoreSink")
+        .option("path", dir).mode("overwrite").save()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null && c.getMessage.contains("bulk-load contract")),
+      s"unexpected failure: $e")
+  }
+
+  test("DSv2 sink refuses append mode (generations are replaced)") {
+    val dir = sinkDir("append")
+    val df = Seq((1L, "a")).toDF("key", "payload")
+    val e = intercept[Exception] {
+      df.write.format("graft.sources.VariantStoreSink")
+        .option("path", dir).mode("append").save()
+    }
+    assert(e.getMessage.contains("overwrite") ||
+      (e.getCause != null && e.getCause.getMessage.contains("overwrite")))
+  }
 }
