@@ -22,7 +22,11 @@ object Bench {
     // materializes the IVF index, so its measured number is the
     // deterministic index-reuse search (the build-once contract) whether
     // or not a prior run left the index on disk.
-    for (w <- Seq("q_agg_count_by_key", "q_text_stats", "q_similarity_topk", "q_ann_ivf"))
+    // q_ann_ivf / q_dedup_cluster in warm-up also materialize their
+    // write-once indexes (IVF buckets, cluster labels), so measured
+    // numbers are the deterministic index-reuse paths.
+    for (w <- Seq("q_agg_count_by_key", "q_text_stats", "q_similarity_topk",
+        "q_ann_ivf", "q_dedup_cluster"))
       try SparkEntry.queries(w)(spark, sfDir).count() catch { case _: Throwable => }
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()

