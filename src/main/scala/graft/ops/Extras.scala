@@ -238,7 +238,77 @@ object Extras {
       .orderBy("l_returnflag")
   }
 
+  /** Ordered funnel over `events`: users reaching signup → click-after-
+    * signup → purchase-after-that-click, each step's timestamp strictly
+    * ordered after the previous step's FIRST occurrence. Every stage is
+    * a per-user min aggregate + an equi-join on user_id — the same key
+    * partitioning end to end, so at scale the three stages co-locate. */
+  val funnel = Query(
+    "q_funnel",
+    """WITH su AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |cl AS (
+      |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN su ON e.user_id = su.user_id
+      |  WHERE e.event_type = 'click' AND e.ts >= su.t1 GROUP BY e.user_id),
+      |pu AS (
+      |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN cl ON e.user_id = cl.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= cl.t2 GROUP BY e.user_id)
+      |SELECT step, n_users FROM (
+      |  SELECT '1_signup' AS step, count(*) AS n_users FROM su
+      |  UNION ALL SELECT '2_click', count(*) FROM cl
+      |  UNION ALL SELECT '3_purchase', count(*) FROM pu)
+      |ORDER BY step""".stripMargin) { (s, d) =>
+    val ev = tbl(s, d, "events")
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val cl = ev.join(su, "user_id")
+      .filter(col("event_type") === "click" && col("ts") >= col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val pu = ev.join(cl, "user_id")
+      .filter(col("event_type") === "purchase" && col("ts") >= col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    su.agg(count(lit(1)).as("n_users")).select(lit("1_signup").as("step"), col("n_users"))
+      .unionByName(cl.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("step"), col("n_users")))
+      .unionByName(pu.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("step"), col("n_users")))
+      .orderBy("step")
+  }
+
+  /** Weekly cohort retention over `events`: cohort = ISO week of each
+    * user's first event, cell (cohort, offset) = distinct users from
+    * that cohort active `offset` weeks later. Weeks as exact epoch-day
+    * integers (no timestamp output — hash discipline). */
+  val retention = Query(
+    "q_retention",
+    """WITH fw AS (
+      |  SELECT user_id,
+      |    CAST(epoch(date_trunc('week', min(ts))) // 86400 AS BIGINT) AS cohort_day
+      |  FROM events GROUP BY user_id),
+      |aw AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(epoch(date_trunc('week', ts)) // 86400 AS BIGINT) AS week_day
+      |  FROM events)
+      |SELECT fw.cohort_day, (aw.week_day - fw.cohort_day) // 7 AS week_offset,
+      |  count(DISTINCT aw.user_id) AS n_users
+      |FROM aw JOIN fw ON aw.user_id = fw.user_id
+      |GROUP BY fw.cohort_day, week_offset
+      |ORDER BY cohort_day, week_offset""".stripMargin) { (s, d) =>
+    val ev = tbl(s, d, "events")
+    val weekDay = (c: org.apache.spark.sql.Column) =>
+      (unix_micros(date_trunc("week", c)) / 1000000L / 86400L).cast(LongType)
+    val fw = ev.groupBy("user_id").agg(weekDay(min(col("ts"))).as("cohort_day"))
+    val aw = ev.select(col("user_id"), weekDay(col("ts")).as("week_day")).distinct()
+    aw.join(fw, "user_id")
+      .groupBy(col("cohort_day"),
+        expr("(week_day - cohort_day) div 7").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "week_offset")
+  }
+
   val queries: Seq[Query] = Seq(
     pivotWide, unpivot, percentile, sampleSplit, aggSalted, windowNav,
-    regexpExtract, mergeUpsert, histogram, scalarSubquery, boolAggs)
+    regexpExtract, mergeUpsert, histogram, scalarSubquery, boolAggs,
+    funnel, retention)
 }
