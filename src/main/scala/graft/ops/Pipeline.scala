@@ -216,6 +216,50 @@ object Pipeline {
       .limit(3000)
   }
 
+  /** BPE-style REGEX tokenization (letters / digits / single
+    * punctuation runs — the GPT-2-style pre-tokenizer shape), counted
+    * per language. Same RE2-compatible pattern on both engines. */
+  val tokenizeRegex = Query(
+    "q_tokenize_regex",
+    """WITH t AS (
+      |  SELECT lang, unnest(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS tok
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_tokens,
+      |  CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+      |FROM t GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    tbl(s, d, "documents")
+      .select(col("lang"),
+        explode(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).cast(LongType).as("n_distinct"))
+      .orderBy("lang")
+  }
+
+  /** Global top-15 word bigrams — the n-gram frequency table behind
+    * language-model corpus statistics. One explode + one aggregate. */
+  val bigrams = Query(
+    "q_bigrams",
+    """WITH b AS (
+      |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |    i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS bg
+      |  FROM documents)
+      |SELECT bg, count(*) AS n FROM b
+      |GROUP BY bg
+      |ORDER BY n DESC, bg
+      |LIMIT 15""".stripMargin) { (s, d) =>
+    tbl(s, d, "documents")
+      .select(split(col("text"), " ").as("toks"))
+      .repartition(col("toks")) // barrier: materialize before the slice lambda
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> array_join(slice(toks, i, 2), ' '))")).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("bg"))
+      .limit(15)
+  }
+
   /** REAL media decode (vs the stub above): synthesize P6 PPM payloads
     * from the deterministic pixel formula, parse them back with the real
     * Netpbm decoder, and emit exact per-channel pixel sums. The oracle
@@ -393,6 +437,6 @@ object Pipeline {
 
   val queries: Seq[Query] = Seq(
     dedupExact, textTokens, textStats, langId, qualityScore, tokenCount,
-    fingerprint, multimodalMeta, mediaDecode, mediaResize, sessionize, windowTumbling, windowSliding,
+    fingerprint, multimodalMeta, mediaDecode, mediaResize, tokenizeRegex, bigrams, sessionize, windowTumbling, windowSliding,
     redact, repetition, contamination)
 }
