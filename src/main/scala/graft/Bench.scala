@@ -18,15 +18,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm-ups cover each input family (lineitem, documents, embeddings)
     // so first-touch parquet-footer/codegen costs don't pollute whichever
-    // measured query happens to run first. q_ann_ivf in warm-up also
-    // materializes the IVF index, so its measured number is the
-    // deterministic index-reuse search (the build-once contract) whether
-    // or not a prior run left the index on disk.
-    // q_ann_ivf / q_dedup_cluster in warm-up also materialize their
-    // write-once indexes (IVF buckets, cluster labels), so measured
-    // numbers are the deterministic index-reuse paths.
+    // measured query happens to run first. The last three also
+    // materialize their write-once artifacts (IVF buckets, cluster
+    // labels, bucketed tables), so the measured numbers are the
+    // deterministic build-once/reuse paths regardless of what a prior
+    // run left on disk.
     for (w <- Seq("q_agg_count_by_key", "q_text_stats", "q_similarity_topk",
-        "q_ann_ivf", "q_dedup_cluster"))
+        "q_ann_ivf", "q_dedup_cluster", "q_bucketed_join"))
       try SparkEntry.queries(w)(spark, sfDir).count() catch { case _: Throwable => }
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()

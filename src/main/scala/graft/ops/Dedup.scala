@@ -243,7 +243,12 @@ object Dedup {
     // aggregate — sum(rep) unchanged — instead of a self-join per round.
     var prevSum = Option.empty[Long]
     var converged = false
-    while (!converged) {
+    var rounds = 0
+    // pointer jumping converges in O(log diameter); 64 rounds covers any
+    // graph this universe can hold — the guard only protects against a
+    // logic regression turning into an infinite driver loop.
+    while (!converged && rounds < 64) {
+      rounds += 1
       val viaNbr = e2.join(lab.withColumnRenamed("doc_id", "dst"), "dst")
         .select(col("src").as("doc_id"), col("rep"))
       // Checkpoint before the self-join below: both sides then share one

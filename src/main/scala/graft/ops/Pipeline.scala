@@ -260,6 +260,35 @@ object Pipeline {
       .limit(15)
   }
 
+  /** TF-IDF: top-20 (doc, term) weights across the corpus — term
+    * frequency from one explode+count, document frequency from one
+    * distinct count, idf = ln(N/df). All inputs exact integers; the one
+    * float op (ln + multiply) is identical IEEE math in both engines,
+    * rounded 6dp at the boundary. Two aggregates + one broadcast-size
+    * join on term — no all-pairs anything. */
+  val tfidf = Query(
+    "q_tfidf",
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+      |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT tf.doc_id, tf.tok AS tok,
+      |  round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+      |FROM tf JOIN df ON tf.tok = df.tok, n
+      |ORDER BY tfidf DESC, doc_id, tf.tok
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val docs = tbl(s, d, "documents")
+    val n = docs.count() // metadata-scale scalar (one count job), broadcast as literal
+    val t = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = t.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(df, "tok")
+      .select(col("doc_id"), col("tok"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+      .orderBy(desc("tfidf"), col("doc_id"), col("tok"))
+      .limit(20)
+  }
+
   /** REAL media decode (vs the stub above): synthesize P6 PPM payloads
     * from the deterministic pixel formula, parse them back with the real
     * Netpbm decoder, and emit exact per-channel pixel sums. The oracle
@@ -437,6 +466,6 @@ object Pipeline {
 
   val queries: Seq[Query] = Seq(
     dedupExact, textTokens, textStats, langId, qualityScore, tokenCount,
-    fingerprint, multimodalMeta, mediaDecode, mediaResize, tokenizeRegex, bigrams, sessionize, windowTumbling, windowSliding,
+    fingerprint, multimodalMeta, mediaDecode, mediaResize, tokenizeRegex, bigrams, tfidf, sessionize, windowTumbling, windowSliding,
     redact, repetition, contamination)
 }

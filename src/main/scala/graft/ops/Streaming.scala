@@ -134,6 +134,26 @@ object Streaming {
       }
   }
 
+  /** Left-outer attribution: every purchase emits — joined to prior-hour
+    * clicks when they exist, with NULL click columns materialized only
+    * once the watermark proves no matching click can still arrive (the
+    * semantically hard part of outer stream-stream joins: the null side
+    * is a watermark-closed fact, not an absence-so-far). */
+  def purchaseAttributionOuter(events: DataFrame, delay: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", delay)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("interval 1 hour") &&
+        col("click_ts") <= col("purchase_ts"),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** C7 streaming twin — native session windows (30-min inactivity gap):
     * the stateful analog of the batch gaps-and-islands query. */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes",

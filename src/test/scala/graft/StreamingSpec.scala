@@ -160,6 +160,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream join emits null side only after watermark close") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val q = Streaming.purchaseAttributionOuter(input.toDF(), delay = "10 minutes")
+      .writeStream.format("memory").queryName("attr_outer_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+        Ev(ts("2024-01-01 10:30:00"), 1, "purchase", 42.0), // matched
+        Ev(ts("2024-01-01 10:31:00"), 2, "purchase", 7.0))  // no click (yet)
+      q.processAllAvailable()
+      val early = spark.table("attr_outer_out").count()
+      assert(early == 1, s"unmatched row must NOT emit before watermark close (got $early)")
+      // the GLOBAL watermark is the min over both sides, so BOTH streams
+      // must advance before user 2's join window is provably closed
+      input.addData(
+        Ev(ts("2024-01-01 13:00:00"), 9, "click", 0.0),
+        Ev(ts("2024-01-01 13:00:00"), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        Ev(ts("2024-01-01 13:30:00"), 9, "click", 0.0),
+        Ev(ts("2024-01-01 13:30:00"), 9, "purchase", 2.0))
+      q.processAllAvailable()
+      val out = spark.table("attr_outer_out")
+        .filter($"user_id" =!= 9)
+        .select($"user_id", $"click_ts".isNull.as("unmatched"), $"value")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getDouble(2))).toSet
+      assert(out == Set((1L, false, 42.0), (2L, true, 7.0)),
+        s"expected matched user1 + watermark-closed null for user2: $out")
+    } finally q.stop()
+  }
+
   test("file sink + checkpoint recovers exactly-once across query restarts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
