@@ -348,5 +348,54 @@ object Gvcf {
     siteAlleleStats(syntheticVariants(s, 3000))
   }
 
-  val queries: Seq[Query] = Seq(combineMerge, sampleIndexQuery, gvcfExport, siteStats)
+  /** GQ-band block merging as an oracle-backed query: a synthetic
+    * all-blocks cohort with touching runs (record j of a sample spans
+    * [10j+1, 10j+10], so consecutive records touch) whose GQ drifts
+    * across band boundaries — [[mergeAdjacentBlocks]] must collapse
+    * exactly the same-band runs the oracle's gaps-and-islands window
+    * finds. Output: per merged block (sample, contig, start, end,
+    * band-min GQ). */
+  val mergeBands = Query(
+    "q_merge_bands",
+    """WITH g AS (SELECT range AS i FROM range(0, 3000)),
+      |v AS (
+      |  SELECT 's' || CAST(i % 3 AS VARCHAR) AS sample,
+      |    'chr' || CAST(1 + (i // 600) AS VARCHAR) AS contig,
+      |    ((i // 3) % 200) * 10 + 1 AS vstart,
+      |    ((i // 3) % 200) * 10 + 10 AS vend,
+      |    CAST(((i // 3) * 7 + (i % 3) * 13) % 90 + 10 AS INT) AS gq
+      |  FROM g),
+      |banded AS (
+      |  SELECT *, CASE WHEN gq < 20 THEN 0 WHEN gq < 60 THEN 1 ELSE 2 END AS band
+      |  FROM v),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(vend) OVER w IS NULL
+      |                   OR vstart <> lag(vend) OVER w + 1
+      |                   OR band <> lag(band) OVER w THEN 1 ELSE 0 END AS new_grp
+      |  FROM banded
+      |  WINDOW w AS (PARTITION BY sample, contig ORDER BY vstart)),
+      |grp AS (
+      |  SELECT *, sum(new_grp) OVER (PARTITION BY sample, contig ORDER BY vstart
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp_id
+      |  FROM flagged)
+      |SELECT sample, contig, CAST(min(vstart) AS BIGINT) AS start,
+      |  CAST(max(vend) AS BIGINT) AS "end", CAST(min(gq) AS BIGINT) AS gq
+      |FROM grp GROUP BY sample, contig, grp_id
+      |ORDER BY sample, contig, start""".stripMargin) { (s, _) =>
+    val blocks = s.range(0, 3000).selectExpr(
+      "concat('s', id % 3) AS sample",
+      "concat('chr', 1 + (id div 600)) AS contig",
+      "((id div 3) % 200) * 10 + 1 AS start",
+      "((id div 3) % 200) * 10 + 10 AS end",
+      "'block' AS kind",
+      "array('REF') AS alleles",
+      "CAST(((id div 3) * 7 + (id % 3) * 13) % 90 + 10 AS INT) AS gq")
+    mergeAdjacentBlocks(blocks)
+      .select(col("sample"), col("contig"), col("start").cast(LongType).as("start"),
+        col("end").cast(LongType).as("end"), col("gq").cast(LongType).as("gq"))
+      .orderBy("sample", "contig", "start")
+  }
+
+  val queries: Seq[Query] =
+    Seq(combineMerge, sampleIndexQuery, gvcfExport, siteStats, mergeBands)
 }
