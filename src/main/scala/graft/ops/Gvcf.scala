@@ -396,6 +396,136 @@ object Gvcf {
       .orderBy("sample", "contig", "start")
   }
 
+  /** Depth-of-coverage histogram (samtools-depth / GATK DepthOfCoverage
+    * analog) WITHOUT per-base explosion: each record contributes a +1
+    * event at `start` and a -1 event at `end + 1`; a per-contig running
+    * sum over the deduplicated event positions yields piecewise-constant
+    * depth, and the segment length to the next event weights the
+    * histogram. O(records) rows end to end — at 100 TB the only shuffles
+    * are the event groupBy and the contig-partitioned window, never the
+    * O(genome-length) base table a naive sequence-explode would build. */
+  def coverageHistogram(variants: DataFrame): DataFrame = {
+    val events = variants
+      .select(col("contig"), col("start").as("pos"), lit(1L).as("delta"))
+      .unionAll(variants.select(
+        col("contig"), (col("end") + 1).as("pos"), lit(-1L).as("delta")))
+    val byPos = events.groupBy("contig", "pos").agg(sum("delta").as("delta"))
+    val w = Window.partitionBy("contig").orderBy("pos")
+    byPos
+      .withColumn("depth", sum(col("delta"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("seg", lead(col("pos"), 1).over(w) - col("pos"))
+      .filter(col("depth") > 0 && col("seg").isNotNull)
+      .groupBy("contig", "depth")
+      .agg(sum("seg").as("bases"))
+      .orderBy("contig", "depth")
+  }
+
+  /** Coverage histogram over the synthetic cohort; the oracle replays the
+    * identical sweep-line in DuckDB window SQL. */
+  val coverageHist = Query(
+    "q_coverage_hist",
+    s"""WITH $duckSyntheticV,
+       |ev AS (
+       |  SELECT contig, vstart AS pos, 1 AS delta FROM v
+       |  UNION ALL
+       |  SELECT contig, vend + 1 AS pos, -1 AS delta FROM v),
+       |byp AS (SELECT contig, pos, sum(delta) AS delta FROM ev GROUP BY contig, pos),
+       |seg AS (
+       |  SELECT contig, pos,
+       |    sum(delta) OVER (PARTITION BY contig ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth,
+       |    lead(pos) OVER (PARTITION BY contig ORDER BY pos) - pos AS seg
+       |  FROM byp)
+       |SELECT contig, CAST(depth AS BIGINT) AS depth, CAST(sum(seg) AS BIGINT) AS bases
+       |FROM seg WHERE depth > 0 AND seg IS NOT NULL
+       |GROUP BY contig, depth
+       |ORDER BY contig, depth""".stripMargin) { (s, _) =>
+    coverageHistogram(syntheticVariants(s, 3000))
+  }
+
+  /** Transition/transversion QC counts per contig over the distinct site
+    * alleles (the standard variant-call quality metric). The ratio is
+    * emitted as integer ppm (`ti * 1e6 div tv`) so the output is exact in
+    * both engines — no float division in the result schema. */
+  def tiTvByContig(variants: DataFrame): DataFrame = {
+    val sites = variants.filter(col("kind") === "site")
+      .select(col("contig"), col("start").as("pos"),
+        col("alleles")(0).as("ref"), col("alleles")(1).as("alt"))
+      .distinct()
+    val isTransition =
+      col("ref").isin("A", "G") === col("alt").isin("A", "G")
+    sites
+      .groupBy("contig")
+      .agg(
+        sum(when(isTransition, 1L).otherwise(0L)).as("ti"),
+        sum(when(isTransition, 0L).otherwise(1L)).as("tv"))
+      .withColumn("ratio_ppm", expr("ti * 1000000 div tv"))
+      .orderBy("contig")
+  }
+
+  val tiTv = Query(
+    "q_titv",
+    s"""WITH $duckSyntheticV,
+       |s AS (SELECT DISTINCT contig, vstart AS pos, ref, alt FROM v WHERE kind = 'site'),
+       |c AS (
+       |  SELECT contig,
+       |    CAST(sum(CASE WHEN (ref IN ('A','G')) = (alt IN ('A','G')) THEN 1 ELSE 0 END) AS BIGINT) AS ti,
+       |    CAST(sum(CASE WHEN (ref IN ('A','G')) = (alt IN ('A','G')) THEN 0 ELSE 1 END) AS BIGINT) AS tv
+       |  FROM s GROUP BY contig)
+       |SELECT contig, ti, tv, ti * 1000000 // tv AS ratio_ppm
+       |FROM c ORDER BY contig""".stripMargin) { (s, _) =>
+    tiTvByContig(syntheticVariants(s, 3000))
+  }
+
+  /** Per-(sample, contig) covered breadth: union the sample's intervals
+    * (gaps-and-islands — a new island starts where `start` exceeds the
+    * running max of previous ends + 1, so overlapping AND merely-adjacent
+    * records coalesce), then sum island extents. The window partitions on
+    * (sample, contig) — bounded state per key, no all-pairs work. */
+  def sampleBreadth(variants: DataFrame): DataFrame = {
+    val w = Window.partitionBy("sample", "contig").orderBy("start", "end")
+    val maxPrevEnd = max(col("end"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val newIsland =
+      when(maxPrevEnd.isNull || col("start") > maxPrevEnd + 1, 1L).otherwise(0L)
+    variants
+      .withColumn("island", sum(newIsland)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("sample", "contig", "island")
+      .agg(min(col("start")).as("lo"), max(col("end")).as("hi"))
+      .groupBy("sample", "contig")
+      .agg(sum(col("hi") - col("lo") + 1).as("breadth"),
+        count(lit(1)).as("n_islands"))
+      .orderBy("sample", "contig")
+  }
+
+  val breadth = Query(
+    "q_sample_breadth",
+    s"""WITH $duckSyntheticV,
+       |isl AS (
+       |  SELECT sample, contig, vstart, vend,
+       |    CASE WHEN max(vend) OVER wp IS NULL
+       |           OR vstart > max(vend) OVER wp + 1 THEN 1 ELSE 0 END AS new_island
+       |  FROM v
+       |  WINDOW wp AS (PARTITION BY sample, contig ORDER BY vstart, vend
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |grp AS (
+       |  SELECT *, sum(new_island) OVER (PARTITION BY sample, contig
+       |    ORDER BY vstart, vend
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM isl),
+       |ext AS (
+       |  SELECT sample, contig, island, min(vstart) AS lo, max(vend) AS hi
+       |  FROM grp GROUP BY sample, contig, island)
+       |SELECT sample, contig, CAST(sum(hi - lo + 1) AS BIGINT) AS breadth,
+       |  CAST(count(*) AS BIGINT) AS n_islands
+       |FROM ext GROUP BY sample, contig
+       |ORDER BY sample, contig""".stripMargin) { (s, _) =>
+    sampleBreadth(syntheticVariants(s, 3000))
+  }
+
   val queries: Seq[Query] =
-    Seq(combineMerge, sampleIndexQuery, gvcfExport, siteStats, mergeBands)
+    Seq(combineMerge, sampleIndexQuery, gvcfExport, siteStats, mergeBands,
+      coverageHist, tiTv, breadth)
 }

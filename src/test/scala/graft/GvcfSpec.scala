@@ -196,4 +196,47 @@ class GvcfSpec extends SparkSpec {
     val p15 = lines(1).split("\t", -1).toSeq
     assert(p15(3) == "G" && p15(4) == "A,<NON_REF>" && p15.drop(9) == Seq("0/1:99", "0/0:42", "./.:."))
   }
+
+  test("coverageHistogram: sweep-line depths match hand-counted bases") {
+    // fixture covers chr1 [1,30] with both samples everywhere → depth 2
+    // for all 30 bases, except nothing: a covers [1,30] via 3 records,
+    // b covers [1,30] via 3 records. So depth=2 over 30 bases.
+    val out = Gvcf.coverageHistogram(fixture)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("chr1", 2L, 30L)))
+    // drop sample b's middle record → a hole [9,9] in b's coverage:
+    // depth 2 over 29 bases, depth 1 over 1 base
+    val holey = fixture.filter(!($"sample" === "b" && $"start" === 9L))
+    val out2 = Gvcf.coverageHistogram(holey)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out2 == Seq(("chr1", 1L, 1L), ("chr1", 2L, 29L)))
+  }
+
+  test("tiTvByContig counts transitions vs transversions with ppm ratio") {
+    // sites: G->A (transition, purine-purine), T->C (transition,
+    // pyrimidine-pyrimidine); add one transversion A->T on chr1
+    val withTv = fixture.unionByName(Seq(
+      ("c", "chr1", 40L, 40L, "site", Seq("A", "T"), 60)
+    ).toDF(fixture.columns: _*))
+    val out = Gvcf.tiTvByContig(withTv)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("chr1", 2L, 1L, 2000000L)))
+  }
+
+  test("sampleBreadth coalesces overlapping AND adjacent intervals") {
+    val v = Seq(
+      // overlapping + touching → one island [1,25]
+      ("a", "chr1", 1L, 10L, "block", Seq("REF"), 50),
+      ("a", "chr1", 5L, 20L, "block", Seq("REF"), 50),
+      ("a", "chr1", 21L, 25L, "block", Seq("REF"), 50),
+      // gap of 1 base (27 > 25+1) → second island [27,30]
+      ("a", "chr1", 27L, 30L, "block", Seq("REF"), 50),
+      // containment: [40,60] swallows [45,50] → third island
+      ("a", "chr1", 40L, 60L, "block", Seq("REF"), 50),
+      ("a", "chr1", 45L, 50L, "site", Seq("A", "G"), 90)
+    ).toDF("sample", "contig", "start", "end", "kind", "alleles", "gq")
+    val out = Gvcf.sampleBreadth(v)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", "chr1", 25L + 4L + 21L, 3L)))
+  }
 }
