@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import graft.functions.{DotProduct, DotProductLong, L2NormSq}
@@ -33,6 +34,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_dotl"),
       new ExpressionInfo(classOf[DotProductLong].getName, "graft_dotl"),
       (args: Seq[Expression]) => DotProductLong(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (args: Seq[Expression]) => new BloomFilterAggregate(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_bloom_contains"),
+      (args: Seq[Expression]) => new BloomFilterMightContain(args(0), args(1))))
     ext.injectOptimizerRule(_ => SelfDotToNorm)
     ext.injectPlannerStrategy(s => graft.plans.RangeJoinStrategy(s))
   }
@@ -48,6 +55,12 @@ object GraftExtensions {
       "graft_norm2", (args: Seq[Expression]) => L2NormSq(args.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dotl", (args: Seq[Expression]) => DotProductLong(args(0), args(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      (args: Seq[Expression]) => new BloomFilterAggregate(args.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      (args: Seq[Expression]) => new BloomFilterMightContain(args(0), args(1)), "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(SelfDotToNorm))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SelfDotToNorm

@@ -307,8 +307,74 @@ object Extras {
       .orderBy("cohort_day", "week_offset")
   }
 
+  /** Recursive CTE (Spark 4's `WITH RECURSIVE` / `UnionLoop`): BFS over a
+    * synthetic binary tree (child c has parent `(c-1) div 2`), joining the
+    * frontier against the edge table each iteration and aggregating per
+    * depth. This is the declarative alternative to the hand-rolled
+    * pointer-jumping in `Dedup.connectedComponents` — each loop step is a
+    * joined, re-planned DataFrame, so the iteration scales exactly like
+    * any other join (no driver-side traversal). The oracle replays the
+    * identical recursion in DuckDB. */
+  val graphReach = Query(
+    "q_graph_reach",
+    """WITH RECURSIVE r(node, depth) AS (
+      |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+      |  UNION ALL
+      |  SELECT e.child, r.depth + 1
+      |  FROM r JOIN (SELECT range AS child, (range - 1) // 2 AS parent
+      |               FROM range(1, 10000)) e
+      |    ON e.parent = r.node)
+      |SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
+      |  CAST(sum(node) AS BIGINT) AS sum_node
+      |FROM r GROUP BY depth ORDER BY depth""".stripMargin) { (s, _) =>
+    s.sql(
+      """WITH RECURSIVE r(node, depth) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+        |  UNION ALL
+        |  SELECT e.child, r.depth + 1
+        |  FROM r JOIN (SELECT id AS child, (id - 1) div 2 AS parent
+        |               FROM range(1, 10000)) e
+        |    ON e.parent = r.node)
+        |SELECT depth, count(*) AS n_nodes, sum(node) AS sum_node
+        |FROM r GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  /** Bloom-prefiltered semi join — the runtime-filter pattern built
+    * manually from Spark's own `BloomFilterAggregate` /
+    * `BloomFilterMightContain` (registered as `graft_bloom_agg` /
+    * `graft_bloom_contains` by [[graft.GraftExtensions]]): a scalar
+    * subquery builds one bloom over the selective dim keys, the big side
+    * filters on membership BEFORE the exact semi join. False positives
+    * are removed by the join, so results are exact — the bloom only cuts
+    * the rows reaching the shuffle, which is precisely what
+    * `InjectRuntimeFilter` buys at 100 TB (where the application-side
+    * scan threshold keeps the automatic rule dormant below ~10 GB). */
+  val bloomPrefilter = Query(
+    "q_bloom_prefilter",
+    """SELECT l.l_returnflag AS flag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem l
+      |WHERE l.l_orderkey IN
+      |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY flag ORDER BY flag""".stripMargin) { (s, d) =>
+    graft.GraftExtensions.register(s)
+    tbl(s, d, "lineitem").createOrReplaceTempView("graft_bloom_l")
+    tbl(s, d, "orders").createOrReplaceTempView("graft_bloom_o")
+    s.sql(
+      """SELECT l.l_returnflag AS flag, count(*) AS n,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM graft_bloom_l l
+        |WHERE graft_bloom_contains(
+        |    (SELECT graft_bloom_agg(xxhash64(o_orderkey)) FROM graft_bloom_o
+        |     WHERE o_orderpriority = '1-URGENT'),
+        |    xxhash64(l.l_orderkey))
+        |  AND l.l_orderkey IN
+        |    (SELECT o_orderkey FROM graft_bloom_o WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY flag ORDER BY flag""".stripMargin)
+  }
+
   val queries: Seq[Query] = Seq(
     pivotWide, unpivot, percentile, sampleSplit, aggSalted, windowNav,
     regexpExtract, mergeUpsert, histogram, scalarSubquery, boolAggs,
-    funnel, retention)
+    funnel, retention, graphReach, bloomPrefilter)
 }

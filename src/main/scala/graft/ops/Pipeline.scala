@@ -464,8 +464,57 @@ object Pipeline {
     }
   }
 
+  /** Collocation mining: top word pairs by Dice coefficient
+    * `2·n(xy) / (n(x)+n(y))`, emitted as integer ppm so the score is
+    * exact in both engines (no float division). Bigram and unigram
+    * counts are two independent aggregates joined on the pair's words —
+    * at 100 TB both joins shuffle on word keys (vocab-sized, heavily
+    * combinable map-side); a min-support filter (n ≥ 5) prunes the
+    * pair table before the joins. */
+  val collocations = Query(
+    "q_collocations",
+    """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      |unic AS (
+      |  SELECT w, count(*) AS nw
+      |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+      |b AS (
+      |  SELECT unnest(list_transform(range(1, len(toks)),
+      |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS s
+      |  FROM t),
+      |bic AS (
+      |  SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS nxy
+      |  FROM b GROUP BY 1, 2)
+      |SELECT b.w1, b.w2, CAST(b.nxy AS BIGINT) AS nxy,
+      |  CAST(2 * b.nxy * 1000000 // (u1.nw + u2.nw) AS BIGINT) AS dice_ppm
+      |FROM bic b
+      |JOIN unic u1 ON b.w1 = u1.w
+      |JOIN unic u2 ON b.w2 = u2.w
+      |WHERE b.nxy >= 5
+      |ORDER BY dice_ppm DESC, w1, w2
+      |LIMIT 15""".stripMargin) { (s, d) =>
+    val toks = tbl(s, d, "documents")
+      .select(split(col("text"), " ").as("toks"))
+      .repartition(col("toks")) // barrier: materialize before the lambdas
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("nw"))
+    val bi = toks
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS w1,
+          |              element_at(toks, i + 1) AS w2))""".stripMargin)).as("s"))
+      .select(col("s.w1"), col("s.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("nxy"))
+    bi.filter(col("nxy") >= 5)
+      .join(uni.select(col("w").as("w1"), col("nw").as("n1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("nw").as("n2")), "w2")
+      .withColumn("dice_ppm", expr("2 * nxy * 1000000 div (n1 + n2)"))
+      .select("w1", "w2", "nxy", "dice_ppm")
+      .orderBy(desc("dice_ppm"), col("w1"), col("w2"))
+      .limit(15)
+  }
+
   val queries: Seq[Query] = Seq(
     dedupExact, textTokens, textStats, langId, qualityScore, tokenCount,
     fingerprint, multimodalMeta, mediaDecode, mediaResize, tokenizeRegex, bigrams, tfidf, sessionize, windowTumbling, windowSliding,
-    redact, repetition, contamination)
+    redact, repetition, contamination, collocations)
 }

@@ -110,4 +110,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("HashAggregate"),
       "no partial aggregation in count-by-key")
   }
+
+  test("q_bloom_prefilter applies the bloom membership below the semi join") {
+    val p = plan(Extras.bloomPrefilter)
+    val bloomAt = p.indexOf("might_contain")
+    assert(bloomAt >= 0, s"no bloom membership filter in plan:\n${p.take(2000)}")
+    // the filter must be on the scan side, i.e. appear AFTER (deeper than)
+    // the join operator line in the printed tree
+    val joinAt = p.indexOf("Join")
+    assert(joinAt >= 0 && bloomAt > joinAt,
+      "bloom filter did not end up below the join (not prefiltering the scan)")
+  }
+
+  test("q_graph_reach plans the recursion as UnionLoop (no driver loop)") {
+    val p = plan(Extras.graphReach)
+    assert(p.contains("UnionLoop") || p.contains("Recursion"),
+      s"recursive CTE did not plan as a loop operator:\n${p.take(2000)}")
+  }
 }
