@@ -79,6 +79,32 @@ object Multimodal {
     (w, h, mx, i)
   }
 
+  /** Materialize the synthetic P6 payloads as individual `.ppm` FILES
+    * (once per session × sf, `_SUCCESS`-guarded like the other fixture
+    * writes): the raw-file half of the multimodal ingest story, so
+    * `binaryFile` reads exercise a real files→bytes→decode chain.
+    * Capped at 2000 images so the file count stays flat across scale
+    * factors (the per-file cost of a files-source is the point being
+    * tested, not stressed). Executor-side writes — local-FS harness
+    * idiom, same caveat as `Sources.partitionedOrdersDf`. */
+  def ppmFileDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ppm_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val marker = new java.io.File(dir, "_SUCCESS")
+    if (!marker.exists()) {
+      new java.io.File(dir).mkdirs()
+      syntheticPpm(graft.api.tbl(s, d, "documents").filter(col("doc_id") < 2000))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, f"img_${r.getLong(0)}%05d.ppm"),
+              r.getAs[Array[Byte]](1))
+          }
+        }
+      marker.createNewFile()
+    }
+    dir
+  }
+
   /** REAL decode: media(doc_id LONG, media BINARY) → parsed dimensions +
     * exact per-channel pixel sums. Typed mapPartitions batch work — a
     * production decoder for other formats drops into the same loop. */

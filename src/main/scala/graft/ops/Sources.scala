@@ -194,7 +194,45 @@ object Sources {
       .orderBy("payload")
   }
 
+  /** Raw-file multimodal ingest: the deterministic P6 images land as
+    * individual `.ppm` files, are read back through Spark's `binaryFile`
+    * source (path + length + content), doc_id recovered from the file
+    * name, and the REAL decoder re-verifies every byte — files → bytes →
+    * decode → stats, grouped by image width. The oracle recomputes the
+    * channel sums from the pixel formula, so a hash match proves the
+    * whole file round trip. At 100 TB this is the ingest shape for any
+    * object-store media corpus (listing parallelizes; decode is pure
+    * map work; the binary column dies at the first projection). */
+  val sourceBinary = Query(
+    "q_source_binary",
+    """WITH d AS (SELECT doc_id, doc_id % 8 + 4 AS w, doc_id % 5 + 3 AS h
+      |           FROM documents WHERE doc_id < 2000),
+      |px AS (SELECT doc_id, w, h, x.range AS x, y.range AS y
+      |       FROM d, range(0, 11) x, range(0, 7) y
+      |       WHERE x.range < w AND y.range < h)
+      |SELECT CAST(w AS BIGINT) AS width,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_images,
+      |  CAST(sum((doc_id*9349 + y*193 + x*17) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum((doc_id*9349 + y*193 + x*17 + 71) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((doc_id*9349 + y*193 + x*17 + 142) % 256) AS BIGINT) AS sum_b
+      |FROM px GROUP BY w
+      |ORDER BY width""".stripMargin) { (s, d) =>
+    val dir = Multimodal.ppmFileDir(s, d)
+    val bin = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.ppm").load(dir)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.ppm$", 1)
+          .cast(LongType).as("doc_id"),
+        col("content").as("media"))
+    Multimodal.decodePpm(bin)
+      .groupBy("width")
+      .agg(count(lit(1)).as("n_images"),
+        sum("sum_r").as("sum_r"), sum("sum_g").as("sum_g"),
+        sum("sum_b").as("sum_b"))
+      .orderBy("width")
+  }
+
   val queries: Seq[Query] =
     Seq(sourceCsv, sourceJson, sourceOrc, partitionPrune, sourceCustom, bucketedJoin,
-      sinkStore)
+      sinkStore, sourceBinary)
 }
