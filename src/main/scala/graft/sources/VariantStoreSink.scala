@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -49,7 +50,8 @@ private[sources] class StoreTable(path: String, tschema: StructType)
   override def name(): String = s"variant_store($path)"
   override def schema(): StructType = tschema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new StoreWriteBuilder(path, info.schema())
 }
@@ -59,12 +61,20 @@ private[sources] class StoreWriteBuilder(path: String, schema: StructType)
   private var truncating = false
   override def truncate(): WriteBuilder = { truncating = true; this }
   override def build(): Write = {
-    require(truncating,
-      "VariantStoreSink supports only mode('overwrite'): bulk load replaces a generation")
     require(schema.nonEmpty && schema.head.dataType == LongType,
       s"leading field must be the LONG sort key, got ${schema.headOption}")
     new Write {
-      override def toBatch: BatchWrite = new StoreBatchWrite(path, schema)
+      override def toBatch: BatchWrite = {
+        require(truncating,
+          "VariantStoreSink supports only mode('overwrite'): bulk load replaces a generation")
+        new StoreBatchWrite(path, schema)
+      }
+      /** Streaming ingest = the memstore path: rows buffer per task, are
+        * sorted by key at flush, and every epoch COMMITS A NEW GENERATION
+        * of files appended to the manifest (bulk load replaces; puts
+        * accumulate). Epoch re-commits are idempotent — the manifest
+        * keeps one record set per epoch. */
+      override def toStreaming: StreamingWrite = new StoreStreamingWrite(path, schema)
     }
   }
 }
@@ -120,14 +130,8 @@ private[sources] class StoreDataWriter(
   private var minKey = Long.MaxValue
   private var maxKey = Long.MinValue
 
-  private def render(row: InternalRow, i: Int): String = schema(i).dataType match {
-    case LongType => row.getLong(i).toString
-    case IntegerType => row.getInt(i).toString
-    case DoubleType => row.getDouble(i).toString
-    case StringType => row.getUTF8String(i).toString
-    case TimestampType => row.getLong(i).toString // epoch micros
-    case dt => throw new UnsupportedOperationException(s"unsupported sink type $dt")
-  }
+  private def render(row: InternalRow, i: Int): String =
+    StoreRender.render(schema, row, i)
 
   override def write(row: InternalRow): Unit = {
     val key = row.getLong(0)
@@ -144,4 +148,93 @@ private[sources] class StoreDataWriter(
   override def commit(): WriterCommitMessage = { out.close(); StoreCommit(file, rows, minKey, maxKey) }
   override def abort(): Unit = { out.close(); java.nio.file.Files.deleteIfExists(tmp) }
   override def close(): Unit = out.close()
+}
+
+private[sources] object StoreRender {
+  def render(schema: StructType, row: InternalRow, i: Int): String =
+    schema(i).dataType match {
+      case LongType => row.getLong(i).toString
+      case IntegerType => row.getInt(i).toString
+      case DoubleType => row.getDouble(i).toString
+      case StringType => row.getUTF8String(i).toString
+      case TimestampType => row.getLong(i).toString // epoch micros
+      case dt => throw new UnsupportedOperationException(s"unsupported sink type $dt")
+    }
+}
+
+/** Streaming (memstore) write path: every epoch appends one GENERATION
+  * of sorted store files to the manifest instead of replacing it. The
+  * driver-side epoch commit is idempotent — a retried epoch replaces
+  * exactly its own generation's manifest records, so the store is
+  * exactly-once downstream of Spark's epoch tracking. */
+private[sources] class StoreStreamingWrite(path: String, schema: StructType)
+    extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    StoreMemstoreFactory(path, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(dir)
+    val commits = messages.collect { case m: StoreCommit if m.rows > 0 => m }
+    val manifest = dir.resolve("_MANIFEST")
+    val prefix = f"gen-$epochId%09d-"
+    val existing =
+      if (java.nio.file.Files.exists(manifest))
+        scala.io.Source.fromFile(manifest.toFile).getLines()
+          .filterNot(_.startsWith(prefix)).toSeq
+      else Seq.empty
+    val added = commits.map(m => s"${m.file},${m.rows},${m.minKey},${m.maxKey}")
+    java.nio.file.Files.write(manifest,
+      (existing ++ added).sorted.mkString("\n").getBytes("UTF-8"))
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    messages.collect { case m: StoreCommit =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, m.file))
+    }
+  }
+}
+
+private[sources] case class StoreMemstoreFactory(path: String, schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new StoreMemstoreWriter(path, schema, partitionId, taskId, epochId)
+}
+
+/** The put path's per-task memstore: buffer the epoch's rows, SORT BY
+  * KEY AT FLUSH (streaming arrival order is arbitrary — unlike bulk
+  * load, sorting is the sink's job here, exactly as in an LSM memstore),
+  * then write one sorted store file. Memory holds one micro-batch
+  * partition — bounded by trigger size, not by the table. */
+private[sources] class StoreMemstoreWriter(
+    path: String, schema: StructType, partitionId: Int, taskId: Long, epochId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val file = f"gen-$epochId%09d-part-$partitionId%05d-$taskId.csv"
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+
+  override def write(row: InternalRow): Unit = {
+    val key = row.getLong(0)
+    buf += key ->
+      (0 until schema.length).map(StoreRender.render(schema, row, _)).mkString(",")
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (buf.isEmpty) StoreCommit(file, 0L, 0L, 0L)
+    else {
+      val sorted = buf.sortBy(_._1)
+      val tmp = java.nio.file.Paths.get(path, file)
+      java.nio.file.Files.createDirectories(tmp.getParent)
+      val out = java.nio.file.Files.newBufferedWriter(tmp)
+      sorted.foreach { case (_, line) => out.write(line); out.write("\n") }
+      out.close()
+      StoreCommit(file, sorted.length.toLong, sorted.head._1, sorted.last._1)
+    }
+  }
+
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
 }

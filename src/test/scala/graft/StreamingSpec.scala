@@ -238,4 +238,38 @@ class StreamingSpec extends SparkSpec {
       assert(out == Seq(("2024-01-01 09:00:00.0", 2L), ("2024-01-01 10:00:00.0", 1L)))
     } finally q.stop()
   }
+
+  test("streaming store sink: each epoch appends a sorted generation to the manifest") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_store").toString
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("key", "payload")
+      .writeStream.format("graft.sources.VariantStoreSink")
+      .option("path", s"$dir/store").option("checkpointLocation", s"$dir/chk")
+      .outputMode("append").start()
+    try {
+      // arrival order deliberately unsorted — the memstore path must sort
+      input.addData((30L, "c"), (10L, "a"), (20L, "b"))
+      q.processAllAvailable()
+      input.addData((5L, "e"), (25L, "d"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val manifest = scala.io.Source
+      .fromFile(s"$dir/store/_MANIFEST").getLines().toSeq
+    val gens = manifest.map(_.split(",")(0).split("-")(1)).distinct.sorted
+    assert(gens.size == 2, s"expected two generations, got $manifest")
+    // every referenced file exists, is sorted by key, and the manifest's
+    // (rows, min, max) match its contents
+    val all = manifest.flatMap { line =>
+      val Array(f, rows, mn, mx) = line.split(",", 4).take(4)
+      val keys = scala.io.Source.fromFile(s"$dir/store/$f").getLines()
+        .map(_.split(",")(0).toLong).toSeq
+      assert(keys == keys.sorted, s"$f not sorted: $keys")
+      assert(keys.size == rows.toInt && keys.head == mn.toLong && keys.last == mx.toLong,
+        s"manifest row/range mismatch for $f")
+      keys
+    }
+    assert(all.sorted == Seq(5L, 10L, 20L, 25L, 30L), s"lost or duplicated keys: $all")
+  }
 }
