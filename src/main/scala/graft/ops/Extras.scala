@@ -373,8 +373,44 @@ object Extras {
         |GROUP BY flag ORDER BY flag""".stripMargin)
   }
 
+  /** Ranking-to-bucket window functions: ntile quartiles + the rational
+    * rank statistics (percent_rank, cume_dist) per order priority. The
+    * doubles are single divisions of small integers — bit-identical
+    * across engines — and the total (priority, price, key) order makes
+    * tile assignment deterministic. One exchange on the partition key. */
+  val windowNtile = Query(
+    "q_window_ntile",
+    """WITH w AS (
+      |  SELECT o_orderpriority AS prio,
+      |    ntile(4) OVER win AS tile,
+      |    percent_rank() OVER win AS pr,
+      |    cume_dist() OVER win AS cd,
+      |    CAST(o_totalprice AS DECIMAL(18,4)) AS price
+      |  FROM orders
+      |  WINDOW win AS (PARTITION BY o_orderpriority
+      |                 ORDER BY o_totalprice, o_orderkey))
+      |SELECT prio, CAST(tile AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(price) AS DOUBLE) AS revenue,
+      |  max(pr) AS max_pr, max(cd) AS max_cd
+      |FROM w GROUP BY prio, tile
+      |ORDER BY prio, tile""".stripMargin) { (s, d) =>
+    val win = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    tbl(s, d, "orders")
+      .select(col("o_orderpriority").as("prio"),
+        ntile(4).over(win).cast(LongType).as("tile"),
+        percent_rank().over(win).as("pr"),
+        cume_dist().over(win).as("cd"),
+        dec("o_totalprice").as("price"))
+      .groupBy("prio", "tile")
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast(DoubleType).as("revenue"),
+        max(col("pr")).as("max_pr"), max(col("cd")).as("max_cd"))
+      .orderBy("prio", "tile")
+  }
+
   val queries: Seq[Query] = Seq(
     pivotWide, unpivot, percentile, sampleSplit, aggSalted, windowNav,
     regexpExtract, mergeUpsert, histogram, scalarSubquery, boolAggs,
-    funnel, retention, graphReach, bloomPrefilter)
+    funnel, retention, graphReach, bloomPrefilter, windowNtile)
 }

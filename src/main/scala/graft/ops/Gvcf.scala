@@ -117,7 +117,11 @@ object Gvcf {
     * legacy fixture schema without it defaults to het 0/1 sites and 0/0
     * blocks. Same bucketed interval join as [[combineAtSites]] — one
     * equi-join + residual, never a nested loop. */
-  def combineSites(variants: DataFrame, bucketWidth: Long = 64): DataFrame = {
+  /** The per-sample half of [[combineSites]], exposed for downstream
+    * QC operators (Mendelian checks, concordance): one row per
+    * (site, covered sample) with the merged ref/alts and the sample's
+    * genotype REMAPPED to merged allele indices. */
+  def combinedCalls(variants: DataFrame, bucketWidth: Long = 64): DataFrame = {
     val v = if (variants.columns.contains("gt")) variants
       else variants.withColumn("gt",
         when(col("kind") === "site", lit("0/1")).otherwise(lit("0/0")))
@@ -151,6 +155,10 @@ object Gvcf {
     cov.join(merged, Seq("contig", "pos"))
       .join(broadcast(sampleNameIndex(v)), "sample")
       .withColumn("gtm", remapped)
+  }
+
+  def combineSites(variants: DataFrame, bucketWidth: Long = 64): DataFrame =
+    combinedCalls(variants, bucketWidth)
       .groupBy("contig", "pos")
       .agg(
         first(col("ref")).as("ref"),
@@ -160,7 +168,6 @@ object Gvcf {
           "concat(sample, ':', gtm, ':', CAST(gq AS STRING)) AS c))), s -> s.c)")
           .as("calls"))
       .orderBy("contig", "pos")
-  }
 
   /** Deterministic 3-sample synthetic cohort (pure arithmetic — the
     * DuckDB oracle rebuilds it value for value): record j of sample k is
@@ -525,7 +532,96 @@ object Gvcf {
     sampleBreadth(syntheticVariants(s, 3000))
   }
 
+  /** Trio Mendelian-violation counts (s0 = child, s1/s2 = parents) over
+    * the MERGED calls: a site is consistent iff the child's alleles can
+    * be drawn one from each parent (either assignment order — unphased
+    * genotypes). Runs on [[combinedCalls]] so multi-allelic sites are
+    * compared in merged index space; the pivot is a 6-column conditional
+    * aggregate, one shuffle on the site key. */
+  def mendelViolations(variants: DataFrame): DataFrame = {
+    val al = combinedCalls(variants).select(
+      col("contig"), col("pos"), col("sample"),
+      split(col("gtm"), "/")(0).cast(IntegerType).as("a1"),
+      split(col("gtm"), "/")(1).cast(IntegerType).as("a2"))
+    def pick(s: String, c: String) = max(when(col("sample") === s, col(c)))
+    val trio = al.groupBy("contig", "pos").agg(
+      pick("s0", "a1").as("c1"), pick("s0", "a2").as("c2"),
+      pick("s1", "a1").as("p1a"), pick("s1", "a2").as("p1b"),
+      pick("s2", "a1").as("p2a"), pick("s2", "a2").as("p2b"))
+    val fromP1 = (col("c1") === col("p1a") || col("c1") === col("p1b")) &&
+      (col("c2") === col("p2a") || col("c2") === col("p2b"))
+    val fromP2 = (col("c1") === col("p2a") || col("c1") === col("p2b")) &&
+      (col("c2") === col("p1a") || col("c2") === col("p1b"))
+    trio
+      .withColumn("viol", when(fromP1 || fromP2, 0L).otherwise(1L))
+      .groupBy("contig")
+      .agg(count(lit(1)).as("n_sites"), sum(col("viol")).as("n_violations"))
+      .orderBy("contig")
+  }
+
+  val mendel = Query(
+    "q_mendel",
+    s"""WITH $duckCombineCtes,
+       |al AS (
+       |  SELECT contig, pos, sample,
+       |    CAST(string_split(gtm, '/')[1] AS INT) AS a1,
+       |    CAST(string_split(gtm, '/')[2] AS INT) AS a2
+       |  FROM remap),
+       |trio AS (
+       |  SELECT contig, pos,
+       |    max(CASE WHEN sample = 's0' THEN a1 END) AS c1,
+       |    max(CASE WHEN sample = 's0' THEN a2 END) AS c2,
+       |    max(CASE WHEN sample = 's1' THEN a1 END) AS p1a,
+       |    max(CASE WHEN sample = 's1' THEN a2 END) AS p1b,
+       |    max(CASE WHEN sample = 's2' THEN a1 END) AS p2a,
+       |    max(CASE WHEN sample = 's2' THEN a2 END) AS p2b
+       |  FROM al GROUP BY contig, pos),
+       |j AS (
+       |  SELECT contig,
+       |    CASE WHEN ((c1 = p1a OR c1 = p1b) AND (c2 = p2a OR c2 = p2b))
+       |           OR ((c1 = p2a OR c1 = p2b) AND (c2 = p1a OR c2 = p1b))
+       |         THEN 0 ELSE 1 END AS viol
+       |  FROM trio)
+       |SELECT contig, CAST(count(*) AS BIGINT) AS n_sites,
+       |  CAST(sum(viol) AS BIGINT) AS n_violations
+       |FROM j GROUP BY contig ORDER BY contig""".stripMargin) { (s, _) =>
+    mendelViolations(syntheticVariants(s, 3000))
+  }
+
+  /** Genotype concordance (GATK GenotypeConcordance shape): callset B is
+    * a deterministic perturbation of the cohort's site calls (every
+    * (j + k) % 7 == 0 call het↔hom flipped); the output is the
+    * genotype-by-genotype confusion matrix — one groupBy on the matrix
+    * cell, callsets joined on the (contig, pos, sample) call key. */
+  val concordance = Query(
+    "q_concordance",
+    s"""WITH $duckSyntheticV,
+       |sa AS (SELECT contig, vstart AS pos, sample, gt FROM v WHERE kind = 'site'),
+       |sb AS (
+       |  SELECT contig, pos, sample,
+       |    CASE WHEN (pos // 10 + CAST(substr(sample, 2, 1) AS INT)) % 7 = 0
+       |         THEN (CASE WHEN gt = '0/1' THEN '1/1' ELSE '0/1' END)
+       |         ELSE gt END AS gt_b
+       |  FROM sa)
+       |SELECT a.gt AS gt_a, b.gt_b AS gt_b, CAST(count(*) AS BIGINT) AS n
+       |FROM sa a JOIN sb b
+       |  ON a.contig = b.contig AND a.pos = b.pos AND a.sample = b.sample
+       |GROUP BY a.gt, b.gt_b
+       |ORDER BY gt_a, gt_b""".stripMargin) { (s, _) =>
+    val sa = syntheticVariants(s, 3000).filter(col("kind") === "site")
+      .select(col("contig"), col("start").as("pos"), col("sample"), col("gt"))
+    val sb = sa.withColumn("gt_b",
+      when(expr("(pos div 10 + CAST(substring(sample, 2, 1) AS INT)) % 7 = 0"),
+        when(col("gt") === "0/1", "1/1").otherwise("0/1"))
+        .otherwise(col("gt")))
+      .drop("gt")
+    sa.join(sb, Seq("contig", "pos", "sample"))
+      .groupBy(col("gt").as("gt_a"), col("gt_b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("gt_a", "gt_b")
+  }
+
   val queries: Seq[Query] =
     Seq(combineMerge, sampleIndexQuery, gvcfExport, siteStats, mergeBands,
-      coverageHist, tiTv, breadth)
+      coverageHist, tiTv, breadth, mendel, concordance)
 }
