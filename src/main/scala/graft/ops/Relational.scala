@@ -597,8 +597,42 @@ object Relational {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q18 shape (large-volume customers): a HAVING-filtered
+    * aggregate over the fact drives a semi join back onto itself plus
+    * the order/customer lookups. The heavy side (per-order quantity
+    * sums) is partial+final aggregated BEFORE any join — the only rows
+    * that reach the joins are the rare qualifying orders, and the
+    * customer lookup broadcasts. */
+  val tpchQ18 = Query(
+    "q_tpch_q18",
+    """WITH big AS (
+      |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(l_quantity) > 200)
+      |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+      |  CAST(CAST(o.o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice,
+      |  b.sum_qty
+      |FROM big b
+      |JOIN orders o ON b.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |ORDER BY o_totalprice DESC, o.o_orderkey
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val big = tbl(s, d, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("qty_raw"))
+      .filter(col("qty_raw") > 200)
+      .select(col("l_orderkey"), col("qty_raw").cast(LongType).as("sum_qty"))
+    big
+      .join(tbl(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(tbl(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        dec("o_totalprice").cast(DoubleType).as("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(100)
+  }
+
   val queries: Seq[Query] = Seq(
-    tpchQ3, tpchQ5, tpchQ7,
+    tpchQ3, tpchQ5, tpchQ7, tpchQ18,
     scanProject, filterRange, joinBroadcast, aggCountByKey,
     aggLinestatus, aggDistinct, rollup, cube, joinShuffle, joinSemi,
     joinAnti, joinTheta, topk, windowRank, windowRunning, windowFrame,

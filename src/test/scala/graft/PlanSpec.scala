@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.when
 import graft.ops._
 
 /** Plan-shape assertions (SURVEY §5.2.4): the physical plans must carry
@@ -126,5 +127,42 @@ class PlanSpec extends SparkSpec {
     val p = plan(Extras.graphReach)
     assert(p.contains("UnionLoop") || p.contains("Recursion"),
       s"recursive CTE did not plan as a loop operator:\n${p.take(2000)}")
+  }
+
+  test("AQE splits a planted skewed join at runtime (skew=true in final plan)") {
+    import spark.implicits._
+    // ~95% of the left side lands on key 0 — one reducer partition would
+    // carry the join. With test-scale thresholds AQE must mark and split
+    // the skewed partition; at 100 TB the same mechanism fires with the
+    // default 256 MB threshold (SCALE.md "what breaks first" item 2).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(0, 200000)
+        .select(when($"id" < 190000, 0L).otherwise($"id" % 100).as("k"), $"id".as("v"))
+      val right = spark.range(0, 100).select($"id".as("k"), ($"id" * 2).as("w"))
+      // aggregate on the RIGHT side's column: re-using the join's own
+      // hashpartitioning(k) downstream would forbid the skew split
+      // (OptimizeSkewedJoin refuses to break a required distribution)
+      val joined = left.join(right, "k").groupBy("w").count()
+      joined.collect() // execute THIS dataset's QueryExecution so AQE finalizes
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n${p.take(2500)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 }

@@ -239,6 +239,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with a broadcast dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "emea"), (2L, "amer")).toDF("user_id", "region")
+    val input = MemoryStream[Ev]
+    val q = input.toDF()
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .select("user_id", "event_type", "region")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // the static side is re-read per micro-batch; a second batch must
+      // still enrich, and unknown users pass through with a null region
+      input.addData(
+        Ev(ts("2024-01-01 10:01:00"), 2, "view", 1.0),
+        Ev(ts("2024-01-01 10:02:00"), 9, "view", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("enrich_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSeq.sorted
+      assert(out == Seq(
+        (1L, "click", Some("emea")), (2L, "view", Some("amer")), (9L, "view", None)))
+    } finally q.stop()
+  }
+
   test("streaming store sink: each epoch appends a sorted generation to the manifest") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
