@@ -232,7 +232,34 @@ object Sources {
       .orderBy("width")
   }
 
+  /** The store's READ path, oracle-verified: bulk-load lineitem keyed by
+    * l_orderkey, then scan `[1000, 4999]` through
+    * `VariantStore.readRange` — the manifest's per-file (min, max) prunes
+    * non-overlapping store files BEFORE any I/O (HBase region-scan
+    * analog; SourceSpec asserts the file-level pruning, this query
+    * proves the scan's exactness against the original table). */
+  val storeScan = Query(
+    "q_store_scan",
+    """SELECT l_returnflag AS payload, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(l_orderkey) AS BIGINT) AS sum_key
+      |FROM lineitem
+      |WHERE l_orderkey BETWEEN 1000 AND 4999
+      |GROUP BY l_returnflag
+      |ORDER BY payload""".stripMargin) { (s, d) =>
+    val dir = outDir(s, d, "store_scan")
+    tbl(s, d, "lineitem")
+      .select(col("l_orderkey").as("key"), col("l_returnflag").as("payload"))
+      .repartitionByRange(8, col("key")).sortWithinPartitions("key")
+      .write.format("graft.sources.VariantStoreSink")
+      .option("path", dir).mode("overwrite").save()
+    graft.sources.VariantStore.readRange(
+      s, dir, "key LONG, payload STRING", 1000L, 4999L)
+      .groupBy("payload")
+      .agg(count(lit(1)).as("n"), sum(col("key")).cast(LongType).as("sum_key"))
+      .orderBy("payload")
+  }
+
   val queries: Seq[Query] =
     Seq(sourceCsv, sourceJson, sourceOrc, partitionPrune, sourceCustom, bucketedJoin,
-      sinkStore, sourceBinary)
+      sinkStore, sourceBinary, storeScan)
 }

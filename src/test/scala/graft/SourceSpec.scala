@@ -86,4 +86,24 @@ class SourceSpec extends SparkSpec {
     assert(e.getMessage.contains("overwrite") ||
       (e.getCause != null && e.getCause.getMessage.contains("overwrite")))
   }
+
+  test("VariantStore.readRange prunes to manifest-overlapping files (HBase-scan analog)") {
+    val dir = sinkDir("readrange")
+    (0L until 1000L).map(i => (i, s"p$i")).toDF("key", "payload")
+      .repartitionByRange(4, $"key").sortWithinPartitions("key")
+      .write.format("graft.sources.VariantStoreSink")
+      .option("path", dir).mode("overwrite").save()
+    val scan = graft.sources.VariantStore
+      .readRange(spark, dir, "key LONG, payload STRING", 100L, 199L)
+    // exactness: the residual filter keeps only [100, 199]
+    val keys = scan.select("key").as[Long].collect().toSeq.sorted
+    assert(keys == (100L to 199L), s"wrong scan contents: ${keys.take(5)}...")
+    // pruning: 1000 keys across 4 range files → [100,199] overlaps 1 file
+    // (2 if a boundary lands mid-range); never all 4
+    val read = scan.inputFiles.length
+    assert(read <= 2, s"manifest pruning read $read of 4 store files")
+    // empty region → empty frame, same schema, no crash
+    assert(graft.sources.VariantStore
+      .readRange(spark, dir, "key LONG, payload STRING", 5000L, 6000L).count() == 0L)
+  }
 }

@@ -297,5 +297,19 @@ class StreamingSpec extends SparkSpec {
       keys
     }
     assert(all.sorted == Seq(5L, 10L, 20L, 25L, 30L), s"lost or duplicated keys: $all")
+
+    // compaction: fold the two streaming generations back into the
+    // sorted bulk layout — one generation, data preserved, ranges disjoint
+    graft.sources.VariantStore.compact(spark, s"$dir/store",
+      "key LONG, payload STRING", numRanges = 2)
+    val after = scala.io.Source.fromFile(s"$dir/store/_MANIFEST").getLines().toSeq
+    assert(after.forall(_.startsWith("part-")), s"generations survived compaction: $after")
+    val keys = spark.read.schema("key LONG, payload STRING")
+      .csv(after.map(l => s"$dir/store/${l.split(",")(0)}"): _*)
+      .select("key").as[Long].collect().toSeq
+    assert(keys.sorted == Seq(5L, 10L, 20L, 25L, 30L), s"compaction lost rows: $keys")
+    val ranges = after.map(_.split(",")).map(a => (a(2).toLong, a(3).toLong)).sortBy(_._1)
+    assert(ranges.sliding(2).forall { case Seq((_, e), (s2, _)) => e < s2; case _ => true },
+      s"compacted ranges overlap: $ranges")
   }
 }
