@@ -631,8 +631,65 @@ object Relational {
       .limit(100)
   }
 
+  /** Full-outer join with side classification: unmatched rows on either
+    * side survive with nulls and are bucketed by which side matched.
+    * Shuffles both sides on the key like any fact-fact join; the
+    * null-extension is free in the SMJ. (TPC-H guarantees every order a
+    * customer, so order_only is structurally empty — asserted by the
+    * oracle's identical classification.) */
+  val joinOuter = Query(
+    "q_join_outer",
+    """SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+      |            WHEN o_custkey IS NULL THEN 'customer_only'
+      |            ELSE 'both' END AS side,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT coalesce(c_custkey, o_custkey)) AS BIGINT) AS n_keys
+      |FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+      |GROUP BY side ORDER BY side""".stripMargin) { (s, d) =>
+    val c = tbl(s, d, "customer").select(col("c_custkey"))
+    val o = tbl(s, d, "orders").select(col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .withColumn("side",
+        when(col("c_custkey").isNull, "order_only")
+          .when(col("o_custkey").isNull, "customer_only")
+          .otherwise("both"))
+      .groupBy("side")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(coalesce(col("c_custkey"), col("o_custkey"))).as("n_keys"))
+      .orderBy("side")
+  }
+
+  /** MapType surface: per-priority status→count maps built with
+    * `map_from_entries`, reshaped with `transform_values` + `map_filter`,
+    * and serialized to a sorted `k=v` string (maps never reach the
+    * output schema — the driver's hash can't compare them; the oracle
+    * replays the same reshaping on plain lists). */
+  val mapFuncs = Query(
+    "q_map_funcs",
+    """WITH c AS (
+      |  SELECT o_orderpriority AS prio, o_orderstatus AS status,
+      |    count(*) AS n
+      |  FROM orders GROUP BY prio, status)
+      |SELECT prio,
+      |  array_to_string(list_sort(list(status || '=' || CAST(n * 2 AS VARCHAR))
+      |    FILTER (WHERE n > 10)), ',') AS doubled_big
+      |FROM c GROUP BY prio ORDER BY prio""".stripMargin) { (s, d) =>
+    tbl(s, d, "orders")
+      .groupBy(col("o_orderpriority").as("prio"), col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("prio")
+      .agg(map_from_entries(collect_list(struct(col("status"), col("n")))).as("m"))
+      .withColumn("m2", map_filter(
+        transform_values(col("m"), (_, v) => v * 2), (_, v) => v > 20))
+      .select(col("prio"),
+        array_join(array_sort(transform(map_entries(col("m2")),
+          e => concat(e("key"), lit("="), e("value").cast(StringType)))), ",")
+          .as("doubled_big"))
+      .orderBy("prio")
+  }
+
   val queries: Seq[Query] = Seq(
-    tpchQ3, tpchQ5, tpchQ7, tpchQ18,
+    tpchQ3, tpchQ5, tpchQ7, tpchQ18, joinOuter, mapFuncs,
     scanProject, filterRange, joinBroadcast, aggCountByKey,
     aggLinestatus, aggDistinct, rollup, cube, joinShuffle, joinSemi,
     joinAnti, joinTheta, topk, windowRank, windowRunning, windowFrame,

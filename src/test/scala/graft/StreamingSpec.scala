@@ -265,6 +265,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch upserts each micro-batch into a keyed table (last-writer-wins)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // state lives in a driver-side var for the test; in production this
+    // is a MERGE INTO / VariantStore generation — the batch logic is the
+    // same full-outer coalesce as Extras.mergeUpsert
+    var state = Seq((1L, "old1"), (3L, "old3")).toDF("key", "val")
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("key", "val")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.dropDuplicates("key") // idempotent within the batch
+          .withColumnRenamed("val", "nval")
+        state = state.join(b, Seq("key"), "full_outer")
+          .select(col("key"),
+            coalesce(col("nval"), col("val")).as("val"))
+          .localCheckpoint() // cut lineage so state doesn't re-read the stream
+        ()
+      }.start()
+    try {
+      input.addData((1L, "new1"), (2L, "new2"))
+      q.processAllAvailable()
+      input.addData((2L, "newer2"), (4L, "new4"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = state.as[(Long, String)].collect().toSeq.sorted
+    assert(out == Seq(
+      (1L, "new1"), (2L, "newer2"), (3L, "old3"), (4L, "new4")),
+      s"upsert state wrong: $out")
+  }
+
   test("streaming store sink: each epoch appends a sorted generation to the manifest") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
