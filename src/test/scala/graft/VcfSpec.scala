@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.Vcf
+
+/** Edge cases of the pure-expression VCF line parser (the oracle-backed
+  * q_source_vcf covers the happy path at volume; these pin the corners:
+  * header skipping, END fallback, multi-allelic ALTs, missing
+  * FORMAT fields, phased genotypes, spanning deletions). */
+class VcfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parse(lines: String*) =
+    Vcf.parseLines(lines.toDF("value"), "s1")
+      .orderBy("start")
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getString(4),
+        r.getSeq[String](5).toList, Option(r.get(6)), Option(r.getString(7))))
+      .toList
+
+  test("header lines are skipped; block END comes from INFO") {
+    val out = parse(
+      "##fileformat=VCFv4.2",
+      "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+      "chr1\t100\t.\tA\t<NON_REF>\t.\t.\tEND=149\tGT:GQ\t0/0:42")
+    assert(out == List(
+      ("chr1", 100L, 149L, "block", List("A"), Some(42), Some("0/0"))))
+  }
+
+  test("site END falls back to start + len(ref) - 1 (spanning deletion)") {
+    val out = parse(
+      "chr2\t200\t.\tACGT\tA,<NON_REF>\t50\t.\tDP=9\tGT:GQ\t0/1:77")
+    // 4-base ref deletes through position 203
+    assert(out == List(
+      ("chr2", 200L, 203L, "site", List("ACGT", "A"), Some(77), Some("0/1"))))
+  }
+
+  test("multi-allelic ALT keeps every concrete allele, drops <NON_REF>") {
+    val out = parse(
+      "chr1\t300\t.\tG\tA,T,<NON_REF>\t99\t.\tDP=30\tGT:GQ\t1/2:88")
+    assert(out.head._5 == List("G", "A", "T"))
+    assert(out.head._4 == "site", "multi-allelic row must be a site")
+  }
+
+  test("missing GQ/GT in FORMAT parse as nulls, not errors") {
+    val out = parse("chr1\t400\t.\tC\tT,<NON_REF>\t10\t.\tDP=5\tDP\t5")
+    assert(out == List(("chr1", 400L, 400L, "site", List("C", "T"), None, None)))
+  }
+
+  test("phased genotypes survive parsing and normalize in the combine") {
+    val out = parse(
+      "chr1\t500\t.\tT\tC,<NON_REF>\t10\t.\tDP=5\tGT:GQ\t0|1:33")
+    assert(out.head._7 == Some("0|1"), "parser must not rewrite phasing")
+    // combineSites normalizes | to / during remap
+    val combined = graft.ops.Gvcf.combineSites(
+      Vcf.parseLines(Seq(
+        "chr1\t500\t.\tT\tC,<NON_REF>\t10\t.\tDP=5\tGT:GQ\t0|1:33").toDF("value"), "s1"))
+      .select("calls").as[Seq[String]].head()
+    assert(combined == Seq("s1:0/1:33"), s"phased GT not normalized: $combined")
+  }
+}
