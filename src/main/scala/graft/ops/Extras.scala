@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -409,8 +410,55 @@ object Extras {
       .orderBy("prio", "tile")
   }
 
+  /** Z-value (Morton) interleave of two bounded ints: bit k of x lands
+    * at 2k, bit k of y at 2k+1 — a sequential integer fold (bits are
+    * disjoint, so summing the shifted bits IS the interleave; exact in
+    * both engines). Sorting a table by this column clusters BOTH
+    * dimensions into every file/row-group, which is what makes 2-D
+    * predicates prunable from min/max stats alone at 100 TB (the
+    * DataBricks ZORDER / Iceberg sort-order trick, from public
+    * literature). */
+  def zvalue(xCol: String, yCol: String, bits: Int): Column = expr(
+    s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (acc, k) ->
+       |  acc + shiftleft((CAST($xCol AS BIGINT) >> k) & 1, 2 * k)
+       |      + shiftleft((CAST($yCol AS BIGINT) >> k) & 1, 2 * k + 1))""".stripMargin)
+
+  /** Z-order layout metric: orders keyed by the 10-bit Morton interleave
+    * of (custkey, orderkey) mod 1024, bucketed by z-range as a stand-in
+    * for files of a z-sorted write. The per-bucket (max-min) extents of
+    * BOTH raw dimensions stay small simultaneously — the property that
+    * lets min/max file stats prune 2-D predicates. The oracle replays
+    * the interleave with DuckDB's bit operators. */
+  val zorderLayout = Query(
+    "q_zorder_layout",
+    """WITH z AS (
+      |  SELECT o_orderkey,
+      |    list_reduce(list_transform(range(0, 10), k ->
+      |      ((((o_custkey % 1024) >> k) & 1) << (2 * k))
+      |      + ((((o_orderkey % 1024) >> k) & 1) << (2 * k + 1))),
+      |      (a, b) -> a + b) AS zv,
+      |    o_custkey % 1024 AS x, o_orderkey % 1024 AS y
+      |  FROM orders)
+      |SELECT zv // 65536 AS bucket, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(max(x) - min(x) AS BIGINT) AS x_extent,
+      |  CAST(max(y) - min(y) AS BIGINT) AS y_extent,
+      |  CAST(sum(zv) AS BIGINT) AS sum_z
+      |FROM z GROUP BY bucket
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    tbl(s, d, "orders")
+      .select(col("o_orderkey"),
+        expr("o_custkey % 1024").as("x"), expr("o_orderkey % 1024").as("y"))
+      .withColumn("zv", zvalue("x", "y", 10))
+      .groupBy(expr("zv div 65536").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (max(col("x")) - min(col("x"))).cast(LongType).as("x_extent"),
+        (max(col("y")) - min(col("y"))).cast(LongType).as("y_extent"),
+        sum(col("zv")).as("sum_z"))
+      .orderBy("bucket")
+  }
+
   val queries: Seq[Query] = Seq(
     pivotWide, unpivot, percentile, sampleSplit, aggSalted, windowNav,
     regexpExtract, mergeUpsert, histogram, scalarSubquery, boolAggs,
-    funnel, retention, graphReach, bloomPrefilter, windowNtile)
+    funnel, retention, graphReach, bloomPrefilter, windowNtile, zorderLayout)
 }

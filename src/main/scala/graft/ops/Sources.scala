@@ -259,7 +259,39 @@ object Sources {
       .orderBy("payload")
   }
 
+  /** Parquet schema evolution — the lake analog of the reference's
+    * incremental column-add (a new sample = a new HBase column, no
+    * rewrite of old cells; here a new generation adds a column and old
+    * files simply read it as null): generation 1 lacks
+    * `o_orderpriority`, generation 2 carries it; `mergeSchema=true`
+    * reconciles the footers at read time and the aggregate buckets the
+    * null-filled old rows as UNKNOWN. At 100 TB schema merge is a
+    * footer-metadata operation — no data rewrite, exactly the property
+    * that motivated the reference's storage design. */
+  val schemaEvolution = Query(
+    "q_schema_evolution",
+    """SELECT CASE WHEN year(o_orderdate) < 1995 THEN 'UNKNOWN'
+      |            ELSE o_orderpriority END AS prio,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY prio ORDER BY prio""".stripMargin) { (s, d) =>
+    val dir = outDir(s, d, "evolve")
+    val o = tbl(s, d, "orders")
+    o.filter(year(col("o_orderdate")) < 1995)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$dir/gen=1")
+    o.filter(year(col("o_orderdate")) >= 1995)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$dir/gen=2")
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy(coalesce(col("o_orderpriority"), lit("UNKNOWN")).as("prio"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec("o_totalprice")).cast(DoubleType).as("revenue"))
+      .orderBy("prio")
+  }
+
   val queries: Seq[Query] =
     Seq(sourceCsv, sourceJson, sourceOrc, partitionPrune, sourceCustom, bucketedJoin,
-      sinkStore, sourceBinary, storeScan)
+      sinkStore, sourceBinary, storeScan, schemaEvolution)
 }
