@@ -62,6 +62,23 @@ class OperatorSpec extends SparkSpec {
     assert(out == Seq((1L, 2L), (2L, 1L)))
   }
 
+  test("Observation metrics count filter drops without a second pass") {
+    // the production data-quality pattern: one job both filters AND
+    // reports what it dropped — no extra scan, metrics ride the action
+    val obs = new org.apache.spark.sql.Observation("quality")
+    val docs = Seq(
+      (1L, "good line"), (2L, ""), (3L, "ok"), (4L, "")
+    ).toDF("doc_id", "text")
+    val kept = docs
+      .observe(obs, count(lit(1)).as("seen"),
+        sum(when(length($"text") === 0, 1L).otherwise(0L)).as("empty"))
+      .filter(length($"text") > 0)
+      .collect()
+    assert(kept.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    val m = obs.get
+    assert(m("seen") == 4L && m("empty") == 2L, s"wrong metrics: $m")
+  }
+
   test("fixed-point centroid mean is exact and order-independent") {
     val vals = Seq(0.1f, 0.25f, -0.7f, 0.33f, 0.999f, -0.001f)
     val df1 = vals.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "x")
