@@ -47,27 +47,39 @@ object Vcf {
     lines
       .filter(!col("value").startsWith("#"))
       .select(split(col("value"), "\t").as("f"))
+      // malformed lines (wrong arity, non-numeric POS) are DROPPED, not
+      // fatal: ANSI mode is on, so a plain cast would kill the whole job
+      // on the first corrupt line of a 100 TB ingest — try_cast + filter
+      // is the skip-bad-records posture (count them with .observe).
+      .filter(size(col("f")) >= 10)
       .select(
         element_at(col("f"), 1).as("contig"),
-        element_at(col("f"), 2).cast(LongType).as("start"),
+        expr("try_cast(element_at(f, 2) AS BIGINT)").as("start"),
         element_at(col("f"), 4).as("ref"),
         split(element_at(col("f"), 5), ",").as("alts"),
         element_at(col("f"), 8).as("info"),
         split(element_at(col("f"), 9), ":").as("fmt"),
         split(element_at(col("f"), 10), ":").as("vals"))
+      .filter(col("start").isNotNull)
       .select(
         lit(sample).as("sample"),
         col("contig"),
         col("start"),
         when(col("info").contains("END="),
-          regexp_extract(col("info"), "END=([0-9]+)", 1).cast(LongType))
+          expr("try_cast(regexp_extract(info, 'END=([0-9]+)', 1) AS BIGINT)"))
           .otherwise(col("start") + length(col("ref")) - 1).as("end"),
         when(size(col("alts")) === 1 && element_at(col("alts"), 1) === NonRef, "block")
           .otherwise("site").as("kind"),
         concat(array(col("ref")), filter(col("alts"), a => a =!= NonRef)).as("alleles"),
-        field("GQ").cast(IntegerType).as("gq"),
+        expr("try_cast(" + fieldSql("GQ") + " AS INT)").as("gq"),
         field("GT").as("gt"))
+      .filter(col("end").isNotNull) // END= present but non-numeric
   }
+
+  /** SQL text of the FORMAT-field lookup (for try_cast composition). */
+  private def fieldSql(fmt: String): String =
+    s"CASE WHEN array_position(fmt, '$fmt') > 0 THEN " +
+      s"element_at(vals, CAST(array_position(fmt, '$fmt') AS INT)) END"
 
   /** Read one single-sample gVCF text file into `variants` rows. */
   def readGvcf(s: SparkSession, path: String, sample: String): DataFrame =
@@ -163,6 +175,38 @@ object Vcf {
         countDistinct(array_join(col("alleles"), "/")).cast(LongType).as("n_allele_patterns"),
         countDistinct(col("gt")).cast(LongType).as("n_gts"))
       .orderBy("contig", "kind")
+  }
+
+  /** Parse MULTI-sample VCF body lines (the [[Gvcf.exportLines]] format:
+    * one GT:GQ cell per cohort sample, missing cells `./.:.`) back to
+    * per-sample `variants` rows — the inverse of the export path, proving
+    * the text format is lossless at sites (GvcfSpec round-trip).
+    * Sample i's cell is field 10+i against the SORTED sample list (the
+    * SampleNameIndex contract); missing cells drop, `<NON_REF>` leaves
+    * the alleles. One posexplode per line — map work, no shuffle. */
+  def parseCohortLines(lines: DataFrame, samples: Seq[String]): DataFrame = {
+    val sArr = array(samples.sorted.map(lit): _*)
+    lines
+      .filter(!col("value").startsWith("#"))
+      .select(split(col("value"), "\t").as("f"))
+      .filter(size(col("f")) >= 10)
+      .select(col("f"), posexplode(sArr))
+      .withColumnRenamed("col", "sample")
+      .select(
+        col("sample"),
+        element_at(col("f"), 1).as("contig"),
+        expr("try_cast(element_at(f, 2) AS BIGINT)").as("start"),
+        element_at(col("f"), 4).as("ref"),
+        split(element_at(col("f"), 5), ",").as("alts"),
+        expr("split(element_at(f, CAST(pos + 10 AS INT)), ':')").as("cell"))
+      .filter(col("start").isNotNull && element_at(col("cell"), 1) =!= "./.")
+      .select(
+        col("sample"), col("contig"), col("start"),
+        (col("start") + length(col("ref")) - 1).as("end"),
+        lit("site").as("kind"),
+        concat(array(col("ref")), filter(col("alts"), a => a =!= NonRef)).as("alleles"),
+        expr("try_cast(element_at(cell, 2) AS INT)").as("gq"),
+        element_at(col("cell"), 1).as("gt"))
   }
 
   val queries: Seq[Query] = Seq(sourceVcf)

@@ -46,6 +46,31 @@ class VcfSpec extends SparkSpec {
     assert(out == List(("chr1", 400L, 400L, "site", List("C", "T"), None, None)))
   }
 
+  test("malformed lines are skipped, not fatal (ANSI-safe ingest)") {
+    val out = parse(
+      "chr1\tnot_a_number\t.\tA\tT,<NON_REF>\t1\t.\tDP=1\tGT:GQ\t0/1:10",
+      "truncated line without enough fields",
+      "chr1\t700\t.\tA\t<NON_REF>\t.\t.\tEND=garbage\tGT:GQ\t0/0:12",
+      "chr1\t600\t.\tA\tT,<NON_REF>\t1\t.\tDP=1\tGT:GQ\t0/1:10")
+    assert(out == List(
+      ("chr1", 600L, 600L, "site", List("A", "T"), Some(10), Some("0/1"))),
+      s"malformed lines leaked or killed the good one: $out")
+  }
+
+  test("export → parseCohortLines → combine round-trips the merged calls") {
+    val cohort = graft.ops.Gvcf.syntheticVariants(spark, 300)
+    val expected = graft.ops.Gvcf.combineSites(cohort)
+      .select("contig", "pos", "ref", "alt", "n_samples", "calls")
+      .collect().map(_.toString).toList
+    val exported = graft.ops.Gvcf.exportLines(cohort)
+      .select($"line".as("value"))
+    val reparsed = Vcf.parseCohortLines(exported, Seq("s0", "s1", "s2"))
+    val actual = graft.ops.Gvcf.combineSites(reparsed)
+      .select("contig", "pos", "ref", "alt", "n_samples", "calls")
+      .collect().map(_.toString).toList
+    assert(actual == expected, "text export is not lossless at sites")
+  }
+
   test("phased genotypes survive parsing and normalize in the combine") {
     val out = parse(
       "chr1\t500\t.\tT\tC,<NON_REF>\t10\t.\tDP=5\tGT:GQ\t0|1:33")
