@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expre
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import graft.functions.{DotProduct, DotProductLong, L2NormSq}
+import graft.functions.{DotProduct, DotProductLong, L2NormSq, ZValue}
 
 /** Optimizer rule: a self-dot-product is a squared norm — rewrite
   * `graft_dot(x, x)` to the cheaper single-pass `graft_norm2(x)`.
@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_dotl"),
       new ExpressionInfo(classOf[DotProductLong].getName, "graft_dotl"),
       (args: Seq[Expression]) => DotProductLong(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_zvalue"),
+      new ExpressionInfo(classOf[ZValue].getName, "graft_zvalue"),
+      (args: Seq[Expression]) => ZValue(args(0), args(1),
+        args(2).eval().asInstanceOf[Number].intValue)))
     ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
       (args: Seq[Expression]) => new BloomFilterAggregate(args.head)))
@@ -55,6 +59,10 @@ object GraftExtensions {
       "graft_norm2", (args: Seq[Expression]) => L2NormSq(args.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dotl", (args: Seq[Expression]) => DotProductLong(args(0), args(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_zvalue",
+      (args: Seq[Expression]) => ZValue(args(0), args(1),
+        args(2).eval().asInstanceOf[Number].intValue), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_agg",
       (args: Seq[Expression]) => new BloomFilterAggregate(args.head), "scala_udf")

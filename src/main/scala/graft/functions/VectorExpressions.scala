@@ -34,6 +34,10 @@ object VectorExpressions {
     * multiply-accumulate for quantized (int8-coded) vectors. */
   def dotl(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** zvalue(x, y, bits): Morton interleave — codegen'd bit loop. */
+  def zvalue(x: Column, y: Column, bits: Int): Column =
+    ColumnBridge.column(ZValue(ColumnBridge.expression(x), ColumnBridge.expression(y), bits))
 }
 
 case class DotProduct(left: Expression, right: Expression)
@@ -163,4 +167,49 @@ case class L2NormSq(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): L2NormSq =
     copy(child = newChild)
+}
+
+/** Morton (Z-order) interleave of two non-negative ints bounded by
+  * 2^bits: bit k of x lands at position 2k, bit k of y at 2k+1. The
+  * data-layout key for 2-D min/max pruning (SCALE.md) — a tight
+  * codegen'd bit loop instead of an interpreted per-bit lambda fold.
+  * Semantics identical to the `aggregate(sequence(...))` fold it
+  * replaces (disjoint bits, so the sum IS the interleave). */
+case class ZValue(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_zvalue"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Long]
+    val y = b.asInstanceOf[Long]
+    var z = 0L
+    var k = 0
+    while (k < bits) {
+      z |= ((x >>> k) & 1L) << (2 * k)
+      z |= ((y >>> k) & 1L) << (2 * k + 1)
+      k += 1
+    }
+    z
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val k = ctx.freshName("k")
+      val acc = ctx.freshName("acc")
+      s"""
+         |long $acc = 0L;
+         |for (int $k = 0; $k < $bits; $k++) {
+         |  $acc |= (($a >>> $k) & 1L) << (2 * $k);
+         |  $acc |= (($b >>> $k) & 1L) << (2 * $k + 1);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZValue =
+    copy(left = newLeft, right = newRight)
 }

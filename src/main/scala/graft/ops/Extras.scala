@@ -418,10 +418,9 @@ object Extras {
     * predicates prunable from min/max stats alone at 100 TB (the
     * DataBricks ZORDER / Iceberg sort-order trick, from public
     * literature). */
-  def zvalue(xCol: String, yCol: String, bits: Int): Column = expr(
-    s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (acc, k) ->
-       |  acc + shiftleft((CAST($xCol AS BIGINT) >> k) & 1, 2 * k)
-       |      + shiftleft((CAST($yCol AS BIGINT) >> k) & 1, 2 * k + 1))""".stripMargin)
+  def zvalue(xCol: String, yCol: String, bits: Int): Column =
+    graft.functions.VectorExpressions.zvalue(
+      col(xCol).cast(LongType), col(yCol).cast(LongType), bits)
 
   /** Z-order layout metric: orders keyed by the 10-bit Morton interleave
     * of (custkey, orderkey) mod 1024, bucketed by z-range as a stand-in

@@ -74,4 +74,26 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_dot(a, b) FROM vecs").as[Double].head() == 30.0)
     assert(spark.sql("SELECT graft_norm2(a) FROM vecs").as[Double].head() == 14.0)
   }
+
+  test("zvalue matches a reference interleave on both eval paths; SQL works") {
+    import org.apache.spark.sql.functions.{col, expr}
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L)((z, k) =>
+        z | ((x >> k) & 1L) << (2 * k) | ((y >> k) & 1L) << (2 * k + 1))
+    val d = spark.range(0, 256)
+      .select((col("id") % 16).as("x"), (col("id") / 16).as("y"))
+    val expected = (0L until 256L).map(i => ref(i % 16, i / 16, 4)).sorted
+    for (cg <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", cg)
+      val got = d.select(zvalue(col("x"), col("y"), 4).as("z"))
+        .as[Long].collect().sorted.toSeq
+      assert(got == expected, s"zvalue mismatch under $cg")
+    }
+    spark.conf.unset("spark.sql.codegen.factoryMode")
+    // z-order locality: consecutive z quads share the same 2×2 cell
+    d.createOrReplaceTempView("pts")
+    val viaSql = spark.sql("SELECT graft_zvalue(x, y, 4) FROM pts ORDER BY 1")
+      .as[Long].collect().toSeq
+    assert(viaSql == expected)
+  }
 }
