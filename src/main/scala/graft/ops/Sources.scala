@@ -51,12 +51,14 @@ object Sources {
       case "csv" => w.option("header", "true").csv(dir)
       case "json" => w.json(dir)
       case "orc" => w.orc(dir)
+      case "xml" => w.option("rowTag", "line").format("xml").save(dir)
     }
     val r = s.read.schema(sliceSchema)
     val back = fmt match {
       case "csv" => r.option("header", "true").csv(dir)
       case "json" => r.json(dir)
       case "orc" => r.orc(dir)
+      case "xml" => r.option("rowTag", "line").format("xml").load(dir)
     }
     back.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
@@ -69,6 +71,8 @@ object Sources {
   val sourceCsv = roundTrip("csv")
   val sourceJson = roundTrip("json")
   val sourceOrc = roundTrip("orc")
+  /** Spark 4's built-in XML datasource, same round-trip contract. */
+  val sourceXml = roundTrip("xml")
 
   /** Hive-style partitioned layout + partition pruning: write orders
     * partitioned by year, read back with a year predicate — the filter
@@ -293,5 +297,5 @@ object Sources {
 
   val queries: Seq[Query] =
     Seq(sourceCsv, sourceJson, sourceOrc, partitionPrune, sourceCustom, bucketedJoin,
-      sinkStore, sourceBinary, storeScan, schemaEvolution)
+      sinkStore, sourceBinary, storeScan, schemaEvolution, sourceXml)
 }

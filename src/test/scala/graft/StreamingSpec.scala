@@ -265,6 +265,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful agg runs on the RocksDB state store (large-state posture)") {
+    // at 100 TB of keys, HDFS-backed in-memory state OOMs; RocksDB spills
+    // to local disk. Same query semantics — only the provider changes.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Ev]
+      val q = input.toDF().groupBy("user_id").agg(sum("value").as("total"))
+        .writeStream.format("memory").queryName("rocksdb_out")
+        .outputMode("complete").start()
+      try {
+        input.addData(Ev(ts("2024-01-01 10:00:00"), 1, "click", 2.0))
+        q.processAllAvailable()
+        input.addData(Ev(ts("2024-01-01 10:01:00"), 1, "click", 3.0),
+          Ev(ts("2024-01-01 10:02:00"), 2, "view", 7.0))
+        q.processAllAvailable() // state for user 1 must survive the batch boundary
+        val out = spark.table("rocksdb_out")
+          .as[(Long, Double)].collect().toSeq.sorted
+        assert(out == Seq((1L, 5.0), (2L, 7.0)), s"RocksDB-backed state wrong: $out")
+        assert(q.recentProgress.exists(_.stateOperators.nonEmpty),
+          "no stateful operator reported progress")
+      } finally q.stop()
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("foreachBatch upserts each micro-batch into a keyed table (last-writer-wins)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
