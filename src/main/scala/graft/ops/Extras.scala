@@ -456,8 +456,117 @@ object Extras {
       .orderBy("bucket")
   }
 
+  /** Snapshot CDC: diff two table versions (the "new" one is a
+    * deterministic mutation of orders — every 10th key's priority
+    * changes, keys ≡ 3 (mod 1000) are deleted, synthetic keys are
+    * inserted) into insert/update/delete/unchanged classes — the full
+    * outer join + null/value comparison every lake CDC pipeline runs.
+    * One shuffle per side on the key. */
+  val cdcDiff = Query(
+    "q_cdc_diff",
+    """WITH old AS (SELECT o_orderkey AS k, o_orderpriority AS v FROM orders),
+      |new AS (
+      |  SELECT k, CASE WHEN k % 10 = 0 THEN 'RE-PRIORITIZED' ELSE v END AS v
+      |  FROM old WHERE k % 1000 <> 3
+      |  UNION ALL
+      |  SELECT -k - 1 AS k, 'INSERTED' AS v FROM old WHERE k % 500 = 7),
+      |d AS (
+      |  SELECT CASE WHEN o.k IS NULL THEN 'insert'
+      |              WHEN n.k IS NULL THEN 'delete'
+      |              WHEN o.v <> n.v THEN 'update'
+      |              ELSE 'unchanged' END AS op
+      |  FROM old o FULL OUTER JOIN new n ON o.k = n.k)
+      |SELECT op, CAST(count(*) AS BIGINT) AS n
+      |FROM d GROUP BY op ORDER BY op""".stripMargin) { (s, d) =>
+    val old = tbl(s, d, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("v"))
+    val neu = old.filter(expr("k % 1000 <> 3"))
+      .select(col("k"),
+        when(expr("k % 10 = 0"), "RE-PRIORITIZED").otherwise(col("v")).as("v"))
+      .unionByName(old.filter(expr("k % 500 = 7"))
+        .select((-col("k") - 1).as("k"), lit("INSERTED").as("v")))
+    val o = old.select(col("k").as("ok"), col("v").as("ov"))
+    val n = neu.select(col("k").as("nk"), col("v").as("nv"))
+    o.join(n, col("ok") === col("nk"), "full_outer")
+      .select(
+        when(col("ok").isNull, "insert")
+          .when(col("nk").isNull, "delete")
+          .when(col("ov") =!= col("nv"), "update")
+          .otherwise("unchanged").as("op"))
+      .groupBy("op").agg(count(lit(1)).as("n"))
+      .orderBy("op")
+  }
+
+  /** Top-k per group — the window pattern (rank ≤ k after a
+    * per-group sort) that TakeOrdered can't express: top-3 orders by
+    * price within each priority, total tie order. One exchange on the
+    * group key; at 100 TB per-group heaps via AQE-coalesced windows. */
+  val topkPerGroup = Query(
+    "q_topk_per_group",
+    """SELECT prio, rk, o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS price
+      |FROM (
+      |  SELECT o_orderpriority AS prio, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders)
+      |WHERE rk <= 3
+      |ORDER BY prio, rk""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    tbl(s, d, "orders")
+      .select(col("o_orderpriority").as("prio"), col("o_orderkey"),
+        col("o_totalprice"), row_number().over(w).as("rk"))
+      .filter(col("rk") <= 3)
+      .select(col("prio"), col("rk").cast(LongType).as("rk"), col("o_orderkey"),
+        dec("o_totalprice").cast(DoubleType).as("price"))
+      .orderBy("prio", "rk")
+  }
+
+  /** describe()-style summary statistics with EXACT math: one pass
+    * collects n, Σx, Σx² as exact integers (cents), then mean/stddev
+    * are single double computations from identical integers — so even
+    * the stddev hash-matches across engines (no streaming-variance
+    * float drift). The 100 TB shape: one partial+final aggregate. */
+  val summaryStats = Query(
+    "q_summary_stats",
+    """WITH c AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT flag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(min(cents) AS BIGINT) AS min_cents,
+      |    CAST(max(cents) AS BIGINT) AS max_cents,
+      |    CAST(sum(cents) AS BIGINT) AS sum_c,
+      |    CAST(sum(cents * cents) AS HUGEINT) AS sum_c2
+      |  FROM c GROUP BY flag)
+      |SELECT flag, n, min_cents, max_cents,
+      |  round(CAST(sum_c AS DOUBLE) / n / 100, 4) AS mean,
+      |  round(sqrt((CAST(sum_c2 AS DOUBLE) - CAST(sum_c AS DOUBLE) *
+      |    (CAST(sum_c AS DOUBLE) / n)) / (n - 1)) / 100, 4) AS stddev
+      |FROM s ORDER BY flag""".stripMargin) { (s, d) =>
+    val cents = (dec("l_extendedprice") * 100).cast(LongType)
+    tbl(s, d, "lineitem")
+      .select(col("l_returnflag").as("flag"), cents.as("cents"))
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"),
+        sum(col("cents")).as("sum_c"),
+        // cents² sums overflow Long at sf ≥ 0.1 (ANSI would throw) —
+        // accumulate exact decimal, convert to double once at the end
+        sum((col("cents") * col("cents")).cast(DecimalType(38, 0))).as("sum_c2"))
+      .select(col("flag"), col("n"), col("min_cents"), col("max_cents"),
+        round(col("sum_c").cast(DoubleType) / col("n") / 100, 4).as("mean"),
+        round(sqrt((col("sum_c2").cast(DoubleType) - col("sum_c").cast(DoubleType) *
+          (col("sum_c").cast(DoubleType) / col("n"))) / (col("n") - 1)) / 100, 4)
+          .as("stddev"))
+      .orderBy("flag")
+  }
+
   val queries: Seq[Query] = Seq(
     pivotWide, unpivot, percentile, sampleSplit, aggSalted, windowNav,
     regexpExtract, mergeUpsert, histogram, scalarSubquery, boolAggs,
-    funnel, retention, graphReach, bloomPrefilter, windowNtile, zorderLayout)
+    funnel, retention, graphReach, bloomPrefilter, windowNtile, zorderLayout,
+    cdcDiff, topkPerGroup, summaryStats)
 }

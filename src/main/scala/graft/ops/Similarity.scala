@@ -367,7 +367,33 @@ object Similarity {
       .limit(10)
   }
 
+  /** Pairwise centroid cosine matrix: the RIGHT way to do all-pairs at
+    * 100 TB — reduce first (K fixed-point-exact centroids), then the
+    * quadratic step runs on K rows, not the corpus. K² = 45 pairs here;
+    * the join is a broadcast nested loop over kilobytes. */
+  val centroidPairs = Query(
+    "q_centroid_pairs",
+    s"""WITH e AS (SELECT label, embedding AS v FROM embeddings),
+       |dims AS (SELECT unnest(generate_series(0, 63)) AS dim),
+       |cent AS (
+       |  SELECT label, dim, ${duckFixedPointMean("v[dim + 1]")} AS c
+       |  FROM e, dims GROUP BY label, dim),
+       |cvec AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label)
+       |SELECT CAST(a.label AS BIGINT) AS l1, CAST(b.label AS BIGINT) AS l2,
+       |  round(${duckDot("a.cv", "b.cv")} /
+       |        (${duckNorm("a.cv")} * ${duckNorm("b.cv")}), 6) AS cos_sim
+       |FROM cvec a JOIN cvec b ON a.label < b.label
+       |ORDER BY l1, l2""".stripMargin) { (s, d) =>
+    val cents = Ivf.trainCentroids(tbl(s, d, "embeddings"))
+    val a = cents.select(col("label").as("l1"), col("cv").as("cv1"))
+    val b = cents.select(col("label").as("l2"), col("cv").as("cv2"))
+    a.join(b, col("l1") < col("l2"))
+      .select(col("l1").cast(LongType).as("l1"), col("l2").cast(LongType).as("l2"),
+        round(cosine(col("cv1"), col("cv2")), 6).as("cos_sim"))
+      .orderBy("l1", "l2")
+  }
+
   val queries: Seq[Query] =
     Seq(similarityTopk, centroidByLabel, annIvf, dedupEmbed, kmeansIter, annRecall,
-      embedQuantize, similarityQuantized)
+      embedQuantize, similarityQuantized, centroidPairs)
 }
