@@ -513,8 +513,51 @@ object Pipeline {
       .limit(15)
   }
 
+  /** Top session paths (product-analytics staple): sessionize (same
+    * 30-min islands as q_sessionize), take each session's first three
+    * event types in (ts, event_id) order, count path frequencies, top-10.
+    * The per-session collect is bounded by the 3-prefix slice; path
+    * counting is a vocab-sized aggregate with map-side combine. */
+  val sessionPaths = Query(
+    "q_session_paths",
+    """WITH s AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (SELECT *,
+      |          CASE WHEN lag(ts) OVER w IS NULL
+      |                 OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+      |               THEN 1 ELSE 0 END AS new_s
+      |        FROM events
+      |        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))),
+      |p AS (
+      |  SELECT user_id, session_id,
+      |    array_to_string(list(event_type ORDER BY ts, event_id)[1:3], '>') AS path
+      |  FROM s GROUP BY user_id, session_id)
+      |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      |FROM p GROUP BY path
+      |ORDER BY n_sessions DESC, path
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    val byU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevTs = lag(col("ts"), 1).over(byU)
+    tbl(s, d, "events")
+      .withColumn("new_s",
+        when(prevTs.isNull || unix_micros(col("ts")) - unix_micros(prevTs) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(run))
+      .groupBy("user_id", "session_id")
+      .agg(array_join(expr(
+        "slice(transform(array_sort(collect_list(struct(ts, event_id, event_type))), " +
+          "x -> x.event_type), 1, 3)"), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), col("path"))
+      .limit(10)
+  }
+
   val queries: Seq[Query] = Seq(
     dedupExact, textTokens, textStats, langId, qualityScore, tokenCount,
     fingerprint, multimodalMeta, mediaDecode, mediaResize, tokenizeRegex, bigrams, tfidf, sessionize, windowTumbling, windowSliding,
-    redact, repetition, contamination, collocations)
+    redact, repetition, contamination, collocations, sessionPaths)
 }
