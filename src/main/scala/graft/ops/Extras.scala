@@ -564,9 +564,96 @@ object Extras {
       .orderBy("flag")
   }
 
+  /** Calendar gap-fill (reporting staple): a generated month spine
+    * left-joins the monthly revenue so empty months surface as zeros —
+    * LOCF's sibling for regular grids. The spine is `sequence()` over
+    * the data's own min/max (one tiny pre-aggregate), exploded — never a
+    * driver-side date loop; at 100 TB the spine is still only
+    * O(months) rows and broadcasts. */
+  val gapFill = Query(
+    "q_gap_fill",
+    """WITH m AS (
+      |  SELECT date_trunc('month', o_orderdate) AS mo,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY mo),
+      |bounds AS (SELECT min(mo) AS lo, max(mo) AS hi FROM m),
+      |spine AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS mo FROM bounds)
+      |SELECT CAST(s.mo AS TIMESTAMP) AS mo, coalesce(m.n, 0) AS n
+      |FROM spine s LEFT JOIN m ON s.mo = m.mo
+      |ORDER BY mo""".stripMargin) { (s, d) =>
+    val m = tbl(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n"))
+    val spine = m.agg(min(col("mo")).as("lo"), max(col("mo")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 month)")).as("mo"))
+    spine.join(m, Seq("mo"), "left")
+      .select(col("mo"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("mo")
+  }
+
+  /** Percent-of-total via a broadcast scalar aggregate instead of an
+    * unpartitioned window (`sum() OVER ()` would move every row to ONE
+    * partition — the warning Spark prints; the one-row cross join keeps
+    * the big side fully parallel). Exact decimal sums; one double
+    * division at the end. */
+  val shareOfTotal = Query(
+    "q_share",
+    """WITH per AS (
+      |  SELECT o_orderpriority AS prio,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      |  FROM orders GROUP BY prio),
+      |tot AS (SELECT sum(rev) AS t FROM per)
+      |SELECT prio, CAST(rev AS DOUBLE) AS revenue,
+      |  round(CAST(rev AS DOUBLE) / CAST(t AS DOUBLE) * 100, 6) AS pct
+      |FROM per, tot ORDER BY prio""".stripMargin) { (s, d) =>
+    val per = tbl(s, d, "orders")
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(sum(dec("o_totalprice")).as("rev"))
+    val tot = per.agg(sum(col("rev")).as("t"))
+    per.crossJoin(broadcast(tot))
+      .select(col("prio"), col("rev").cast(DoubleType).as("revenue"),
+        round(col("rev").cast(DoubleType) / col("t").cast(DoubleType) * 100, 6)
+          .as("pct"))
+      .orderBy("prio")
+  }
+
+  /** The NOT IN null trap, both sides shown: against a subquery
+    * containing a NULL, `NOT IN` can never be TRUE (ANSI three-valued
+    * logic) — 0 rows survive; the null-filtered variant behaves like a
+    * proper anti join. Spark plans the nullable case as a null-aware
+    * anti join; the counts prove the semantics match DuckDB's. */
+  val notInNulls = Query(
+    "q_not_in_nulls",
+    """WITH r AS (
+      |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+      |              ELSE o_custkey END AS v
+      |  FROM orders)
+      |SELECT 'with_null' AS variant, CAST(count(*) AS BIGINT) AS n
+      |FROM customer WHERE c_custkey NOT IN (SELECT v FROM r)
+      |UNION ALL
+      |SELECT 'null_filtered' AS variant, CAST(count(*) AS BIGINT) AS n
+      |FROM customer WHERE c_custkey NOT IN (SELECT v FROM r WHERE v IS NOT NULL)
+      |ORDER BY variant""".stripMargin) { (s, d) =>
+    tbl(s, d, "orders").createOrReplaceTempView("graft_nin_o")
+    tbl(s, d, "customer").createOrReplaceTempView("graft_nin_c")
+    s.sql(
+      """WITH r AS (
+        |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |              ELSE o_custkey END AS v
+        |  FROM graft_nin_o)
+        |SELECT 'with_null' AS variant, count(*) AS n
+        |FROM graft_nin_c WHERE c_custkey NOT IN (SELECT v FROM r)
+        |UNION ALL
+        |SELECT 'null_filtered' AS variant, count(*) AS n
+        |FROM graft_nin_c WHERE c_custkey NOT IN (SELECT v FROM r WHERE v IS NOT NULL)
+        |ORDER BY variant""".stripMargin)
+  }
+
   val queries: Seq[Query] = Seq(
     pivotWide, unpivot, percentile, sampleSplit, aggSalted, windowNav,
     regexpExtract, mergeUpsert, histogram, scalarSubquery, boolAggs,
     funnel, retention, graphReach, bloomPrefilter, windowNtile, zorderLayout,
-    cdcDiff, topkPerGroup, summaryStats)
+    cdcDiff, topkPerGroup, summaryStats, gapFill, shareOfTotal, notInNulls)
 }
