@@ -129,6 +129,27 @@ class PlanSpec extends SparkSpec {
       s"recursive CTE did not plan as a loop operator:\n${p.take(2000)}")
   }
 
+  test("q_share broadcasts the total (no single-partition global window)") {
+    val p = plan(Extras.shareOfTotal)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"total not broadcast:\n${p.take(1500)}")
+    assert(!p.contains("Window"), "percent-of-total regressed to a global window")
+  }
+
+  test("q_not_in_nulls plans the nullable branch as a null-aware anti join") {
+    val p = plan(Extras.notInNulls)
+    // the flag prints as the trailing boolean: BroadcastHashJoin [...],
+    // LeftAnti, BuildRight, true  ← isNullAwareAntiJoin
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      s"NOT IN did not become a null-aware anti join:\n${p.take(2500)}")
+  }
+
+  test("q_gap_fill joins the spine without a cartesian product") {
+    val p = plan(Extras.gapFill)
+    assert(!p.contains("CartesianProduct"),
+      s"spine join fell back to cartesian:\n${p.take(1500)}")
+  }
+
   test("AQE splits a planted skewed join at runtime (skew=true in final plan)") {
     import spark.implicits._
     // ~95% of the left side lands on key 0 — one reducer partition would
