@@ -39,20 +39,26 @@ object Vcf {
     *     dropped) — the merged-combine input shape.
     *   - `gq`/`gt`: located by position of GQ/GT in FORMAT (null-safe
     *     when the file omits them). */
-  def parseLines(lines: DataFrame, sample: String): DataFrame = {
+  def parseLines(lines: DataFrame, sample: String): DataFrame =
+    parseLinesAs(lines, lit(sample))
+
+  /** As [[parseLines]], but the sample identity is an arbitrary Column
+    * over the input rows (e.g. derived from `input_file_name()`). */
+  def parseLinesAs(lines: DataFrame, sampleCol: org.apache.spark.sql.Column): DataFrame = {
     def field(fmt: String) = {
       val pos = array_position(col("fmt"), fmt)
       when(pos > 0, element_at(col("vals"), pos.cast(IntegerType)))
     }
     lines
       .filter(!col("value").startsWith("#"))
-      .select(split(col("value"), "\t").as("f"))
+      .select(sampleCol.as("sample0"), split(col("value"), "\t").as("f"))
       // malformed lines (wrong arity, non-numeric POS) are DROPPED, not
       // fatal: ANSI mode is on, so a plain cast would kill the whole job
       // on the first corrupt line of a 100 TB ingest — try_cast + filter
       // is the skip-bad-records posture (count them with .observe).
       .filter(size(col("f")) >= 10)
       .select(
+        col("sample0"),
         element_at(col("f"), 1).as("contig"),
         expr("try_cast(element_at(f, 2) AS BIGINT)").as("start"),
         element_at(col("f"), 4).as("ref"),
@@ -62,7 +68,7 @@ object Vcf {
         split(element_at(col("f"), 10), ":").as("vals"))
       .filter(col("start").isNotNull)
       .select(
-        lit(sample).as("sample"),
+        col("sample0").as("sample"),
         col("contig"),
         col("start"),
         when(col("info").contains("END="),
@@ -84,6 +90,17 @@ object Vcf {
   /** Read one single-sample gVCF text file into `variants` rows. */
   def readGvcf(s: SparkSession, path: String, sample: String): DataFrame =
     parseLines(s.read.text(path), sample)
+
+  /** Cohort ingest from a DIRECTORY of per-sample gVCFs — the reference's
+    * real store path (one file per sample, sample identity from the file
+    * name `<sample>.g.vcf`): `spark.read.text` over the glob keeps
+    * per-file parallelism, `input_file_name()` recovers the sample
+    * column, and the single-sample parser runs unchanged on the lines.
+    * At 100 TB this is the same plan — listing parallelizes, each task
+    * parses its split, nothing driver-side. */
+  def readGvcfDir(s: SparkSession, dir: String): DataFrame =
+    parseLinesAs(s.read.text(s"$dir/*.g.vcf"),
+      regexp_extract(input_file_name(), "([^/]+)\\.g\\.vcf$", 1))
 
   /** Deterministic synthetic gVCF body: record i is a site (ALT =
     * concrete base + `<NON_REF>`) when i % 3 == 0, else a reference

@@ -71,6 +71,30 @@ class VcfSpec extends SparkSpec {
     assert(actual == expected, "text export is not lossless at sites")
   }
 
+  test("readGvcfDir ingests a directory of per-sample files, sample from file name") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cohort").toString
+    def write(sample: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"$sample.g.vcf"),
+        (Seq("##fileformat=VCFv4.2",
+          s"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t$sample") ++ lines)
+          .mkString("\n").getBytes("UTF-8"))
+    write("alice", Seq(
+      "chr1\t1\t.\tA\t<NON_REF>\t.\t.\tEND=14\tGT:GQ\t0/0:50",
+      "chr1\t15\t.\tG\tA,<NON_REF>\t99\t.\tDP=9\tGT:GQ\t0/1:99"))
+    write("bob", Seq(
+      "chr1\t9\t.\tT\tC,<NON_REF>\t88\t.\tDP=7\tGT:GQ\t1/1:88",
+      "chr1\t10\t.\tC\t<NON_REF>\t.\t.\tEND=30\tGT:GQ\t0/0:42"))
+    val v = Vcf.readGvcfDir(spark, dir)
+    val samples = v.select("sample").distinct().as[String].collect().toSeq.sorted
+    assert(samples == Seq("alice", "bob"), s"file-name samples wrong: $samples")
+    // the parsed cohort combines: alice's block covers bob's site at 9;
+    // bob's block covers alice's site at 15
+    val calls = graft.ops.Gvcf.combineSites(v)
+      .select("pos", "calls").as[(Long, Seq[String])].collect().toMap
+    assert(calls(9L) == Seq("alice:0/0:50", "bob:1/1:88"))
+    assert(calls(15L) == Seq("alice:0/1:99", "bob:0/0:42"))
+  }
+
   test("phased genotypes survive parsing and normalize in the combine") {
     val out = parse(
       "chr1\t500\t.\tT\tC,<NON_REF>\t10\t.\tDP=5\tGT:GQ\t0|1:33")
