@@ -651,9 +651,44 @@ object Extras {
         |ORDER BY variant""".stripMargin)
   }
 
+  /** Time-series anomaly flags with INTEGER-exact math: an hour is
+    * anomalous when its event count exceeds 2× the trailing-7-hour mean —
+    * compared as `7·n > 2·Σprev7` so no float division ever happens.
+    * Pre-aggregate to hours first (tiny), then one frame window per
+    * event_type. */
+  val anomalyHours = Query(
+    "q_anomaly_hours",
+    """WITH h AS (
+      |  SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n
+      |  FROM events GROUP BY hr, event_type),
+      |w AS (
+      |  SELECT event_type, n,
+      |    sum(n) OVER f AS prev7, count(*) OVER f AS prev_n
+      |  FROM h
+      |  WINDOW f AS (PARTITION BY event_type ORDER BY hr
+      |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+      |  CAST(sum(CASE WHEN prev_n = 7 AND n * 7 > 2 * prev7
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+      |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val hourly = tbl(s, d, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val f = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-7, -1)
+    hourly
+      .withColumn("prev7", sum(col("n")).over(f))
+      .withColumn("prev_n", count(lit(1)).over(f))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when(col("prev_n") === 7 && col("n") * 7 > col("prev7") * 2, 1L)
+          .otherwise(0L)).as("n_anomalies"))
+      .orderBy("event_type")
+  }
+
   val queries: Seq[Query] = Seq(
     pivotWide, unpivot, percentile, sampleSplit, aggSalted, windowNav,
     regexpExtract, mergeUpsert, histogram, scalarSubquery, boolAggs,
     funnel, retention, graphReach, bloomPrefilter, windowNtile, zorderLayout,
-    cdcDiff, topkPerGroup, summaryStats, gapFill, shareOfTotal, notInNulls)
+    cdcDiff, topkPerGroup, summaryStats, gapFill, shareOfTotal, notInNulls,
+    anomalyHours)
 }

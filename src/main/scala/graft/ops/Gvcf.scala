@@ -621,7 +621,76 @@ object Gvcf {
       .orderBy("gt_a", "gt_b")
   }
 
+  /** Coverage GAPS (callable-regions complement): within each contig's
+    * observed [min(start), max(end)] span, the maximal intervals covered
+    * by NO record — the same interval-union islands as [[sampleBreadth]]
+    * but pooled across samples and inverted (island k's end + 1 up to
+    * island k+1's start - 1). O(records), no per-base work. */
+  def coverageGaps(variants: DataFrame): DataFrame = {
+    val w = Window.partitionBy("contig").orderBy("start", "end")
+    val maxPrevEnd = max(col("end"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val newIsland =
+      when(maxPrevEnd.isNull || col("start") > maxPrevEnd + 1, 1L).otherwise(0L)
+    val islands = variants
+      .withColumn("island", sum(newIsland)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("contig", "island")
+      .agg(min(col("start")).as("lo"), max(col("end")).as("hi"))
+    val wI = Window.partitionBy("contig").orderBy("lo")
+    islands
+      .withColumn("next_lo", lead(col("lo"), 1).over(wI))
+      .filter(col("next_lo").isNotNull && col("next_lo") > col("hi") + 1)
+      .select(col("contig"), (col("hi") + 1).as("gap_start"),
+        (col("next_lo") - 1).as("gap_end"))
+      .orderBy("contig", "gap_start")
+  }
+
+  /** Gaps over a sparse synthetic cohort (every third j missing entirely,
+    * so real holes exist); the oracle replays islands + complement. */
+  val covGaps = Query(
+    "q_coverage_gaps",
+    """WITH g AS (SELECT range AS i FROM range(0, 3000)),
+      |v AS (
+      |  SELECT 'chr' || CAST(1 + (i // 3) % 2 AS VARCHAR) AS contig,
+      |    (i // 3) * 30 + 1 AS vstart, (i // 3) * 30 + 10 + (i % 3) AS vend
+      |  FROM g WHERE (i // 3) % 3 <> 1),
+      |isl AS (
+      |  SELECT contig, vstart, vend,
+      |    CASE WHEN max(vend) OVER wp IS NULL
+      |           OR vstart > max(vend) OVER wp + 1 THEN 1 ELSE 0 END AS new_island
+      |  FROM v
+      |  WINDOW wp AS (PARTITION BY contig ORDER BY vstart, vend
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |grp AS (
+      |  SELECT *, sum(new_island) OVER (PARTITION BY contig ORDER BY vstart, vend
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM isl),
+      |ext AS (
+      |  SELECT contig, island, min(vstart) AS lo, max(vend) AS hi
+      |  FROM grp GROUP BY contig, island),
+      |nxt AS (
+      |  SELECT contig, hi, lead(lo) OVER (PARTITION BY contig ORDER BY lo) AS next_lo
+      |  FROM ext)
+      |SELECT contig, CAST(hi + 1 AS BIGINT) AS gap_start,
+      |  CAST(next_lo - 1 AS BIGINT) AS gap_end
+      |FROM nxt WHERE next_lo IS NOT NULL AND next_lo > hi + 1
+      |ORDER BY contig, gap_start""".stripMargin) { (s, _) =>
+    val v = s.range(0, 3000)
+      .filter(expr("(id div 3) % 3 <> 1"))
+      .selectExpr(
+        "concat('s', id % 3) AS sample",
+        "concat('chr', 1 + (id div 3) % 2) AS contig",
+        "(id div 3) * 30 + 1 AS start",
+        "(id div 3) * 30 + 10 + id % 3 AS end",
+        "'block' AS kind", "array('REF') AS alleles", "CAST(50 AS INT) AS gq")
+    coverageGaps(v)
+      .select(col("contig"), col("gap_start").cast(LongType).as("gap_start"),
+        col("gap_end").cast(LongType).as("gap_end"))
+      .orderBy("contig", "gap_start")
+  }
+
   val queries: Seq[Query] =
     Seq(combineMerge, sampleIndexQuery, gvcfExport, siteStats, mergeBands,
-      coverageHist, tiTv, breadth, mendel, concordance)
+      coverageHist, tiTv, breadth, mendel, concordance, covGaps)
 }
