@@ -223,6 +223,32 @@ class GvcfSpec extends SparkSpec {
     assert(out == Seq(("chr1", 2L, 1L, 2000000L)))
   }
 
+  test("coverageGaps inverts pooled coverage; adjacency closes the gap") {
+    val v = Seq(
+      ("a", "chr1", 1L, 10L, "block", Seq("REF"), 50),
+      ("b", "chr1", 5L, 20L, "block", Seq("REF"), 50),  // overlaps → [1,20]
+      ("a", "chr1", 30L, 40L, "block", Seq("REF"), 50), // hole [21,29]
+      ("b", "chr1", 41L, 45L, "block", Seq("REF"), 50)  // adjacent → no hole
+    ).toDF("sample", "contig", "start", "end", "kind", "alleles", "gq")
+    val gaps = Gvcf.coverageGaps(v)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(gaps == Seq(("chr1", 21L, 29L)), s"wrong gaps: $gaps")
+  }
+
+  test("mendelViolations flags child alleles absent from a parent") {
+    def site(s: String, pos: Long, gt: String) =
+      (s, "chr1", pos, pos, "site", Seq("G", "A"), 50, gt)
+    val trio = Seq(
+      // pos 5: child 1/1 but parent s1 is 0/0 → violation
+      site("s0", 5L, "1/1"), site("s1", 5L, "0/0"), site("s2", 5L, "0/1"),
+      // pos 9: child 0/1 drawable (0 from s2, 1 from s1) → consistent
+      site("s0", 9L, "0/1"), site("s1", 9L, "0/1"), site("s2", 9L, "0/0")
+    ).toDF("sample", "contig", "start", "end", "kind", "alleles", "gq", "gt")
+    val out = Gvcf.mendelViolations(trio)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("chr1", 2L, 1L)), s"wrong mendel counts: $out")
+  }
+
   test("sampleBreadth coalesces overlapping AND adjacent intervals") {
     val v = Seq(
       // overlapping + touching → one island [1,25]
