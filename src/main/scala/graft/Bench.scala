@@ -34,15 +34,25 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
-    // "value" goes LAST: the driver tail-captures stdout, so a truncated
-    // line loses its HEAD (r2 lost the total + first 8 queries). Values
-    // are ms-rounded to keep the whole line inside the capture window,
-    // and the untruncated artifact is also written to BENCH_full.json.
-    val line =
+    val full =
       s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
-      line.getBytes("UTF-8"))
-    println(line)
+      full.getBytes("UTF-8"))
+    // The driver tail-captures only the last ~2000 chars of stdout, and
+    // the full per-query map outgrew that in r3 ("parsed": null). Print a
+    // line hard-capped at 1750 chars: all scalar fields plus the slowest
+    // queries greedily (those are what a perf audit reads); the complete
+    // map is in the committed BENCH_full.json.
+    val prefix = s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
+      s""""n_queries":${results.size},"queries_full":"BENCH_full.json","queries":{"""
+    val suffix = s"""},"value":$total}"""
+    val budget = 1750 - prefix.length - suffix.length
+    val entries = results.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val kept = new StringBuilder
+    for (e <- entries if kept.length + e.length + 1 <= budget)
+      kept.append(if (kept.isEmpty) e else "," + e)
+    println(prefix + kept + suffix)
     spark.stop()
   }
 }

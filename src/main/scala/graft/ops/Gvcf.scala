@@ -232,18 +232,22 @@ object Gvcf {
 
   /** Merged-record combine over the synthetic cohort, oracle-backed: the
     * DuckDB side rebuilds the cohort and performs the same merge (site
-    * union, genotype remap via list_position, sample-ordered calls). */
+    * union, genotype remap via list_position, sample-ordered calls).
+    * `calls` is flattened to one ';'-joined string — the driver's compare
+    * sorts on every output column and can't sort array cells (r3's only
+    * red entry), so no final query schema may carry ARRAY columns. */
   val combineMerge = Query(
     "q_combine_merge",
     s"""WITH $duckCombineCtes
        |SELECT r.contig, r.pos, m.mref AS ref,
        |  array_to_string(m.calts, ',') || ',<NON_REF>' AS alt,
        |  count(*) AS n_samples,
-       |  list(r.sample || ':' || r.gtm || ':' || CAST(r.gq AS VARCHAR) ORDER BY r.sample) AS calls
+       |  array_to_string(list(r.sample || ':' || r.gtm || ':' || CAST(r.gq AS VARCHAR) ORDER BY r.sample), ';') AS calls
        |FROM remap r JOIN merged m ON r.contig = m.contig AND r.pos = m.pos
        |GROUP BY r.contig, r.pos, m.mref, m.calts
        |ORDER BY r.contig, r.pos""".stripMargin) { (s, _) =>
     combineSites(syntheticVariants(s, 3000))
+      .withColumn("calls", array_join(col("calls"), ";"))
   }
 
   /** The reference's output path (SURVEY §3.2 `load → collect →
