@@ -6,6 +6,11 @@ import org.apache.spark.sql.SparkSession
   * first (JIT + codegen + parquet footer caches), then queries in sorted
   * name order so per-query numbers are comparable across rounds. */
 object Bench {
+  // JSON must be locale-independent: a comma-decimal default locale
+  // (e.g. de_DE) would turn every f"" float into invalid JSON.
+  private def f3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,18 +27,22 @@ object Bench {
     // materialize their write-once artifacts (IVF buckets, cluster
     // labels, bucketed tables), so the measured numbers are the
     // deterministic build-once/reuse paths regardless of what a prior
-    // run left on disk.
+    // run left on disk. A warmup failure is NOT swallowed silently — it
+    // means a measured query will pay the build (r4's q_corpus_clean
+    // mystery), so it goes to stderr for the round audit.
     for (w <- Seq("q_agg_count_by_key", "q_text_stats", "q_similarity_topk",
         "q_ann_ivf", "q_dedup_cluster", "q_bucketed_join"))
-      try SparkEntry.queries(w)(spark, sfDir).count() catch { case _: Throwable => }
+      try SparkEntry.queries(w)(spark, sfDir).count() catch {
+        case e: Throwable => System.err.println(s"WARMUP FAILED $w: $e")
+      }
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count() catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = f"${results.map(_._2).sum}%.3f"
+    val total = f3(results.map(_._2).sum)
     val full =
       s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
@@ -46,9 +55,13 @@ object Bench {
     val prefix = s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
       s""""n_queries":${results.size},"queries_full":"BENCH_full.json","queries":{"""
     val suffix = s"""},"value":$total}"""
+    // An oversized sfDir path could push the budget negative; the line
+    // stays valid JSON either way (entries are just omitted), but clamp
+    // and say so rather than silently emitting an empty map.
     val budget = 1750 - prefix.length - suffix.length
+    if (budget <= 0) System.err.println(s"BENCH line budget exhausted by sfDir=$sfDir")
     val entries = results.sortBy(-_._2)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
     val kept = new StringBuilder
     for (e <- entries if kept.length + e.length + 1 <= budget)
       kept.append(if (kept.isEmpty) e else "," + e)
