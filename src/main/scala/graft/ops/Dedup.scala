@@ -38,40 +38,86 @@ object Dedup {
         i => array_join(slice(toks, i, lit(3)), " ")))
       .otherwise(array(array_join(toks, " ")))
 
+  /** MinHash permutation constants: perm i maps the 48-bit shingle value
+    * v to (Ai·v + Bi) mod P. Ai ≤ 15 bits keeps Ai·v < 2⁶³ (no BIGINT
+    * overflow in either engine); P = 2³¹−1 (Mersenne prime). Fixed
+    * arbitrary odd multipliers — pairwise-distinct affine maps are all
+    * MinHash needs. */
+  val MinhashP = 2147483647L
+  def minhashA(i: Int): Long = 12289L + 2L * i
+  def minhashB(i: Int): Long = 9973L * i + 7L
+
   /** doc_id → MinHash signature (array of NumPerms longs). One explode +
     * one groupBy(doc_id) with NumPerms min-aggregates (single pass,
-    * partial+final, no per-permutation shuffle). The "permutations" are
-    * per-index salted xxhash64 evaluations (fixed Spark seed — fully
-    * deterministic, and overflow-free under ANSI mode). */
+    * partial+final, no per-permutation shuffle). The base hash is the
+    * first 12 hex digits of md5(shingle) read as a 48-bit integer —
+    * byte-identical in Spark (`conv(hex,16,10)`) and DuckDB (digit
+    * polynomial) — and the "permutations" are the portable affine maps
+    * above, so the whole LSH pipeline is oracle-checkable while paying
+    * only ONE md5 per shingle (an earlier draft salted md5 per
+    * permutation: 32× the hashing, 3× the query time). A 48-bit base
+    * aliases two of ~16M distinct shingles with probability ~1e-4 —
+    * far below MinHash's own estimation variance, and identically in
+    * both engines. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     // repartition = exchange barrier: tokens materialize once per row, so
     // the shingle lambda slices an attribute instead of re-splitting.
     val toked = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .repartition(col("doc_id"))
-    // hash each shingle STRING exactly once; the NumPerms "permutations"
-    // then re-hash the 8-byte value (≈10× cheaper than hashing the
-    // string per permutation, same uniformity).
+    // duplicate shingles cannot change a min, so no distinct pass needed
     val sh = toked
       .select(col("doc_id"), explode(shinglesOf(col("toks"))).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-      .distinct()
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(sh), 1, 12), 16, 10) as bigint)").as("v"))
     val mins = (0 until NumPerms).map(i =>
-      min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+      min((col("v") * minhashA(i) + minhashB(i)) % MinhashP).as(s"m$i"))
     sh.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** C6 — MinHash + LSH banding near-dup candidates: band the signature,
-    * equi-join on (band, hash-of-band-rows), estimate Jaccard as the
-    * matching-signature fraction. Top-20 candidate pairs. No SQL oracle
-    * (xxhash64 is Spark-specific); property-tested with planted dups. */
-  val dedupNear = Query.noOracle("q_dedup_near") { (s, d) =>
+    * equi-join on (band, concatenated band rows), estimate Jaccard as
+    * the matching-signature fraction. Top-20 candidate pairs. The md5
+    * permutations make the whole pipeline — signatures, banding,
+    * candidate set, estimates — reproducible in ANSI SQL, so this is
+    * hash-compared against DuckDB like every relational query (it was
+    * property-test-only while the permutations were engine-specific
+    * xxhash64). */
+  val dedupNear = Query(
+    "q_dedup_near",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, substring(md5(unnest(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+      |    ELSE [array_to_string(t, ' ')] END)), 1, 12) AS hx
+      |  FROM toks),
+      |vals AS (
+      |  SELECT doc_id, CAST(list_sum(list_transform(range(1, 13), j ->
+      |    CAST(strpos('0123456789abcdef', substring(hx, j, 1)) - 1 AS BIGINT)
+      |      << (4 * (12 - j)))) AS BIGINT) AS v
+      |  FROM sh),
+      |perm AS (
+      |  SELECT doc_id, i, min((v * (12289 + 2 * i) + (9973 * i + 7)) % 2147483647) AS m
+      |  FROM vals, range($NumPerms) r(i) GROUP BY doc_id, i),
+      |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM perm GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, sig, b,
+      |    CAST(sig[$BandRows*b+1] AS VARCHAR) || ':' || CAST(sig[$BandRows*b+2] AS VARCHAR) AS bh
+      |  FROM sig, range(${NumPerms / BandRows}) rb(b)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sig AS sa, y.sig AS sb
+      |  FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(len(list_filter(range(1, ${NumPerms + 1}), i -> sa[i] = sb[i])) AS DOUBLE) / $NumPerms, 6) AS est_jaccard
+      |FROM cand
+      |ORDER BY est_jaccard DESC, doc_a, doc_b
+      |LIMIT 20""".stripMargin) { (s, d) =>
     val sigs = minhashSignatures(tbl(s, d, "documents"))
     val nBands = NumPerms / BandRows
     val bands = sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(s"transform(sequence(0, ${nBands - 1}), " +
-        s"b -> xxhash64(b, slice(sig, b * $BandRows + 1, $BandRows)))"))
+        s"b -> concat_ws(':', element_at(sig, b * $BandRows + 1), element_at(sig, b * $BandRows + 2)))"))
         .as(Seq("band", "bh")))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -135,19 +181,101 @@ object Dedup {
       |         shiftleft(CAST(1 AS BIGINT), k), 0L)),
       |    0L, (acc, x) -> acc | x)), 1)""".stripMargin
 
-  /** SimHash near-dup candidates: chunk-blocked pairs ranked by Hamming
-    * distance (bit_count of xor). No SQL oracle; unit-tested. */
-  val dedupSimhash = Query.noOracle("q_dedup_simhash") { (s, d) =>
-    val sigs = simhashSignatures(tbl(s, d, "documents"))
-    val chunks = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(expr("transform(sequence(0, 3), j -> (simhash >> (j * 16)) & 65535)"))
-        .as(Seq("j", "chunk")))
+  /** Portable 64-bit SimHash signature as a 16-char hex STRING, built
+    * from md5 token hashes so DuckDB can replay it bit-for-bit: token →
+    * first 16 md5 hex digits; per (doc, digit position j) count each of
+    * the digit's 4 bits across tokens; signature digit j = the 4
+    * majority bits reassembled (bit r set iff 2·count_r > n_tokens).
+    * Explode-by-digit keeps every step codegen'd (no higher-order
+    * lambdas in the hot path) at a bounded 16× row fan-out; the two
+    * aggregations are partial+final. `simhashSignatures` above stays the
+    * scale path (one per-row fold, zero fan-out, engine-specific
+    * xxhash64) — same algorithm, different hash leaf; this variant
+    * exists so the LSH chunk-blocking pipeline is oracle-checkable. */
+  def simhashHexSignatures(docs: DataFrame): DataFrame = {
+    val hexChars = "0123456789abcdef"
+    val toked = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .repartition(col("doc_id"))
+    val dig = toked
+      .select(col("doc_id"), size(col("toks")).as("n"), explode(col("toks")).as("t"))
+      .select(col("doc_id"), col("n"), substring(md5(col("t")), 1, 16).as("hx"))
+      .select(col("doc_id"), col("n"), col("hx"),
+        explode(sequence(lit(1), lit(16))).as("j"))
+      .select(col("doc_id"), col("n"), col("j"),
+        (expr(s"locate(substring(hx, j, 1), '$hexChars')") - 1).as("dv"))
+    val perDigit = dig.groupBy("doc_id", "j")
+      .agg(first(col("n")).as("n"),
+        sum(col("dv").bitwiseAND(1)).as("b0"),
+        sum(shiftright(col("dv"), 1).bitwiseAND(1)).as("b1"),
+        sum(shiftright(col("dv"), 2).bitwiseAND(1)).as("b2"),
+        sum(shiftright(col("dv"), 3).bitwiseAND(1)).as("b3"))
+      .select(col("doc_id"), col("j"),
+        (when(col("b0") * 2 > col("n"), 1).otherwise(0) +
+         when(col("b1") * 2 > col("n"), 2).otherwise(0) +
+         when(col("b2") * 2 > col("n"), 4).otherwise(0) +
+         when(col("b3") * 2 > col("n"), 8).otherwise(0)).as("digit"))
+      .select(col("doc_id"), col("j"),
+        substring(lit(hexChars), col("digit") + 1, lit(1)).as("hc"))
+    perDigit.groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("hc")))),
+        x => x.getField("hc")), "").as("sig"))
+  }
+
+  /** SimHash near-dup candidates: 16-bit-chunk-blocked pairs (4-hex-char
+    * substring equality ≙ Hamming LSH banding) ranked by Hamming
+    * distance, computed digit-wise from the hex signatures. Fully
+    * oracle-backed now that the signature is md5-derived (it was
+    * property-test-only while it used engine-specific xxhash64). */
+  val dedupSimhash = Query(
+    "q_dedup_simhash",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tok AS (
+      |  SELECT doc_id, len(t) AS n, substring(md5(unnest(t)), 1, 16) AS hx
+      |  FROM toks),
+      |dig AS (
+      |  SELECT doc_id, n, j, strpos('0123456789abcdef', substring(hx, j, 1)) - 1 AS dv
+      |  FROM tok, range(1, 17) r(j)),
+      |perdigit AS (
+      |  SELECT doc_id, j,
+      |    CASE WHEN 2 * sum(dv & 1) > any_value(n) THEN 1 ELSE 0 END
+      |    + CASE WHEN 2 * sum((dv >> 1) & 1) > any_value(n) THEN 2 ELSE 0 END
+      |    + CASE WHEN 2 * sum((dv >> 2) & 1) > any_value(n) THEN 4 ELSE 0 END
+      |    + CASE WHEN 2 * sum((dv >> 3) & 1) > any_value(n) THEN 8 ELSE 0 END AS digit
+      |  FROM dig GROUP BY doc_id, j),
+      |sig AS (
+      |  SELECT doc_id,
+      |    string_agg(substring('0123456789abcdef', digit + 1, 1), '' ORDER BY j) AS sig
+      |  FROM perdigit GROUP BY doc_id),
+      |chunks AS (
+      |  SELECT doc_id, sig, c, substring(sig, 4 * c + 1, 4) AS chunk
+      |  FROM sig, range(4) rc(c)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sig AS sa, y.sig AS sb
+      |  FROM chunks x JOIN chunks y ON x.c = y.c AND x.chunk = y.chunk
+      |                            AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b,
+      |  CAST(list_sum(list_transform(range(1, 17), j ->
+      |    bit_count(xor(strpos('0123456789abcdef', substring(sa, j, 1)) - 1,
+      |                  strpos('0123456789abcdef', substring(sb, j, 1)) - 1)))) AS BIGINT)
+      |    AS hamming
+      |FROM cand
+      |ORDER BY hamming, doc_a, doc_b
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val sigs = simhashHexSignatures(tbl(s, d, "documents"))
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      posexplode(expr("transform(sequence(0, 3), c -> substring(sig, 4 * c + 1, 4))"))
+        .as(Seq("c", "chunk")))
+    val hamming = expr(
+      """aggregate(sequence(1, 16), 0, (acc, j) -> acc + bit_count(
+        |  (locate(substring(sa, j, 1), '0123456789abcdef') - 1) ^
+        |  (locate(substring(sb, j, 1), '0123456789abcdef') - 1)))""".stripMargin)
     chunks.as("x").join(chunks.as("y"),
-        col("x.j") === col("y.j") && col("x.chunk") === col("y.chunk") &&
+        col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(expr("x.simhash ^ y.simhash")).cast(LongType).as("hamming"))
+        col("x.sig").as("sa"), col("y.sig").as("sb"))
       .distinct()
+      .select(col("doc_a"), col("doc_b"), hamming.cast(LongType).as("hamming"))
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       .limit(20)
   }

@@ -52,6 +52,20 @@ class DedupSpec extends SparkSpec {
         s"unrelated doc $other closer than the planted dup")
   }
 
+  test("portable hex simhash separates the planted pair from unrelated docs") {
+    val sh = Dedup.simhashHexSignatures(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("sig")).toMap
+    assert(sh.values.forall(s => s.length == 16 && s.forall("0123456789abcdef".contains(_))))
+    def hamming(a: Long, b: Long): Int =
+      sh(a).zip(sh(b)).map { case (x, y) =>
+        java.lang.Integer.bitCount(Character.digit(x, 16) ^ Character.digit(y, 16))
+      }.sum
+    assert(hamming(0L, 1L) <= 16, s"planted pair hamming too high: ${hamming(0L, 1L)}")
+    for (other <- 2L to 5L)
+      assert(hamming(0L, other) > hamming(0L, 1L),
+        s"unrelated doc $other closer than the planted dup")
+  }
+
   test("connected components: chain merges transitively, islands stay apart") {
     val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
     // 1-2, 2-3 chain (3 reaches 1 only transitively); 10-11 pair; 20 alone.
