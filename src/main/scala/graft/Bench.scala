@@ -35,16 +35,24 @@ object Bench {
       try SparkEntry.queries(w)(spark, sfDir).count() catch {
         case e: Throwable => System.err.println(s"WARMUP FAILED $w: $e")
       }
+    // A measured-query failure must never masquerade as a near-zero
+    // (= fast) time: log it AND surface the name in an errors field.
+    val errors = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count() catch { case _: Throwable => }
+      try SparkEntry.queries(name)(spark, sfDir).count() catch {
+        case e: Throwable =>
+          errors += name
+          System.err.println(s"MEASURED QUERY FAILED $name: $e")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = f3(results.map(_._2).sum)
     val full =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errs,"queries":$qs,"value":$total}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
       full.getBytes("UTF-8"))
     // The driver tail-captures only the last ~2000 chars of stdout, and
@@ -53,7 +61,7 @@ object Bench {
     // queries greedily (those are what a perf audit reads); the complete
     // map is in the committed BENCH_full.json.
     val prefix = s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
-      s""""n_queries":${results.size},"queries_full":"BENCH_full.json","queries":{"""
+      s""""n_queries":${results.size},"errors":$errs,"queries_full":"BENCH_full.json","queries":{"""
     val suffix = s"""},"value":$total}"""
     // An oversized sfDir path could push the budget negative; the line
     // stays valid JSON either way (entries are just omitted), but clamp

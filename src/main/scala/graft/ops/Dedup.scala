@@ -103,7 +103,8 @@ object Dedup {
       |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM perm GROUP BY doc_id),
       |bands AS (
       |  SELECT doc_id, sig, b,
-      |    CAST(sig[$BandRows*b+1] AS VARCHAR) || ':' || CAST(sig[$BandRows*b+2] AS VARCHAR) AS bh
+      |    array_to_string(list_transform(range(1, $BandRows + 1),
+      |      r -> CAST(sig[$BandRows*b+r] AS VARCHAR)), ':') AS bh
       |  FROM sig, range(${NumPerms / BandRows}) rb(b)),
       |cand AS (
       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sig AS sa, y.sig AS sb
@@ -115,9 +116,12 @@ object Dedup {
       |LIMIT 20""".stripMargin) { (s, d) =>
     val sigs = minhashSignatures(tbl(s, d, "documents"))
     val nBands = NumPerms / BandRows
+    // band key derives from ALL BandRows signature rows (not a hardcoded
+    // first-two), so changing BandRows cannot silently weaken the banding
     val bands = sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(s"transform(sequence(0, ${nBands - 1}), " +
-        s"b -> concat_ws(':', element_at(sig, b * $BandRows + 1), element_at(sig, b * $BandRows + 2)))"))
+        s"b -> array_join(transform(sequence(1, $BandRows), " +
+        s"r -> cast(element_at(sig, b * $BandRows + r) as string)), ':'))"))
         .as(Seq("band", "bh")))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -451,23 +455,45 @@ object Dedup {
     * if the filesystem cache is unavailable; the parquet materialization
     * underneath gives cross-process reuse and is what a cluster
     * deployment would keep in the lake next to the corpus. */
+  // A per-session WeakHashMap (session object → dataset-dir memo) rather
+  // than a string key: reference identity can't collide the way
+  // identityHashCode strings could, entries of stopped sessions become
+  // collectable once the session is unreachable, and an entry can only
+  // ever be served back to the exact session that built it. The inner
+  // map stores lazily-evaluated thunks: only the cheap closure insertion
+  // happens under any map lock, and the multi-second component build
+  // runs outside it (the lazy val's own monitor still guarantees
+  // exactly-once per key).
   private val ccMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, () => DataFrame]]()
 
-  def clusterLabels(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    ccMemo.computeIfAbsent(System.identityHashCode(s) + ":" + d, _ => {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cc_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-      if (new java.io.File(dir, "_SUCCESS").exists()) s.read.parquet(dir)
-      else {
-        val docs = tbl(s, d, "documents")
-        val lab = connectedComponents(docs.select("doc_id"), candidateEdges(docs))
-        scala.util.Try(lab.write.mode("overwrite").parquet(dir))
-          .map(_ => s.read.parquet(dir))
-          // if the scratch dir is unwritable, serve the checkpointed
-          // in-memory result — correctness never depends on the cache
-          .getOrElse(lab.localCheckpoint())
+  def clusterLabels(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val perSession = ccMemo.synchronized {
+      var m = ccMemo.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, () => DataFrame]()
+        ccMemo.put(s, m)
       }
-    })
+      m
+    }
+    perSession.computeIfAbsent(d, _ => {
+      lazy val built: DataFrame = {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cc_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+        if (new java.io.File(dir, "_SUCCESS").exists()) s.read.parquet(dir)
+        else {
+          val docs = tbl(s, d, "documents")
+          val lab = connectedComponents(docs.select("doc_id"), candidateEdges(docs))
+          scala.util.Try(lab.write.mode("overwrite").parquet(dir))
+            .map(_ => s.read.parquet(dir))
+            // if the scratch dir is unwritable, serve the checkpointed
+            // in-memory result — correctness never depends on the cache
+            .getOrElse(lab.localCheckpoint())
+        }
+      }
+      () => built
+    })()
+  }
 
   /** Duplicate-cluster assignment — the step after candidate generation
     * in every production dedup pipeline: candidate pairs → connected

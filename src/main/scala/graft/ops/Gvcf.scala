@@ -94,14 +94,16 @@ object Gvcf {
   }
 
   /** The reference's SampleNameIndex analog (SURVEY §1.1: dense sample →
-    * column-qualifier int mapping), built FROM the data: row_number over
-    * the sorted distinct sample names, 0-based. The unpartitioned window
-    * is deliberate — the distinct-sample set is tiny (cohort size), so
-    * this is a metadata-scale computation, broadcast afterwards. */
+    * column-qualifier int mapping), built FROM the data: position in the
+    * sorted distinct sample names, 0-based. The distinct-sample set is
+    * tiny (cohort size), so this collapses to one metadata-scale
+    * aggregate row — sort + posexplode — rather than a global window,
+    * which would force a single-partition WindowExec over the exchange. */
   def sampleNameIndex(variants: DataFrame): DataFrame =
     variants.select("sample").distinct()
-      .withColumn("sample_idx",
-        (row_number().over(Window.orderBy(col("sample"))) - 1).cast(LongType))
+      .agg(sort_array(collect_list(col("sample"))).as("ss"))
+      .select(posexplode(col("ss")).as(Seq("sample_idx", "sample")))
+      .select(col("sample"), col("sample_idx").cast(LongType))
 
   /** A4 completed (r2 verdict item 3) — the MERGED site record with GATK
     * CombineGVCFs semantics, not just densified per-sample states:

@@ -30,30 +30,50 @@ import org.apache.spark.sql.types._
   */
 object Ivf {
 
+  /** Exact fixed-point mean vectors per group: ONE native array-typed
+    * aggregate (graft.functions.VectorAggregates) instead of 64 separate
+    * aggregate columns — same bit-exact arithmetic, but a constant-width
+    * aggregation schema that codegen compiles in milliseconds. Emits
+    * (groupCol, cv, n). */
+  private def meanVectors(e: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    e.groupBy(groupCol)
+      .agg(graft.functions.VectorAggregates.vecFixedSum(col(vecCol).cast(ArrayType(DoubleType))).as("sums"),
+        count(lit(1)).as("n"))
+      .select(col(groupCol),
+        transform(col("sums"), s => s.cast(DoubleType) / col("n") / 16777216.0).as("cv"),
+        col("n"))
+
   /** Coarse quantizer: label-seeded centroids as one vector column
     * (exact order-independent fixed-point means, one groupBy). */
   def trainCentroids(e: DataFrame): DataFrame =
-    e.groupBy("label")
-      .agg(array((0 until 64).map(i =>
-        Similarity.fixedPointMean(element_at(col("embedding"), i + 1))): _*).as("cv"))
+    meanVectors(e, "label", "embedding").select("label", "cv")
 
   /** Lloyd (k-means) refinement of the coarse quantizer: assign every
     * vector to its nearest centroid, recompute per-bucket exact
     * fixed-point means, repeat. Each iteration is one broadcast of the
     * K×64 centroid table + one partial+final aggregate over the corpus —
     * the exact shape a 100 TB training pass needs (no per-iteration
-    * shuffle of the vectors beyond the aggregate's). Buckets that lose
-    * all members simply drop out (deterministic; the oracle's GROUP BY
-    * does the same). Fully deterministic: exact means, sequential-fold
+    * shuffle of the vectors beyond the aggregate's). The K-row centroid
+    * table is collected to the driver between iterations (the standard
+    * iterative-ML pattern — MLlib's KMeans does the same): without that
+    * materialization, iteration i's lazy plan nests and RE-EXECUTES every
+    * earlier iteration's corpus pass, turning 2 iterations into ~6 corpus
+    * scans. The corpus itself never leaves the executors. Buckets that
+    * lose all members simply drop out (deterministic; the oracle's GROUP
+    * BY does the same). Fully deterministic: exact means, sequential-fold
     * distances, (d², label) argmin tie-break. */
   def lloydIterate(e: DataFrame, cents0: DataFrame, iters: Int): DataFrame = {
     var cents = cents0
     for (_ <- 1 to iters) {
-      cents = assignToNearest(e, cents)
-        .groupBy(col("bucket").as("label"))
-        .agg(array((0 until 64).map(i =>
-          Similarity.fixedPointMean(element_at(col("embedding"), i + 1))): _*).as("cv"),
-          count(lit(1)).as("n")) // member count of the assignment that produced cv
+      val next = meanVectors(
+        assignToNearest(e, cents).withColumnRenamed("bucket", "cluster"),
+        "cluster", "embedding")
+        .select(col("cluster").as("label"), col("cv"),
+          col("n")) // member count of the assignment that produced cv
+      // K rows × 64 doubles — pin them as a LocalRelation so the next
+      // iteration's broadcast is a literal, not a nested corpus job.
+      cents = e.sparkSession.createDataFrame(
+        java.util.Arrays.asList(next.collect(): _*), next.schema)
     }
     cents
   }

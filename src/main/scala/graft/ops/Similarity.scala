@@ -85,12 +85,18 @@ object Similarity {
        |FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS dim)
        |GROUP BY label, dim
        |ORDER BY label, dim""".stripMargin) { (s, d) =>
+    // ONE native array-typed aggregate per label (no 64× posexplode
+    // before the shuffle); same fixed-point arithmetic, then the dense
+    // vector unpacks to (dim, val) rows AFTER the aggregate.
     tbl(s, d, "embeddings")
-      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .groupBy("label", "dim")
-      .agg(fixedPointMean(col("x")).as("centroid_val"))
-      .select(col("label").cast(LongType).as("label"), col("dim").cast(LongType).as("dim"),
-        col("centroid_val"))
+      .groupBy("label")
+      .agg(graft.functions.VectorAggregates.vecFixedSum(
+          col("embedding").cast(ArrayType(DoubleType))).as("sums"),
+        count(lit(1)).as("n"))
+      .select(col("label").cast(LongType).as("label"),
+        posexplode(transform(col("sums"),
+          s => s.cast(DoubleType) / col("n") / 16777216.0)).as(Seq("dim", "centroid_val")))
+      .select(col("label"), col("dim").cast(LongType).as("dim"), col("centroid_val"))
       .orderBy("label", "dim")
   }
 
