@@ -17,7 +17,8 @@ object SparkEntry {
   def all: Seq[Query] =
     Relational.queries ++ Combine.queries ++ Pipeline.queries ++
       Similarity.queries ++ Dedup.queries ++ Extras.queries ++ Udaf.queries ++
-      Sources.queries ++ Vcf.queries ++ Gvcf.queries ++ Codec.queries
+      Sources.queries ++ Vcf.queries ++ Gvcf.queries ++ Codec.queries ++
+      Sketches.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A4 `q_pivot_dense` — the reference's defining combine computation

@@ -399,7 +399,66 @@ object Similarity {
       .orderBy("l1", "l2")
   }
 
+  private val LshBits = 8
+
+  /** Random-hyperplane (SimHash-for-vectors) LSH ANN — the second scale
+    * path next to IVF: an 8-bit signature from fixed ±1 hyperplanes (md5
+    * of (plane, dim) decides the sign — engine-portable, no RNG), probe
+    * expands to all buckets within Hamming distance 2 (multi-probe LSH),
+    * cosine top-10 inside the probed buckets. Plan shape at 100 TB: the
+    * hyperplane matrix is one broadcast literal row, signatures are a
+    * map-side projection (materialize them once, like [[Ivf.buildIndex]],
+    * to amortize), and the probe is a broadcast — the corpus never
+    * shuffles and never all-pairs. */
+  val annLsh = Query(
+    "q_ann_lsh",
+    s"""WITH hp AS (
+       |  SELECT list(h ORDER BY j) AS hps FROM (
+       |    SELECT j, list_transform(range(0, 64), i ->
+       |      CASE WHEN substring(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)
+       |             IN ('0','1','2','3','4','5','6','7')
+       |        THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS h
+       |    FROM range(0, $LshBits) t(j))),
+       |sig AS (
+       |  SELECT vec_id, embedding AS v,
+       |    CAST(list_sum(list_transform(range(0, $LshBits), j ->
+       |      CASE WHEN list_reduce(list_transform(range(1, 65), i ->
+       |          hps[j + 1][i] * CAST(embedding[i] AS DOUBLE)), (a, b) -> a + b) >= 0
+       |        THEN 1 << j ELSE 0 END)) AS BIGINT) AS bucket
+       |  FROM embeddings, hp),
+       |p AS (SELECT v AS pv, bucket AS pb FROM sig WHERE vec_id = 0)
+       |SELECT s.vec_id,
+       |  round(${duckDot("s.v", "p.pv")} / (${duckNorm("s.v")} * ${duckNorm("p.pv")}), 6) AS cos_sim
+       |FROM sig s, p
+       |WHERE s.vec_id <> 0 AND bit_count(CAST(xor(s.bucket, p.pb) AS BIGINT)) <= 2
+       |ORDER BY cos_sim DESC, s.vec_id
+       |LIMIT 10""".stripMargin) { (s, d) =>
+    val hp = s.range(1).select(expr(
+      s"""transform(sequence(0, ${LshBits - 1}), j ->
+         |  transform(sequence(0, 63), i ->
+         |    IF(substring(md5(concat(cast(j as string), ':', cast(i as string))), 1, 1)
+         |         IN ('0','1','2','3','4','5','6','7'),
+         |       cast(1.0 as double), cast(-1.0 as double))))""".stripMargin).as("hps"))
+    val sig = tbl(s, d, "embeddings")
+      .crossJoin(broadcast(hp))
+      .select(col("vec_id"), col("embedding"), expr(
+        s"""aggregate(sequence(0, ${LshBits - 1}), cast(0 as bigint), (acc, j) ->
+           |  acc + IF(aggregate(zip_with(element_at(hps, j + 1), embedding,
+           |                              (h, x) -> h * cast(x as double)),
+           |                     cast(0.0 as double), (a, b) -> a + b) >= 0.0D,
+           |           shiftleft(cast(1 as bigint), j), cast(0 as bigint)))""".stripMargin)
+        .as("bucket"))
+    val probe = sig.filter(col("vec_id") === 0)
+      .select(col("embedding").as("pv"), col("bucket").as("pb"))
+    sig.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .filter(expr("bit_count(bucket ^ pb) <= 2"))
+      .select(col("vec_id"), round(cosine(col("embedding"), col("pv")), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Seq[Query] =
     Seq(similarityTopk, centroidByLabel, annIvf, dedupEmbed, kmeansIter, annRecall,
-      embedQuantize, similarityQuantized, centroidPairs)
+      embedQuantize, similarityQuantized, centroidPairs, annLsh)
 }

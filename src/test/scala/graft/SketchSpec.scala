@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.SketchAggregates
+
+/** Deterministic sketches (graft.ops.Sketches) + the bounded min-k
+  * native aggregate they build on. Unlike HLL/GK these are
+  * oracle-checked end-to-end; the specs here pin the aggregate's
+  * contract (exact min-k semantics, dedup, bounded state, merge
+  * correctness across partitionings) and the estimators' accuracy. */
+class SketchSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("minKDistinct returns exactly the k smallest distinct values, sorted") {
+    import spark.implicits._
+    // duplicates and unordered input; expected = sorted distinct take k
+    val vals = Seq(9L, 3L, 3L, 7L, 1L, 1L, 8L, 5L, 5L, 2L, 11L, 4L)
+    val got = vals.toDF("v").repartition(5) // force partial + merge path
+      .agg(SketchAggregates.minKDistinct(col("v"), 4)).head.getSeq[Long](0)
+    assert(got == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("minKDistinct with fewer than k distinct values returns them all") {
+    import spark.implicits._
+    val got = Seq(5L, 5L, 2L, 2L).toDF("v")
+      .agg(SketchAggregates.minKDistinct(col("v"), 10)).head.getSeq[Long](0)
+    assert(got == Seq(2L, 5L))
+  }
+
+  test("minKDistinct is partitioning-invariant (merge-based determinism)") {
+    val df = graft.api.tbl(spark, sf, "lineitem")
+      .select(col("l_partkey").cast("long").as("v"))
+    val a = df.repartition(3).agg(SketchAggregates.minKDistinct(col("v"), 32))
+      .head.getSeq[Long](0)
+    val b = df.repartition(17, col("v")).agg(SketchAggregates.minKDistinct(col("v"), 32))
+      .head.getSeq[Long](0)
+    assert(a == b)
+  }
+
+  test("KMV estimate is within 35% of the exact distinct count") {
+    val rows = graft.ops.Sketches.distinctKmv.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      val est = r.getAs[Double]("kmv_estimate")
+      assert(math.abs(est - exact) / exact < 0.35,
+        s"${r.getAs[String]("l_returnflag")}: est $est vs exact $exact")
+    }
+  }
+
+  test("CMS point estimates never underestimate the exact count") {
+    val rows = graft.ops.Sketches.sketchCms.run(spark, sf).collect()
+    assert(rows.length == 5)
+    for (r <- rows)
+      assert(r.getAs[Long]("cms_count") >= r.getAs[Long]("exact_count"),
+        s"custkey ${r.getAs[Long]("custkey")} underestimated")
+  }
+
+  test("LSH ANN results are true cosine scores and respect the Hamming gate") {
+    // every returned cos_sim must equal the brute-force score for that
+    // vec_id (LSH prunes candidates; it must not alter scoring)
+    val lsh = graft.ops.Similarity.annLsh.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(lsh.nonEmpty)
+    val brute = graft.ops.Similarity.similarityTopk.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((id, cs) <- lsh if brute.contains(id))
+      assert(math.abs(cs - brute(id)) < 1e-9, s"vec $id: lsh $cs vs brute ${brute(id)}")
+  }
+}
