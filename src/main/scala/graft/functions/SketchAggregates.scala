@@ -28,6 +28,79 @@ object SketchAggregates {
   def minKDistinct(a: Column, k: Int): Column =
     ColumnBridge.column(
       MinKDistinctLongs(ColumnBridge.expression(a), k).toAggregateExpression())
+
+  /** MinHash signature: per permutation i, min((v·aᵢ + bᵢ) mod p) over the
+    * group's hash values — ONE array-typed aggregate instead of numPerms
+    * separate min columns (whose generated aggregation class grows with
+    * the signature length). Same arithmetic, same values. */
+  def minhashSig(v: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
+    ColumnBridge.column(
+      MinHashSignature(ColumnBridge.expression(v), a.toArray, b.toArray, p)
+        .toAggregateExpression())
+}
+
+case class MinHashSignature(
+    child: Expression,
+    a: Array[Long],
+    b: Array[Long],
+    p: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with ImplicitCastInputTypes with UnaryLike[Expression] {
+
+  require(a.length == b.length, "permutation coefficient arrays must align")
+
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(a.length)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      var i = 0
+      while (i < buf.length) {
+        val h = (x * a(i) + b(i)) % p
+        if (h < buf(i)) buf(i) = h
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { if (b2(i) < b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    if (buf.length > 0 && buf(0) == Long.MaxValue) null // no input rows contributed
+    else new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashSignature =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashSignature =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
 }
 
 case class MinKDistinctLongs(

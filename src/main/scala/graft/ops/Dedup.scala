@@ -69,11 +69,13 @@ object Dedup {
       .select(col("doc_id"), explode(shinglesOf(col("toks"))).as("sh"))
       .select(col("doc_id"),
         expr("cast(conv(substring(md5(sh), 1, 12), 16, 10) as bigint)").as("v"))
-    val mins = (0 until NumPerms).map(i =>
-      min((col("v") * minhashA(i) + minhashB(i)) % MinhashP).as(s"m$i"))
+    // ONE array-typed native aggregate (graft_minhash_sig) — identical
+    // values to NumPerms separate min columns, but the aggregation
+    // schema stays one column wide regardless of signature length.
     sh.groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
+      .agg(graft.functions.SketchAggregates.minhashSig(col("v"),
+        (0 until NumPerms).map(minhashA), (0 until NumPerms).map(minhashB),
+        MinhashP).as("sig"))
   }
 
   /** C6 — MinHash + LSH banding near-dup candidates: band the signature,

@@ -57,6 +57,28 @@ class SketchSpec extends SparkSpec {
         s"custkey ${r.getAs[Long]("custkey")} underestimated")
   }
 
+  test("native minhash aggregate equals the per-permutation min columns") {
+    import graft.ops.Dedup
+    val docs = graft.api.tbl(spark, sf, "documents").limit(200)
+    val native = Dedup.minhashSignatures(docs)
+      .select(col("doc_id"), col("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // reference shape: NumPerms independent min aggregates
+    val toked = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .repartition(col("doc_id"))
+    val sh = toked
+      .select(col("doc_id"), explode(Dedup.shinglesOf(col("toks"))).as("sh"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(sh), 1, 12), 16, 10) as bigint)").as("v"))
+    val mins = (0 until Dedup.NumPerms).map(i =>
+      min((col("v") * Dedup.minhashA(i) + Dedup.minhashB(i)) % Dedup.MinhashP).as(s"m$i"))
+    val ref = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until Dedup.NumPerms).map(i => col(s"m$i")): _*).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == ref)
+  }
+
   test("LSH ANN results are true cosine scores and respect the Hamming gate") {
     // every returned cos_sim must equal the brute-force score for that
     // vec_id (LSH prunes candidates; it must not alter scoring)
