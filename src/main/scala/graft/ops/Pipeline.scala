@@ -556,8 +556,96 @@ object Pipeline {
       .limit(10)
   }
 
+  /** Data mixing — the step that turns a raw corpus into a training mix:
+    * fixed per-language target weights, a global token budget (here 50%
+    * of the corpus), per-language keep probability
+    * min(1, weight·total·budget / n_lang), and DETERMINISTIC sampling by
+    * 48-bit md5 of doc_id (no RNG — the same doc is kept on every run,
+    * every engine, every retry; exactly how production pipelines make
+    * sampling reproducible and join-stable). Two corpus passes: one
+    * metadata-scale stats aggregate broadcast back, one map-side filter
+    * — nothing shuffles but the final small report. */
+  val mixSample = Query(
+    "q_mix_sample",
+    """WITH w AS (SELECT * FROM (VALUES ('en', 0.35), ('fr', 0.25), ('de', 0.20),
+      |                                 ('es', 0.15), ('zh', 0.05)) t(lang, wt)),
+      |tot AS (SELECT count(*) AS n_total FROM documents),
+      |cnt AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+      |p AS (
+      |  SELECT cnt.lang, cnt.n_docs,
+      |    least(1.0, (w.wt * tot.n_total * 0.5) / cnt.n_docs) AS keep_p
+      |  FROM cnt JOIN w ON cnt.lang = w.lang, tot),
+      |kept AS (
+      |  SELECT d.lang, count(*) AS n_kept
+      |  FROM documents d JOIN p ON d.lang = p.lang
+      |  WHERE CAST(list_sum(list_transform(range(1, 13), j ->
+      |      CAST(strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+      |        << (4 * (12 - j)))) AS BIGINT) < CAST(floor(p.keep_p * 281474976710656.0) AS BIGINT)
+      |  GROUP BY d.lang)
+      |SELECT p.lang, CAST(p.n_docs AS BIGINT) AS n_docs, coalesce(kept.n_kept, 0) AS n_kept,
+      |  round(p.keep_p, 6) AS keep_p
+      |FROM p LEFT JOIN kept ON p.lang = kept.lang
+      |ORDER BY p.lang""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = tbl(s, d, "documents")
+    val w = Seq(("en", 0.35), ("fr", 0.25), ("de", 0.20), ("es", 0.15), ("zh", 0.05))
+      .toDF("lang", "wt")
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    val p = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(w), "lang")
+      .crossJoin(tot)
+      .withColumn("keep_p",
+        least(lit(1.0), col("wt") * col("n_total") * lit(0.5) / col("n_docs")))
+      .select("lang", "n_docs", "keep_p")
+    val kept = docs
+      .join(broadcast(p.select("lang", "keep_p")), "lang")
+      .filter(expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint)") <
+        floor(col("keep_p") * lit(281474976710656.0)).cast(LongType))
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    p.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round(col("keep_p"), 6).as("keep_p"))
+      .orderBy("lang")
+  }
+
+  /** Sequence packing (concat-and-chunk): per language, documents in
+    * doc_id order form one token stream, split into 2048-token context
+    * windows; a document belongs to the window its first token lands in.
+    * One partitioned window cumsum — each language packs independently
+    * and in parallel (at 100 TB you'd sub-shard the partition key; the
+    * plan shape — sort within partition + running sum — is unchanged). */
+  val seqPack = Query(
+    "q_seq_pack",
+    """WITH t AS (
+      |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (
+      |  SELECT lang, doc_id, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+      |  FROM t),
+      |pk AS (SELECT lang, doc_id, n_tokens, start_off // 2048 AS pack_id FROM o)
+      |SELECT lang, CAST(pack_id AS BIGINT) AS pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM pk GROUP BY lang, pack_id
+      |ORDER BY lang, pack_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tbl(s, d, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr("start_off div 2048"))
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("lang", "pack_id")
+  }
+
   val queries: Seq[Query] = Seq(
     dedupExact, textTokens, textStats, langId, qualityScore, tokenCount,
     fingerprint, multimodalMeta, mediaDecode, mediaResize, tokenizeRegex, bigrams, tfidf, sessionize, windowTumbling, windowSliding,
-    redact, repetition, contamination, collocations, sessionPaths)
+    redact, repetition, contamination, collocations, sessionPaths,
+    mixSample, seqPack)
 }

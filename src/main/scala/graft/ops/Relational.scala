@@ -688,8 +688,41 @@ object Relational {
       .orderBy("prio")
   }
 
+  /** TPC-H Q10-shaped composite: returned-item revenue per customer in
+    * one quarter, top 20 — fact-fact join on the filtered quarter plus a
+    * broadcast nation dim; partial agg under the exchange, TakeOrdered
+    * above (the returns-analysis workload). */
+  val tpchQ10 = Query(
+    "q_tpch_q10",
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |       (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    tbl(s, d, "customer")
+      .join(tbl(s, d, "orders")
+        .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-04-01")),
+        col("c_custkey") === col("o_custkey"))
+      .join(tbl(s, d, "lineitem").filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(tbl(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(round(sum(dec("l_extendedprice") * (oneDec - dec("l_discount"))), 4)
+        .cast(DoubleType).as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
   val queries: Seq[Query] = Seq(
-    tpchQ3, tpchQ5, tpchQ7, tpchQ18, joinOuter, mapFuncs,
+    tpchQ3, tpchQ5, tpchQ7, tpchQ18, tpchQ10, joinOuter, mapFuncs,
     scanProject, filterRange, joinBroadcast, aggCountByKey,
     aggLinestatus, aggDistinct, rollup, cube, joinShuffle, joinSemi,
     joinAnti, joinTheta, topk, windowRank, windowRunning, windowFrame,

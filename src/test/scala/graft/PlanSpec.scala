@@ -186,4 +186,34 @@ class PlanSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("q_seq_pack's packing window is partitioned (no global single-partition window)") {
+    val p = plan(Pipeline.seqPack)
+    assert(p.contains("Window"))
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition(doc_id"),
+      "window must partition by lang")
+    // a single-partition window would show as 'SinglePartition' feeding WindowExec
+    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id"),
+      s"global window exchange found:\n${p.take(2000)}")
+  }
+
+  test("q_mix_sample's sampling pass is a broadcast-joined map-side filter") {
+    val p = plan(Pipeline.mixSample)
+    assert(p.contains("BroadcastHashJoin"), "keep_p table must broadcast to the corpus scan")
+  }
+
+  test("q_distinct_kmv aggregates with partial + final (map-side combine)") {
+    val p = plan(Sketches.distinctKmv)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate") ||
+      p.contains("HashAggregate"))
+    assert(!p.contains("CollectSet") && !p.contains("collect_set"),
+      "KMV must use the bounded min-k aggregate, not collect_set")
+  }
+
+  test("q_ann_lsh never shuffles the corpus (broadcast probe + TakeOrdered)") {
+    val p = plan(Similarity.annLsh)
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "LSH probe must broadcast, not shuffle the corpus")
+  }
 }
