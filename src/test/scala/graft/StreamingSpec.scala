@@ -373,4 +373,37 @@ class StreamingSpec extends SparkSpec {
     assert(ranges.sliding(2).forall { case Seq((_, e), (s2, _)) => e < s2; case _ => true },
       s"compacted ranges overlap: $ranges")
   }
+
+  test("KMV sketch aggregates inside a streaming windowed aggregation") {
+    // the bounded min-k aggregate is merge-based, so it composes with
+    // streaming state exactly like built-in aggregates: per-window
+    // distinct-user sketches accumulate across micro-batches.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val sketch = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.SketchAggregates.minKDistinct(col("user_id"), 8).as("kmins"),
+        count(lit(1)).as("n"))
+    val q = sketch.writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        Ev(ts("2024-01-01 10:05:00"), 3, "click", 1.0),
+        Ev(ts("2024-01-01 10:10:00"), 1, "click", 1.0),
+        Ev(ts("2024-01-01 10:15:00"), 3, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        Ev(ts("2024-01-01 10:20:00"), 2, "click", 1.0),
+        Ev(ts("2024-01-01 10:25:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT kmins, n FROM kmv_stream ORDER BY n DESC LIMIT 1").collect()
+      // final update for the 10:00 window: 5 events, distinct users {1,2,3}
+      assert(rows.head.getSeq[Long](0) == Seq(1L, 2L, 3L),
+        s"sketch state did not merge across micro-batches: ${rows.head}")
+      assert(rows.head.getLong(1) == 5)
+    } finally q.stop()
+  }
 }
