@@ -685,10 +685,74 @@ object Extras {
       .orderBy("event_type")
   }
 
+  /** Two PageRank iterations over a deterministic synthetic graph
+    * (nodes 0..999, every node i links to (2i+1) mod 1000 and
+    * (3i+7) mod 1000), in FIXED-POINT INTEGER arithmetic: ranks are
+    * micro-units (1e6 = 1.0), the damping update is
+    * `150000 + (85 · Σ incoming(r div 2)) div 100` — floor division on
+    * positive BIGINTs is identical in both engines, so the result is
+    * exact with no float anywhere. Each iteration is one shuffle on the
+    * destination key (the standard Pregel-on-SQL shape); at 100 TB the
+    * edge table is range-partitioned by dst and the rank side co-moves. */
+  val pageRank = Query(
+    "q_pagerank",
+    """WITH nodes AS (SELECT range AS id FROM range(0, 1000)),
+      |edges AS (
+      |  SELECT id AS src, (2 * id + 1) % 1000 AS dst FROM nodes
+      |  UNION ALL
+      |  SELECT id AS src, (3 * id + 7) % 1000 AS dst FROM nodes),
+      |r1 AS (
+      |  SELECT n.id,
+      |    150000 + (85 * coalesce(sum(1000000 // 2), 0)) // 100 AS r
+      |  FROM nodes n LEFT JOIN edges e ON e.dst = n.id
+      |  GROUP BY n.id),
+      |r2 AS (
+      |  SELECT n.id,
+      |    150000 + (85 * coalesce(sum(r1.r // 2), 0)) // 100 AS r
+      |  FROM nodes n LEFT JOIN edges e ON e.dst = n.id
+      |  LEFT JOIN r1 ON r1.id = e.src
+      |  GROUP BY n.id)
+      |SELECT CAST(id AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_micro
+      |FROM r2 ORDER BY rank_micro DESC, node LIMIT 10""".stripMargin) { (s, _) =>
+    val nodes = s.range(0, 1000).select(col("id"))
+    val edges = nodes.select(col("id").as("src"), ((col("id") * 2 + 1) % 1000).as("dst"))
+      .union(nodes.select(col("id").as("src"), ((col("id") * 3 + 7) % 1000).as("dst")))
+    def step(ranks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      nodes.join(
+        edges.join(ranks, col("src") === col("id")).drop("id")
+          .groupBy("dst").agg(sum(expr("r div 2")).as("in_sum")),
+        col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("85 * coalesce(in_sum, 0L) div 100")).as("r"))
+    val r0 = nodes.withColumn("r", lit(1000000L))
+    step(step(r0))
+      .select(col("id").cast(LongType).as("node"), col("r").cast(LongType).as("rank_micro"))
+      .orderBy(desc("rank_micro"), col("node"))
+      .limit(10)
+  }
+
+  /** LISTAGG surface: per-language sorted CSV of the distinct sources
+    * contributing documents, plus per-language doc counts — the
+    * string-aggregation shape every report layer needs. Deterministic
+    * because the collected set is sorted before joining. */
+  val stringAgg = Query(
+    "q_string_agg",
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |  array_to_string(list_sort(list(DISTINCT source)), ',') AS sources_csv
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    tbl(s, d, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        array_join(array_sort(collect_set(col("source"))), ",").as("sources_csv"))
+      .orderBy("lang")
+  }
+
   val queries: Seq[Query] = Seq(
     pivotWide, unpivot, percentile, sampleSplit, aggSalted, windowNav,
     regexpExtract, mergeUpsert, histogram, scalarSubquery, boolAggs,
     funnel, retention, graphReach, bloomPrefilter, windowNtile, zorderLayout,
     cdcDiff, topkPerGroup, summaryStats, gapFill, shareOfTotal, notInNulls,
-    anomalyHours)
+    anomalyHours, pageRank, stringAgg)
 }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -643,9 +644,145 @@ object Pipeline {
       .orderBy("lang", "pack_id")
   }
 
+  /** BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed 3-term query
+    * over the documents corpus, log-free idf variant
+    * `(N - df + 0.5)/(df + 0.5)` so every float op is a single IEEE
+    * mul/div/add evaluated in the same order by both engines (ln() is
+    * not bit-portable; the rational idf is, and is rank-equivalent).
+    * One corpus pass computes per-doc tf/dl; one 1-row aggregate
+    * computes N, avgdl, and the three dfs; the scalar broadcasts back —
+    * no shuffle touches the corpus beyond the final top-10. At 100 TB
+    * the 1-row side is a metadata aggregate and the scoring pass stays
+    * embarrassingly parallel. */
+  val bm25 = Query(
+    "q_bm25",
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'batch')) AS BIGINT) AS tf1,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'join')) AS BIGINT) AS tf2,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'filter')) AS BIGINT) AS tf3
+      |  FROM documents),
+      |g AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(CAST(dl AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avgdl,
+      |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+      |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+      |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+      |  FROM t)
+      |SELECT doc_id, lang, dl,
+      |  round(
+      |    ((CAST(n - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+      |      * (CAST(tf1 AS DOUBLE) * 2.2
+      |         / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) +
+      |    ((CAST(n - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+      |      * (CAST(tf2 AS DOUBLE) * 2.2
+      |         / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) +
+      |    ((CAST(n - df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5))
+      |      * (CAST(tf3 AS DOUBLE) * 2.2
+      |         / (CAST(tf3 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))),
+      |    6) AS score
+      |FROM t, g
+      |ORDER BY score DESC, doc_id
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    val toks = split(col("text"), " ")
+    val tf = (term: String) =>
+      size(filter(toks, x => x === term)).cast(LongType)
+    val t = tbl(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(toks).cast(LongType).as("dl"),
+        tf("batch").as("tf1"), tf("join").as("tf2"), tf("filter").as("tf3"))
+    val g = t.agg(
+      count(lit(1)).as("n"),
+      avgExact(col("dl")).as("avgdl"),
+      sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+      sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
+      sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
+    val dlD = col("dl").cast(DoubleType)
+    val term = (tfc: Column, dfc: Column) => {
+      val tfD = tfc.cast(DoubleType)
+      (((col("n") - dfc).cast(DoubleType) + 0.5) / (dfc.cast(DoubleType) + 0.5)) *
+        (tfD * 2.2 / (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (dlD / col("avgdl")))))
+    }
+    t.crossJoin(broadcast(g))
+      .select(col("doc_id"), col("lang"), col("dl"),
+        round(term(col("tf1"), col("df1")) + term(col("tf2"), col("df2")) +
+          term(col("tf3"), col("df3")), 6).as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(10)
+  }
+
+  /** Overlapping-window chunking (RAG/context-window prep): each doc is
+    * cut into 64-token chunks at stride 48 (16-token overlap). Chunk
+    * starts come from one `sequence()` + `explode` — integer-only
+    * per-row generation, no shuffle until the final per-language
+    * accounting aggregate. */
+  val chunkOverlap = Query(
+    "q_chunk_overlap",
+    """WITH t AS (
+      |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, doc_id, dl, unnest(range(0, dl, 48)) AS cstart FROM t)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(sum(least(64, dl - cstart)) AS BIGINT) AS sum_chunk_tokens,
+      |  CAST(sum(CASE WHEN dl - cstart >= 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_full
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    tbl(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("dl"))
+      .withColumn("cstart",
+        explode(sequence(lit(0L), col("dl") - 1, lit(48L))))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(least(lit(64L), col("dl") - col("cstart"))).as("sum_chunk_tokens"),
+        sum(when(col("dl") - col("cstart") >= 64, 1L).otherwise(0L)).as("n_full"))
+      .orderBy("lang")
+  }
+
+  /** Rare-token share (IDF-weighted quality signal): the corpus vocab
+    * with occurrence counts is one aggregate; tokens whose corpus
+    * frequency is ≤ 20 form the (small) rare set, which broadcasts back
+    * against the exploded token stream. The per-doc score is the
+    * integer-ppm share of rare tokens — exact, no float. The vocab is
+    * always tiny relative to the corpus (Heaps' law), so the broadcast
+    * holds at 100 TB while the token stream never shuffles. */
+  val rareTokens = Query(
+    "q_rare_tokens",
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |vocab AS (SELECT tok, count(*) AS n FROM tk GROUP BY tok),
+      |rare AS (SELECT tok FROM vocab WHERE n <= 20),
+      |pd AS (
+      |  SELECT tk.doc_id, count(*) AS n_tokens,
+      |    sum(CASE WHEN r.tok IS NOT NULL THEN 1 ELSE 0 END) AS n_rare
+      |  FROM tk LEFT JOIN rare r ON tk.tok = r.tok
+      |  GROUP BY tk.doc_id)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_rare AS BIGINT) AS n_rare,
+      |  CAST((1000000 * n_rare) // n_tokens AS BIGINT) AS rare_ppm
+      |FROM pd
+      |ORDER BY rare_ppm DESC, doc_id
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    val tk = tbl(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val rare = tk.groupBy("tok").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= 20).select(col("tok"), lit(1).as("is_rare"))
+    tk.join(broadcast(rare), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("is_rare").isNotNull, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+        expr("(1000000 * n_rare) div n_tokens").as("rare_ppm"))
+      .orderBy(desc("rare_ppm"), col("doc_id"))
+      .limit(10)
+  }
+
   val queries: Seq[Query] = Seq(
     dedupExact, textTokens, textStats, langId, qualityScore, tokenCount,
     fingerprint, multimodalMeta, mediaDecode, mediaResize, tokenizeRegex, bigrams, tfidf, sessionize, windowTumbling, windowSliding,
     redact, repetition, contamination, collocations, sessionPaths,
-    mixSample, seqPack)
+    mixSample, seqPack, bm25, chunkOverlap, rareTokens)
 }

@@ -721,8 +721,99 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q6 shape: the forecasting-revenue-change scan — a pure
+    * filter + single exact-decimal aggregate with NO join and NO
+    * group-by. At 100 TB this is the canonical "pushdown or die" query:
+    * the date/discount/quantity predicates all reach the parquet reader
+    * (row-group min/max skip), and the aggregate is one partial+final
+    * pass with a scalar result. */
+  val tpchQ6 = Query(
+    "q_tpch_q6",
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |                CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+    tbl(s, d, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1998-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(dec("l_extendedprice") * dec("l_discount"))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q14 shape: promo-revenue share — a fact⋈dim join where the
+    * aggregate is a conditional-sum ratio. Both sums are exact decimals;
+    * the single final division is the only inexact step (correctly
+    * rounded identically in both engines). The part dim broadcasts. */
+  val tpchQ14 = Query(
+    "q_tpch_q14",
+    """SELECT CAST(100.0 * promo / total AS DOUBLE) AS promo_share_pct,
+      |  CAST(promo AS DOUBLE) AS promo_revenue
+      |FROM (
+      |  SELECT
+      |    sum(CASE WHEN p_type = 'PROMO'
+      |        THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |             (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))
+      |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |        (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS total
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+      |    AND l_shipdate <  TIMESTAMP '1997-09-01')""".stripMargin) { (s, d) =>
+    val disc = dec("l_extendedprice") * (oneDec - dec("l_discount"))
+    tbl(s, d, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-06-01") &&
+        col("l_shipdate") < ts("1997-09-01"))
+      .join(broadcast(tbl(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", disc)
+          .otherwise(lit(0).cast(DecimalType(18, 4)))).as("promo"),
+        sum(disc).as("total"))
+      .select(
+        (lit(100.0) * col("promo") / col("total")).cast(DoubleType)
+          .as("promo_share_pct"),
+        col("promo").cast(DoubleType).as("promo_revenue"))
+  }
+
+  /** TPC-H Q19 shape: disjunctive multi-attribute predicates across the
+    * join — three (brand, size-range, quantity-range) arms OR'd together.
+    * Catalyst extracts the common `p_size >= 1` / join key conjuncts and
+    * pushes them below the join; the per-arm residual evaluates post-join
+    * in codegen. The discount-revenue aggregate is exact decimal. */
+  val tpchQ19 = Query(
+    "q_tpch_q19",
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |  (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+      |    AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 1 AND l_quantity <= 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity >= 10 AND l_quantity <= 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin) { (s, d) =>
+    val arm = (brand: String, szHi: Int, qLo: Int, qHi: Int) =>
+      col("p_brand") === brand && col("p_size").between(1, szHi) &&
+        col("l_quantity") >= qLo && col("l_quantity") <= qHi
+    tbl(s, d, "lineitem")
+      .join(broadcast(tbl(s, d, "part")), col("p_partkey") === col("l_partkey"))
+      .filter(arm("Brand#12", 15, 1, 11) || arm("Brand#23", 25, 10, 20) ||
+        arm("Brand#34", 35, 20, 30))
+      .agg(sum(dec("l_extendedprice") * (oneDec - dec("l_discount")))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   val queries: Seq[Query] = Seq(
-    tpchQ3, tpchQ5, tpchQ7, tpchQ18, tpchQ10, joinOuter, mapFuncs,
+    tpchQ3, tpchQ5, tpchQ7, tpchQ18, tpchQ10, tpchQ6, tpchQ14, tpchQ19,
+    joinOuter, mapFuncs,
     scanProject, filterRange, joinBroadcast, aggCountByKey,
     aggLinestatus, aggDistinct, rollup, cube, joinShuffle, joinSemi,
     joinAnti, joinTheta, topk, windowRank, windowRunning, windowFrame,
