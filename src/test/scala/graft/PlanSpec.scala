@@ -216,4 +216,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "LSH probe must broadcast, not shuffle the corpus")
   }
+
+  test("q_tpch_q6 pushes all scan predicates and aggregates partial+final") {
+    val p = plan(Relational.tpchQ6)
+    assert(p.contains("PushedFilters") && p.contains("IsNotNull(l_shipdate"),
+      s"no pushed filters in:\n${p.take(1500)}")
+    assert(!p.contains("Join"), "Q6 must be join-free")
+  }
+
+  test("q_tpch_q14 and q_tpch_q19 broadcast the part dimension") {
+    assert(plan(Relational.tpchQ14).contains("BroadcastHashJoin"))
+    assert(plan(Relational.tpchQ19).contains("BroadcastHashJoin"))
+  }
+
+  test("q_bm25 broadcasts the 1-row stats side and takes ordered top-k") {
+    val p = plan(Pipeline.bm25)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "corpus stats must broadcast back to the scoring pass")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin"), "BM25 scoring must not shuffle the corpus")
+  }
+
+  test("q_rare_tokens broadcasts the rare vocab to the token stream") {
+    val p = plan(Pipeline.rareTokens)
+    assert(p.contains("BroadcastHashJoin"), "rare vocab must broadcast")
+  }
+
+  test("q_dedup_editdist computes distances on the reduced name domain") {
+    val p = plan(Dedup.dedupEditDistance)
+    assert(p.contains("TakeOrderedAndProject"))
+    // the name-pair side joins back by broadcast — the 20k id table must
+    // never be the probe side of a shuffle for this tiny-domain pattern
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "expand joins did not broadcast")
+  }
 }
