@@ -780,9 +780,42 @@ object Pipeline {
       .limit(10)
   }
 
+  /** BPE merge statistics — the first iteration of byte-pair-encoding
+    * tokenizer training: adjacent character-pair frequencies across the
+    * corpus, weighted by word frequency. The word-frequency reduction
+    * happens FIRST (vocab is Heaps'-law small), so the quadratic-ish
+    * pair fan-out runs over distinct words, not the token stream — the
+    * same reduce-then-expand shape as edit-distance dedup. Integer-only. */
+  val bpePairs = Query(
+    "q_bpe_pairs",
+    """WITH w AS (
+      |  SELECT tok AS w, count(*) AS n FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok),
+      |p AS (
+      |  SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, n
+      |  FROM w, unnest(range(1, len(w))) AS t(i)
+      |  WHERE len(w) >= 2)
+      |SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences,
+      |  CAST(count(*) AS BIGINT) AS n_words
+      |FROM p GROUP BY pair
+      |ORDER BY n_occurrences DESC, pair
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    tbl(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(length(col("w")) >= 2)
+      .select(col("n"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair")
+      .agg(sum(col("n")).as("n_occurrences"), count(lit(1)).as("n_words"))
+      .orderBy(desc("n_occurrences"), col("pair"))
+      .limit(20)
+  }
+
   val queries: Seq[Query] = Seq(
     dedupExact, textTokens, textStats, langId, qualityScore, tokenCount,
     fingerprint, multimodalMeta, mediaDecode, mediaResize, tokenizeRegex, bigrams, tfidf, sessionize, windowTumbling, windowSliding,
     redact, repetition, contamination, collocations, sessionPaths,
-    mixSample, seqPack, bm25, chunkOverlap, rareTokens)
+    mixSample, seqPack, bm25, chunkOverlap, rareTokens, bpePairs)
 }

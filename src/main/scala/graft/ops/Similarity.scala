@@ -42,6 +42,14 @@ object Similarity {
   private def duckNorm(a: String): String =
     s"sqrt(${duckFoldSum(s"list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
 
+  /** Dim-prefix variants (matryoshka truncation): fold over the first n
+    * elements only, same sequential order as Spark's slice + aggregate. */
+  private def duckDotN(a: String, b: String, n: Int): String =
+    duckFoldSum(s"list_transform(range(1, ${n + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
+
+  private def duckNormN(a: String, n: Int): String =
+    s"sqrt(${duckFoldSum(s"list_transform(range(1, ${n + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))")})"
+
   /** C2 — brute-force cosine top-10 for probe vec_id=0: broadcast probe,
     * fold per row, TakeOrderedAndProject. The 100 TB plan is scan +
     * broadcast + per-partition heap — zero shuffle of the corpus. */
@@ -458,7 +466,58 @@ object Similarity {
       .limit(10)
   }
 
+  /** Matryoshka truncation quality: recall@10 of cosine ranking on the
+    * 16-dim embedding PREFIX against the full 64-dim ranking, per probe
+    * (first 20 vectors). The 4× dimension cut is the standard
+    * matryoshka/MRL storage trade; this is its acceptance metric. Both
+    * rankings are broadcast-probe map-side folds + per-probe top-10 —
+    * the corpus never shuffles, so the measurement itself runs at
+    * corpus scale. */
+  val embedTruncate = Query(
+    "q_embed_truncate",
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |p AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 20),
+       |fullr AS (
+       |  SELECT pid, vec_id FROM (
+       |    SELECT p.pid, e.vec_id,
+       |      row_number() OVER (PARTITION BY p.pid ORDER BY
+       |        ${duckDot("e.v", "p.pv")} / (${duckNorm("e.v")} * ${duckNorm("p.pv")}) DESC, e.vec_id) AS rn
+       |    FROM e, p WHERE e.vec_id <> p.pid) WHERE rn <= 10),
+       |tr AS (
+       |  SELECT pid, vec_id FROM (
+       |    SELECT p.pid, e.vec_id,
+       |      row_number() OVER (PARTITION BY p.pid ORDER BY
+       |        ${duckDotN("e.v", "p.pv", 16)} /
+       |        (${duckNormN("e.v", 16)} * ${duckNormN("p.pv", 16)}) DESC, e.vec_id) AS rn
+       |    FROM e, p WHERE e.vec_id <> p.pid) WHERE rn <= 10)
+       |SELECT f.pid AS vec_id, CAST(count(t.vec_id) AS BIGINT) AS n_hits,
+       |  round(CAST(count(t.vec_id) AS DOUBLE) / 10, 6) AS recall
+       |FROM fullr f LEFT JOIN tr t ON f.pid = t.pid AND f.vec_id = t.vec_id
+       |GROUP BY f.pid
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = tbl(s, d, "embeddings")
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("pid"), col("embedding").as("pv"))
+    def top10(score: Column): DataFrame =
+      e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("pid"))
+        .select(col("pid"), col("vec_id"), score.as("cs"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("pid").orderBy(desc("cs"), col("vec_id"))))
+        .filter(col("rn") <= 10)
+        .select("pid", "vec_id")
+    val full = top10(cosine(col("embedding"), col("pv")))
+    val trunc = top10(
+      cosine(slice(col("embedding"), 1, 16), slice(col("pv"), 1, 16)))
+    full.join(trunc.withColumn("hit", lit(1)), Seq("pid", "vec_id"), "left")
+      .groupBy(col("pid").as("vec_id"))
+      .agg(count(col("hit")).as("n_hits"),
+        round(count(col("hit")).cast(DoubleType) / 10, 6).as("recall"))
+      .orderBy("vec_id")
+  }
+
   val queries: Seq[Query] =
     Seq(similarityTopk, centroidByLabel, annIvf, dedupEmbed, kmeansIter, annRecall,
-      embedQuantize, similarityQuantized, centroidPairs, annLsh)
+      embedQuantize, similarityQuantized, centroidPairs, annLsh, embedTruncate)
 }
