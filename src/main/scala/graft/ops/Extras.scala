@@ -749,10 +749,42 @@ object Extras {
       .orderBy("lang")
   }
 
+  /** Salted JOIN (the skew-mitigation sibling of q_agg_salted): the
+    * fact side carries a deterministic salt (l_linenumber % 8) and the
+    * build side is replicated 8× via explode, so a hot join key spreads
+    * over 8 shuffle partitions instead of one straggler. The join
+    * output — and the oracle — are exactly the plain join's: salting
+    * only changes the physical distribution. This is the manual fix for
+    * skew AQE can't catch (e.g. when the hot key emerges after a
+    * filter AQE's stats don't see). */
+  val joinSalted = Query(
+    "q_join_salted",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |       (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+      |    AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val nSalt = 8
+    val fact = tbl(s, d, "lineitem")
+      .withColumn("salt", (col("l_linenumber") % nSalt).cast(IntegerType))
+    val dim = tbl(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(sequence(lit(0), lit(nSalt - 1))))
+    fact.join(dim,
+      col("l_orderkey") === col("o_orderkey") && fact("salt") === dim("salt"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(dec("l_extendedprice") * (oneDec - dec("l_discount")))
+          .cast(DoubleType).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Seq[Query] = Seq(
     pivotWide, unpivot, percentile, sampleSplit, aggSalted, windowNav,
     regexpExtract, mergeUpsert, histogram, scalarSubquery, boolAggs,
     funnel, retention, graphReach, bloomPrefilter, windowNtile, zorderLayout,
     cdcDiff, topkPerGroup, summaryStats, gapFill, shareOfTotal, notInNulls,
-    anomalyHours, pageRank, stringAgg)
+    anomalyHours, pageRank, stringAgg, joinSalted)
 }

@@ -696,7 +696,57 @@ object Gvcf {
       .orderBy("contig", "gap_start")
   }
 
+  /** Pairwise interval intersection (bedtools-intersect shape): for each
+    * unordered sample pair and contig, the total overlapped length and
+    * pair count of their reference-block intervals. The Spark side is
+    * the BUCKETED interval join (A6/A7 machinery): intervals explode to
+    * the stride buckets they span, pairs equi-join on (contig, bucket),
+    * and each pair is counted exactly once — in the bucket holding
+    * max(start_a, start_b) — so no dedup shuffle is needed. The oracle
+    * is the plain quadratic θ-join (fine at fixture scale, never run on
+    * Spark's side). At 100 TB the equi-join shuffles on the bucketed
+    * key like any fact-fact join; bucket width trades fan-out for
+    * per-bucket pair volume. */
+  val intervalOverlap = Query(
+    "q_interval_overlap",
+    // the cohort assigns each position-group's block to exactly one
+    // sample, so raw blocks never overlap across samples; extend each
+    // block by 15 so same-contig neighboring groups' blocks (different owners) do —
+    // the same extension on both engines keeps the oracle exact
+    s"""WITH $duckSyntheticV,
+       |blk AS (SELECT sample, contig, vstart, vend + 15 AS vend FROM v
+       |        WHERE kind = 'block')
+       |SELECT a.sample AS sample_a, b.sample AS sample_b, a.contig,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(least(a.vend, b.vend) - greatest(a.vstart, b.vstart) + 1) AS BIGINT)
+       |    AS overlap_len
+       |FROM blk a JOIN blk b
+       |  ON a.contig = b.contig AND a.sample < b.sample
+       | AND a.vstart <= b.vend AND b.vstart <= a.vend
+       |GROUP BY sample_a, sample_b, a.contig
+       |ORDER BY sample_a, sample_b, a.contig""".stripMargin) { (s, _) =>
+    val w = 64L
+    val blocks = syntheticVariants(s, 3000).filter(col("kind") === "block")
+      .select(col("sample"), col("contig"), col("start"),
+        (col("end") + 15).as("end"))
+    def bucketed(side: String) = blocks
+      .withColumn("bucket",
+        explode(sequence(expr(s"start div $w"), expr(s"end div $w"))))
+      .select(col("sample").as(s"sample_$side"), col("contig"), col("bucket"),
+        col("start").as(s"start_$side"), col("end").as(s"end_$side"))
+    bucketed("a").join(bucketed("b"), Seq("contig", "bucket"))
+      .filter(col("sample_a") < col("sample_b") &&
+        col("start_a") <= col("end_b") && col("start_b") <= col("end_a") &&
+        col("bucket") === expr(s"greatest(start_a, start_b) div $w"))
+      .groupBy("sample_a", "sample_b", "contig")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least(col("end_a"), col("end_b")) -
+          greatest(col("start_a"), col("start_b")) + 1).as("overlap_len"))
+      .orderBy("sample_a", "sample_b", "contig")
+  }
+
   val queries: Seq[Query] =
     Seq(combineMerge, sampleIndexQuery, gvcfExport, siteStats, mergeBands,
-      coverageHist, tiTv, breadth, mendel, concordance, covGaps)
+      coverageHist, tiTv, breadth, mendel, concordance, covGaps,
+      intervalOverlap)
 }

@@ -811,9 +811,33 @@ object Relational {
         count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    * join so zero-order customers survive, then TWO stacked aggregations
+    * (count per customer, then histogram of those counts). Both
+    * aggregates are partial+final; the second one runs over an input
+    * already the size of the customer dim. */
+  val tpchQ13 = Query(
+    "q_tpch_q13",
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+    tbl(s, d, "customer").select("c_custkey")
+      .join(tbl(s, d, "orders").select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
   val queries: Seq[Query] = Seq(
     tpchQ3, tpchQ5, tpchQ7, tpchQ18, tpchQ10, tpchQ6, tpchQ14, tpchQ19,
-    joinOuter, mapFuncs,
+    tpchQ13, joinOuter, mapFuncs,
     scanProject, filterRange, joinBroadcast, aggCountByKey,
     aggLinestatus, aggDistinct, rollup, cube, joinShuffle, joinSemi,
     joinAnti, joinTheta, topk, windowRank, windowRunning, windowFrame,

@@ -112,5 +112,69 @@ object Sketches {
       .orderBy("custkey")
   }
 
-  def queries: Seq[Query] = Seq(distinctKmv, sketchCms)
+  /** Log₂-bin quantile sketch (DDSketch family, deterministic): prices
+    * as exact integer cents, bucket = bit-length of the cents value —
+    * a ~2× relative-error histogram whose state is ≤ ~40 counters per
+    * group, fully MERGEABLE (bucket counts just add), which is how a
+    * 100 TB percentile actually runs: partial histograms map-side, one
+    * tiny final merge, no global sort. The estimate (bucket lower bound
+    * 2^(b-1)) sits next to the exact interpolated percentile so the
+    * error is auditable. Everything except the exact column is integer. */
+  val quantileSketch = Query(
+    "q_quantile_sketch",
+    """WITH c AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+      |  FROM lineitem),
+      |h AS (
+      |  SELECT flag, length(bin(cents)) AS b, count(*) AS n
+      |  FROM c GROUP BY flag, b),
+      |w AS (
+      |  SELECT flag, b, n,
+      |    sum(n) OVER (PARTITION BY flag ORDER BY b) AS cum,
+      |    sum(n) OVER (PARTITION BY flag) AS total
+      |  FROM h),
+      |pick AS (
+      |  SELECT flag, CAST(min(total) AS BIGINT) AS n,
+      |    min(CASE WHEN cum >= (total + 1) // 2 THEN b END) AS b50,
+      |    min(CASE WHEN cum >= (9 * total + 9) // 10 THEN b END) AS b90
+      |  FROM w GROUP BY flag),
+      |ex AS (
+      |  SELECT flag, round(quantile_cont(cents, 0.5), 6) AS exact_p50,
+      |    round(quantile_cont(cents, 0.9), 6) AS exact_p90
+      |  FROM c GROUP BY flag)
+      |SELECT p.flag AS l_returnflag, p.n,
+      |  CAST(2 ** (b50 - 1) AS BIGINT) AS est_p50_cents,
+      |  ex.exact_p50 AS exact_p50_cents,
+      |  CAST(2 ** (b90 - 1) AS BIGINT) AS est_p90_cents,
+      |  ex.exact_p90 AS exact_p90_cents
+      |FROM pick p JOIN ex ON p.flag = ex.flag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = tbl(s, d, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        (dec("l_extendedprice") * 100).cast(LongType).as("cents"))
+    val h = c.groupBy(col("flag"), length(bin(col("cents"))).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val byFlag = Window.partitionBy("flag")
+    val w = h
+      .withColumn("cum", sum(col("n")).over(byFlag.orderBy("b")))
+      .withColumn("total", sum(col("n")).over(byFlag))
+    val pick = w.groupBy("flag")
+      .agg(min(col("total")).cast(LongType).as("n"),
+        min(when(col("cum") >= expr("(total + 1) div 2"), col("b"))).as("b50"),
+        min(when(col("cum") >= expr("(9 * total + 9) div 10"), col("b"))).as("b90"))
+    val ex = c.groupBy("flag")
+      .agg(round(expr("percentile(cents, 0.5)"), 6).as("exact_p50"),
+        round(expr("percentile(cents, 0.9)"), 6).as("exact_p90"))
+    pick.join(ex, Seq("flag"))
+      .select(col("flag").as("l_returnflag"), col("n"),
+        expr("shiftleft(cast(1 as bigint), cast(b50 as int) - 1)").as("est_p50_cents"),
+        col("exact_p50").as("exact_p50_cents"),
+        expr("shiftleft(cast(1 as bigint), cast(b90 as int) - 1)").as("est_p90_cents"),
+        col("exact_p90").as("exact_p90_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  def queries: Seq[Query] = Seq(distinctKmv, sketchCms, quantileSketch)
 }
