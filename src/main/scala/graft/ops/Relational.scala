@@ -835,9 +835,42 @@ object Relational {
       .orderBy(desc("custdist"), desc("c_count"))
   }
 
+  /** TPC-H Q22 shape: "global sales opportunity" — customers with
+    * above-average positive balance and no RECENT orders. A scalar aggregate
+    * subquery (broadcast 1-row), an anti join, and a final aggregate:
+    * the average is exact (decimal sum / count, one IEEE division),
+    * the balance sum exact decimal surfaced as cents. */
+  val tpchQ22 = Query(
+    "q_tpch_q22",
+    """WITH ab AS (
+      |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_bal
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs,
+      |  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS bal_cents
+      |FROM customer, ab
+      |WHERE c_acctbal > avg_bal
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val cust = tbl(s, d, "customer")
+    val ab = cust.filter(col("c_acctbal") > 0)
+      .agg(avgExact(col("c_acctbal")).as("avg_bal"))
+    cust.crossJoin(broadcast(ab))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(tbl(s, d, "orders")
+        .filter(col("o_orderdate") >= ts("2000-01-01")).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_custs"),
+        sum((dec("c_acctbal") * 100).cast(LongType)).cast(LongType).as("bal_cents"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Seq[Query] = Seq(
     tpchQ3, tpchQ5, tpchQ7, tpchQ18, tpchQ10, tpchQ6, tpchQ14, tpchQ19,
-    tpchQ13, joinOuter, mapFuncs,
+    tpchQ13, tpchQ22, joinOuter, mapFuncs,
     scanProject, filterRange, joinBroadcast, aggCountByKey,
     aggLinestatus, aggDistinct, rollup, cube, joinShuffle, joinSemi,
     joinAnti, joinTheta, topk, windowRank, windowRunning, windowFrame,

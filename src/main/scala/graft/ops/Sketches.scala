@@ -176,5 +176,56 @@ object Sketches {
       .orderBy("l_returnflag")
   }
 
-  def queries: Seq[Query] = Seq(distinctKmv, sketchCms, quantileSketch)
+  /** KMV MERGEABILITY — the property that makes a sketch distributed:
+    * build the min-k sketch independently on two disjoint halves of the
+    * data (orderkey parity — stand-in for two executors' partials),
+    * merge by union→distinct→sort→take-k, and emit the merged estimate
+    * NEXT TO the single-pass estimate. They are provably equal (min-k
+    * of a union = min-k of the unions' min-ks), and the oracle checks
+    * both paths — this pins the map-side-combine correctness claim the
+    * 100 TB posture rests on. */
+  val kmvMerge = Query(
+    "q_kmv_merge",
+    s"""WITH hv AS (
+       |  SELECT DISTINCT l_returnflag AS flag, l_orderkey % 2 AS half,
+       |    ${duckH48("l_partkey")} AS h
+       |  FROM lineitem),
+       |rkh AS (SELECT flag, half, h,
+       |        row_number() OVER (PARTITION BY flag, half ORDER BY h) AS rn FROM hv),
+       |parts AS (SELECT flag, half, h FROM rkh WHERE rn <= $K),
+       |mdist AS (SELECT DISTINCT flag, h FROM parts),
+       |mrk AS (SELECT flag, h, row_number() OVER (PARTITION BY flag ORDER BY h) AS rn
+       |        FROM mdist),
+       |mkth AS (SELECT flag, max(h) AS hk, count(*) AS k FROM mrk WHERE rn <= $K GROUP BY flag),
+       |sdist AS (SELECT DISTINCT flag, h FROM hv),
+       |srk AS (SELECT flag, h, row_number() OVER (PARTITION BY flag ORDER BY h) AS rn
+       |        FROM sdist),
+       |skth AS (SELECT flag, max(h) AS hk, count(*) AS k FROM srk WHERE rn <= $K GROUP BY flag)
+       |SELECT s.flag AS l_returnflag,
+       |  round(CAST(s.k - 1 AS DOUBLE) * $TwoPow48 / s.hk, 6) AS kmv_single,
+       |  round(CAST(m.k - 1 AS DOUBLE) * $TwoPow48 / m.hk, 6) AS kmv_merged,
+       |  CAST(CASE WHEN s.hk = m.hk AND s.k = m.k THEN 1 ELSE 0 END AS BIGINT) AS merge_exact
+       |FROM skth s JOIN mkth m ON s.flag = m.flag
+       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val li = tbl(s, d, "lineitem")
+      .select(col("l_returnflag").as("flag"), (col("l_orderkey") % 2).as("half"),
+        expr(h48("l_partkey")).as("h"))
+    val est = (ks: org.apache.spark.sql.Column) =>
+      round((size(ks) - 1).cast(DoubleType) * TwoPow48 / element_at(ks, size(ks)), 6)
+    val parts = li.groupBy("flag", "half")
+      .agg(graft.functions.SketchAggregates.minKDistinct(col("h"), K).as("ks"))
+    val merged = parts.groupBy("flag")
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("ks"))))),
+        1, K).as("mks"))
+    val single = li.groupBy("flag")
+      .agg(graft.functions.SketchAggregates.minKDistinct(col("h"), K).as("sks"))
+    single.join(merged, Seq("flag"))
+      .select(col("flag").as("l_returnflag"),
+        est(col("sks")).as("kmv_single"),
+        est(col("mks")).as("kmv_merged"),
+        when(col("sks") === col("mks"), 1L).otherwise(0L).as("merge_exact"))
+      .orderBy("l_returnflag")
+  }
+
+  def queries: Seq[Query] = Seq(distinctKmv, sketchCms, quantileSketch, kmvMerge)
 }
