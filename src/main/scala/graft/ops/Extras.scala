@@ -781,10 +781,70 @@ object Extras {
       .orderBy("o_orderpriority")
   }
 
+  /** max_by/min_by (argmax) surface: per user, the event type of their
+    * highest- and lowest-value events. The ordering key is a composite
+    * BIGINT `cents·10⁶ + event_id` — unique, so the argmax is total and
+    * both engines agree without relying on tie-breaking internals
+    * (DuckDB's arg_max only takes scalar keys; ties would otherwise be
+    * engine-defined). One partial+final aggregate — the single-pass
+    * replacement for the sort-and-take-first window. */
+  val minmaxBy = Query(
+    "q_minmax_by",
+    """WITH e AS (
+      |  SELECT user_id, event_type, value,
+      |    CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) * 1000000 + event_id AS k
+      |  FROM events)
+      |SELECT user_id,
+      |  arg_max(event_type, k) AS top_event_type,
+      |  round(max(value), 6) AS top_value,
+      |  arg_min(event_type, k) AS bottom_event_type
+      |FROM e GROUP BY user_id
+      |ORDER BY user_id LIMIT 500""".stripMargin) { (s, d) =>
+    tbl(s, d, "events")
+      .withColumn("k",
+        (dec("value") * 100).cast(LongType) * 1000000L + col("event_id"))
+      .groupBy("user_id")
+      .agg(
+        max_by(col("event_type"), col("k")).as("top_event_type"),
+        round(max(col("value")), 6).as("top_value"),
+        min_by(col("event_type"), col("k")).as("bottom_event_type"))
+      .orderBy("user_id")
+      .limit(500)
+  }
+
+  /** RANGE-interval window frame (time-based, not row-based): for each
+    * order, the customer's trailing-30-day order count and spend. RANGE
+    * frames bound by an INTERVAL are the event-time sibling of ROWS
+    * frames — peers at the same timestamp are always included, so the
+    * result is deterministic under ties. Money as exact integer cents. */
+  val windowRange = Query(
+    "q_window_range",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_30d,
+      |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)) OVER w
+      |       AS BIGINT) AS spend_cents_30d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+      |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey
+      |LIMIT 2000""".stripMargin) { (s, d) =>
+    tbl(s, d, "orders").createOrReplaceTempView("graft_wr_orders")
+    s.sql(
+      """SELECT o_custkey, o_orderkey,
+        |  count(*) OVER w AS n_30d,
+        |  sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)) OVER w
+        |    AS spend_cents_30d
+        |FROM graft_wr_orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey
+        |LIMIT 2000""".stripMargin)
+  }
+
   val queries: Seq[Query] = Seq(
     pivotWide, unpivot, percentile, sampleSplit, aggSalted, windowNav,
     regexpExtract, mergeUpsert, histogram, scalarSubquery, boolAggs,
     funnel, retention, graphReach, bloomPrefilter, windowNtile, zorderLayout,
     cdcDiff, topkPerGroup, summaryStats, gapFill, shareOfTotal, notInNulls,
-    anomalyHours, pageRank, stringAgg, joinSalted)
+    anomalyHours, pageRank, stringAgg, joinSalted, minmaxBy, windowRange)
 }

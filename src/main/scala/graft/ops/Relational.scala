@@ -868,9 +868,60 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** TPC-H Q8 shape: national market share — of all revenue from EUROPE
+    * customers, the fraction supplied by NATION_3 suppliers, per order
+    * year. The widest dimension constellation in the suite: lineitem ⋈
+    * orders ⋈ customer ⋈ nation(customer role) filtered to the region,
+    * plus supplier ⋈ nation(supplier role) — five broadcastable dims
+    * around one fact chain, the same nation dim in two roles (as Q7).
+    * Numerator/denominator are exact decimal sums; one final IEEE
+    * division, rounded. */
+  val tpchQ8 = Query(
+    "q_tpch_q8",
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  round(
+      |    CAST(round(sum(CASE WHEN sn.n_name = 'NATION_3'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |           (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))
+      |      ELSE CAST(0 AS DECIMAL(18,4)) END), 4) AS DOUBLE) /
+      |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |           (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE),
+      |    6) AS mkt_share
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |JOIN region ON cn.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |WHERE r_name = 'EUROPE'
+      |GROUP BY yr
+      |ORDER BY yr""".stripMargin) { (s, d) =>
+    val disc = dec("l_extendedprice") * (oneDec - dec("l_discount"))
+    val cn = tbl(s, d, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val sn = tbl(s, d, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))
+    tbl(s, d, "lineitem")
+      .join(tbl(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(tbl(s, d, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(tbl(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("yr"))
+      .agg(
+        round(sum(when(col("sn_name") === "NATION_3", disc)
+          .otherwise(lit(0).cast(DecimalType(18, 4)))), 4).cast(DoubleType).as("nat"),
+        round(sum(disc), 4).cast(DoubleType).as("tot"))
+      .select(col("yr"), round(col("nat") / col("tot"), 6).as("mkt_share"))
+      .orderBy("yr")
+  }
+
   val queries: Seq[Query] = Seq(
     tpchQ3, tpchQ5, tpchQ7, tpchQ18, tpchQ10, tpchQ6, tpchQ14, tpchQ19,
-    tpchQ13, tpchQ22, joinOuter, mapFuncs,
+    tpchQ13, tpchQ22, tpchQ8, joinOuter, mapFuncs,
     scanProject, filterRange, joinBroadcast, aggCountByKey,
     aggLinestatus, aggDistinct, rollup, cube, joinShuffle, joinSemi,
     joinAnti, joinTheta, topk, windowRank, windowRunning, windowFrame,
