@@ -919,9 +919,91 @@ object Relational {
       .orderBy("yr")
   }
 
+  /** LATERAL correlated subquery: each customer's two most expensive
+    * orders via a per-row dependent subquery — the SQL-standard sibling
+    * of the ranked-window top-k-per-group (Catalyst decorrelates the
+    * DomainJoin into a join + window under the hood, so the physical
+    * plan converges to the same scalable shape, which is the point:
+    * correlation is a frontend convenience, not an execution model). */
+  val lateralTopk = Query(
+    "q_lateral_topk",
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer,
+      |  LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |           WHERE o_custkey = c_custkey
+      |           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+      |LIMIT 1000""".stripMargin) { (s, d) =>
+    tbl(s, d, "customer").createOrReplaceTempView("graft_lat_c")
+    tbl(s, d, "orders").createOrReplaceTempView("graft_lat_o")
+    s.sql(
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM graft_lat_c,
+        |  LATERAL (SELECT o_orderkey, o_totalprice FROM graft_lat_o
+        |           WHERE o_custkey = c_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+        |LIMIT 1000""".stripMargin)
+  }
+
+  /** INTERSECT ALL / EXCEPT ALL — the multiset set operations (distinct
+    * physical operators from the DISTINCT forms already covered: they
+    * keep min(m, n) / max(0, m-n) duplicate multiplicities, planned as
+    * aggregate-with-counts rather than dedup). Counted per branch so the
+    * result stays small and totally ordered. */
+  val setOpsAll = Query(
+    "q_setops_all",
+    """WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+      |b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_linestatus = 'F'),
+      |i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+      |x AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+      |SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(count(DISTINCT k) AS BIGINT) AS n_keys FROM i
+      |UNION ALL
+      |SELECT 'except_all' AS op, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(count(DISTINCT k) AS BIGINT) AS n_keys FROM x
+      |ORDER BY op""".stripMargin) { (s, d) =>
+    val li = tbl(s, d, "lineitem")
+    val a = li.filter(col("l_returnflag") === "R").select(col("l_suppkey").as("k"))
+    val b = li.filter(col("l_linestatus") === "F").select(col("l_suppkey").as("k"))
+    val i = a.intersectAll(b).agg(count(lit(1)).as("n"),
+      countDistinct(col("k")).as("n_keys")).withColumn("op", lit("intersect_all"))
+    val x = a.exceptAll(b).agg(count(lit(1)).as("n"),
+      countDistinct(col("k")).as("n_keys")).withColumn("op", lit("except_all"))
+    i.unionByName(x).select("op", "n", "n_keys").orderBy("op")
+  }
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other instead of vanishing — the semantics CDC/merge
+    * pipelines need when the join key is legitimately nullable. Keys are
+    * NULLed deterministically (every 97th order) on both sides. */
+  val nullsafeJoin = Query(
+    "q_nullsafe_join",
+    """WITH a AS (
+      |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderkey END AS k,
+      |    o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+      |b AS (
+      |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderkey END AS k,
+      |    o_orderpriority FROM orders WHERE o_orderkey % 3 = 0)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_matches
+      |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""".stripMargin) { (s, d) =>
+    val o = tbl(s, d, "orders")
+    val nullK = when(col("o_orderkey") % 97 === 0, lit(null).cast(LongType))
+      .otherwise(col("o_orderkey"))
+    val a = o.filter(col("o_orderkey") % 2 === 0)
+      .select(nullK.as("ka"), col("o_totalprice"))
+    val b = o.filter(col("o_orderkey") % 3 === 0)
+      .select(nullK.as("kb"), col("o_orderpriority"))
+    a.join(b, col("ka") <=> col("kb"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("ka").isNull, 1L).otherwise(0L)).as("n_null_matches"))
+  }
+
   val queries: Seq[Query] = Seq(
     tpchQ3, tpchQ5, tpchQ7, tpchQ18, tpchQ10, tpchQ6, tpchQ14, tpchQ19,
-    tpchQ13, tpchQ22, tpchQ8, joinOuter, mapFuncs,
+    tpchQ13, tpchQ22, tpchQ8, lateralTopk, setOpsAll, nullsafeJoin,
+    joinOuter, mapFuncs,
     scanProject, filterRange, joinBroadcast, aggCountByKey,
     aggLinestatus, aggDistinct, rollup, cube, joinShuffle, joinSemi,
     joinAnti, joinTheta, topk, windowRank, windowRunning, windowFrame,
