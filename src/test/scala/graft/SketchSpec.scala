@@ -49,6 +49,26 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("log2-bin quantile sketch bounds the discrete median within 2x") {
+    // property (200 seeded random lists): the bucket picked at
+    // cum >= ceil(n/2) contains the discrete lower median v, so
+    // est = 2^(b-1) satisfies est <= v < 2*est — the sketch's error
+    // contract, independent of data distribution
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val n = 1 + rnd.nextInt(500)
+      val vals = List.fill(n)(1L + (rnd.nextLong() & ((1L << 40) - 1)))
+      val v = vals.sorted.apply((n + 1) / 2 - 1) // 1-based ceil(n/2)
+      val hist = vals.groupBy(x => java.lang.Long.toBinaryString(x).length)
+        .view.mapValues(_.size).toMap
+      val cum = hist.keys.toSeq.sorted
+        .scanLeft((0, 0)) { case ((_, c), b) => (b, c + hist(b)) }.drop(1)
+      val b50 = cum.find(_._2 >= (n + 1) / 2).get._1
+      val est = 1L << (b50 - 1)
+      assert(est <= v && v < 2 * est, s"est=$est v=$v vals=${vals.take(8)}")
+    }
+  }
+
   test("CMS point estimates never underestimate the exact count") {
     val rows = graft.ops.Sketches.sketchCms.run(spark, sf).collect()
     assert(rows.length == 5)
