@@ -31,7 +31,7 @@ object Bench {
     // means a measured query will pay the build (r4's q_corpus_clean
     // mystery), so it goes to stderr for the round audit.
     for (w <- Seq("q_agg_count_by_key", "q_text_stats", "q_similarity_topk",
-        "q_ann_ivf", "q_dedup_cluster", "q_bucketed_join"))
+        "q_ann_ivf", "q_dedup_cluster", "q_bucketed_join", "q_minmax_by"))
       try SparkEntry.queries(w)(spark, sfDir).count() catch {
         case e: Throwable => System.err.println(s"WARMUP FAILED $w: $e")
       }
