@@ -750,7 +750,7 @@ object Extras {
   }
 
   /** Salted JOIN (the skew-mitigation sibling of q_agg_salted): the
-    * fact side carries a deterministic salt (l_linenumber % 8) and the
+    * fact side carries a deterministic salt ((l_orderkey + l_linenumber) % 8) and the
     * build side is replicated 8× via explode, so a hot join key spreads
     * over 8 shuffle partitions instead of one straggler. The join
     * output — and the oracle — are exactly the plain join's: salting
@@ -768,7 +768,8 @@ object Extras {
       |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
     val nSalt = 8
     val fact = tbl(s, d, "lineitem")
-      .withColumn("salt", (col("l_linenumber") % nSalt).cast(IntegerType))
+      .withColumn("salt",
+        ((col("l_orderkey") + col("l_linenumber")) % nSalt).cast(IntegerType))
     val dim = tbl(s, d, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"))
       .withColumn("salt", explode(sequence(lit(0), lit(nSalt - 1))))
@@ -783,7 +784,9 @@ object Extras {
 
   /** max_by/min_by (argmax) surface: per user, the event type of their
     * highest- and lowest-value events. The ordering key is a composite
-    * BIGINT `cents·10⁶ + event_id` — unique, so the argmax is total and
+    * BIGINT `cents·10¹⁰ + event_id` — unique up to 10¹⁰ events (any
+    * realistic sf; max cents 56,021 keeps the key below 2⁶³), so the
+    * argmax is total and
     * both engines agree without relying on tie-breaking internals
     * (DuckDB's arg_max only takes scalar keys; ties would otherwise be
     * engine-defined). One partial+final aggregate — the single-pass
@@ -792,7 +795,7 @@ object Extras {
     "q_minmax_by",
     """WITH e AS (
       |  SELECT user_id, event_type, value,
-      |    CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) * 1000000 + event_id AS k
+      |    CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) * 10000000000 + event_id AS k
       |  FROM events)
       |SELECT user_id,
       |  arg_max(event_type, k) AS top_event_type,
@@ -802,7 +805,7 @@ object Extras {
       |ORDER BY user_id LIMIT 500""".stripMargin) { (s, d) =>
     tbl(s, d, "events")
       .withColumn("k",
-        (dec("value") * 100).cast(LongType) * 1000000L + col("event_id"))
+        (dec("value") * 100).cast(LongType) * 10000000000L + col("event_id"))
       .groupBy("user_id")
       .agg(
         max_by(col("event_type"), col("k")).as("top_event_type"),

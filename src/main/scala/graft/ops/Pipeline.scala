@@ -797,7 +797,7 @@ object Pipeline {
       |  FROM w, unnest(range(1, len(w))) AS t(i)
       |  WHERE len(w) >= 2)
       |SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences,
-      |  CAST(count(*) AS BIGINT) AS n_words
+      |  CAST(count(*) AS BIGINT) AS n_positions
       |FROM p GROUP BY pair
       |ORDER BY n_occurrences DESC, pair
       |LIMIT 20""".stripMargin) { (s, d) =>
@@ -808,7 +808,7 @@ object Pipeline {
       .select(col("n"), explode(expr(
         "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
       .groupBy("pair")
-      .agg(sum(col("n")).as("n_occurrences"), count(lit(1)).as("n_words"))
+      .agg(sum(col("n")).as("n_occurrences"), count(lit(1)).as("n_positions"))
       .orderBy(desc("n_occurrences"), col("pair"))
       .limit(20)
   }

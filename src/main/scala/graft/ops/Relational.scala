@@ -753,7 +753,8 @@ object Relational {
     * rounded identically in both engines). The part dim broadcasts. */
   val tpchQ14 = Query(
     "q_tpch_q14",
-    """SELECT CAST(100.0 * promo / total AS DOUBLE) AS promo_share_pct,
+    """SELECT round(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE), 6)
+      |    AS promo_share_pct,
       |  CAST(promo AS DOUBLE) AS promo_revenue
       |FROM (
       |  SELECT
@@ -776,8 +777,8 @@ object Relational {
           .otherwise(lit(0).cast(DecimalType(18, 4)))).as("promo"),
         sum(disc).as("total"))
       .select(
-        (lit(100.0) * col("promo") / col("total")).cast(DoubleType)
-          .as("promo_share_pct"),
+        round(lit(100.0) * col("promo").cast(DoubleType) /
+          col("total").cast(DoubleType), 6).as("promo_share_pct"),
         col("promo").cast(DoubleType).as("promo_revenue"))
   }
 
