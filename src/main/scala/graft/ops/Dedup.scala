@@ -622,6 +622,53 @@ object Dedup {
           .otherwise("kept").as("reason"))
   }
 
+  /** Quality-aware canonicalization — the production refinement of
+    * "keep min doc_id": within each duplicate cluster keep the LONGEST
+    * member (ties → lowest doc_id), the heuristic real pipelines use
+    * (the longer copy is usually the less-truncated one). One argmax
+    * aggregate over the cluster labels joined to doc lengths; the
+    * composite key `n_chars·10⁹ − doc_id` makes the argmax total. */
+  val clusterRep = Query(
+    "q_cluster_rep",
+    """WITH RECURSIVE s AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+      |  FROM documents),
+      |e0 AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db
+      |  FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source
+      |                   AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh)) >= 1),
+      |edges AS (SELECT da AS a, db AS b FROM e0
+      |          UNION ALL SELECT db, da FROM e0),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM s
+      |  UNION
+      |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
+      |lab AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
+      |q AS (
+      |  SELECT lab.rep, lab.doc_id, d.n_chars,
+      |    d.n_chars * 1000000000 - lab.doc_id AS key
+      |  FROM lab JOIN documents d USING (doc_id))
+      |SELECT rep, CAST(count(*) AS BIGINT) AS n_docs,
+      |  arg_max(doc_id, key) AS keep_doc,
+      |  CAST(max(n_chars) AS BIGINT) AS keep_chars
+      |FROM q GROUP BY rep HAVING count(*) > 1
+      |ORDER BY rep""".stripMargin) { (s, d) =>
+    val docs = tbl(s, d, "documents").select(col("doc_id"), col("n_chars"))
+    clusterLabels(s, d)
+      .join(docs, "doc_id")
+      .withColumn("key", col("n_chars") * 1000000000L - col("doc_id"))
+      .groupBy("rep")
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(col("doc_id"), col("key")).as("keep_doc"),
+        max(col("n_chars")).as("keep_chars"))
+      .filter(col("n_docs") > 1)
+      .orderBy("rep")
+  }
+
   val queries: Seq[Query] =
-    Seq(dedupNear, dedupSimhash, dedupNgram, dedupEditDistance, dedupCluster, corpusClean)
+    Seq(dedupNear, dedupSimhash, dedupNgram, dedupEditDistance, dedupCluster,
+      corpusClean, clusterRep)
 }
