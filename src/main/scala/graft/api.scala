@@ -61,6 +61,20 @@ object api {
   /** UTC timestamp literal (session timezone is pinned to UTC). */
   def ts(s: String): Column = lit(s).cast(TimestampType)
 
+  /** 48-bit uniform hash from md5 hex — engine-portable: same digest,
+    * same first-12-hex-chars window in Spark and DuckDB. THE single
+    * definition; Sketches/Dedup/Pipeline all call these so the two
+    * engines can never silently diverge on the hash. */
+  def h48(c: String): String =
+    s"cast(conv(substring(md5(cast($c as string)), 1, 12), 16, 10) as bigint)"
+
+  /** DuckDB twin of [[h48]] (hex-digit polynomial — DuckDB's conv()
+    * does not take a base argument). */
+  def duckH48(c: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 13), j ->
+       |      CAST(strpos('0123456789abcdef', substring(md5(CAST($c AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+       |        << (4 * (12 - j)))) AS BIGINT)""".stripMargin
+
   /** Exact decimal sum surfaced as a double. The sum itself is exact
     * (scale-4 decimal); the final cast is the only inexact step and is
     * correctly rounded in both engines as long as the unscaled value stays

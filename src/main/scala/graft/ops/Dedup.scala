@@ -67,8 +67,7 @@ object Dedup {
     // duplicate shingles cannot change a min, so no distinct pass needed
     val sh = toked
       .select(col("doc_id"), explode(shinglesOf(col("toks"))).as("sh"))
-      .select(col("doc_id"),
-        expr("cast(conv(substring(md5(sh), 1, 12), 16, 10) as bigint)").as("v"))
+      .select(col("doc_id"), expr(h48("sh")).as("v"))
     // ONE array-typed native aggregate (graft_minhash_sig) — identical
     // values to NumPerms separate min columns, but the aggregation
     // schema stays one column wide regardless of signature length.
@@ -469,28 +468,29 @@ object Dedup {
     * if the filesystem cache is unavailable; the parquet materialization
     * underneath gives cross-process reuse and is what a cluster
     * deployment would keep in the lake next to the corpus. */
-  // A per-session WeakHashMap (session object → dataset-dir memo) rather
-  // than a string key: reference identity can't collide the way
-  // identityHashCode strings could, entries of stopped sessions become
-  // collectable once the session is unreachable, and an entry can only
-  // ever be served back to the exact session that built it. The inner
-  // map stores lazily-evaluated thunks: only the cheap closure insertion
+  // Keyed by session OBJECT (reference identity — can't collide the way
+  // identityHashCode strings could, and an entry is only ever served to
+  // the exact session that built it), with explicit eviction of stopped
+  // sessions on every access. A WeakHashMap cannot provide the lifecycle
+  // here: the cached DataFrame strongly references its session, which is
+  // the map key — the value→key anti-pattern the WeakHashMap javadoc
+  // warns about — so weak entries would never clear. The inner map
+  // stores lazily-evaluated thunks: only the cheap closure insertion
   // happens under any map lock, and the multi-second component build
   // runs outside it (the lazy val's own monitor still guarantees
   // exactly-once per key).
   private val ccMemo =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, () => DataFrame]]()
 
   def clusterLabels(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val perSession = ccMemo.synchronized {
-      var m = ccMemo.get(s)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, () => DataFrame]()
-        ccMemo.put(s, m)
-      }
-      m
-    }
+    // evict memo entries of stopped sessions — their DataFrames are
+    // unusable, and holding them would leak across session cycles in a
+    // long-lived JVM
+    val it = ccMemo.keySet.iterator()
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+    val perSession = ccMemo.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, () => DataFrame]())
     perSession.computeIfAbsent(d, _ => {
       lazy val built: DataFrame = {
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cc_${d.replaceAll("[^a-zA-Z0-9]", "_")}"

@@ -568,7 +568,7 @@ object Pipeline {
     * — nothing shuffles but the final small report. */
   val mixSample = Query(
     "q_mix_sample",
-    """WITH w AS (SELECT * FROM (VALUES ('en', 0.35), ('fr', 0.25), ('de', 0.20),
+    s"""WITH w AS (SELECT * FROM (VALUES ('en', 0.35), ('fr', 0.25), ('de', 0.20),
       |                                 ('es', 0.15), ('zh', 0.05)) t(lang, wt)),
       |tot AS (SELECT count(*) AS n_total FROM documents),
       |cnt AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
@@ -579,9 +579,7 @@ object Pipeline {
       |kept AS (
       |  SELECT d.lang, count(*) AS n_kept
       |  FROM documents d JOIN p ON d.lang = p.lang
-      |  WHERE CAST(list_sum(list_transform(range(1, 13), j ->
-      |      CAST(strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)
-      |        << (4 * (12 - j)))) AS BIGINT) < CAST(floor(p.keep_p * 281474976710656.0) AS BIGINT)
+      |  WHERE ${duckH48("d.doc_id")} < CAST(floor(p.keep_p * 281474976710656.0) AS BIGINT)
       |  GROUP BY d.lang)
       |SELECT p.lang, CAST(p.n_docs AS BIGINT) AS n_docs, coalesce(kept.n_kept, 0) AS n_kept,
       |  round(p.keep_p, 6) AS keep_p
@@ -598,9 +596,13 @@ object Pipeline {
       .withColumn("keep_p",
         least(lit(1.0), col("wt") * col("n_total") * lit(0.5) / col("n_docs")))
       .select("lang", "n_docs", "keep_p")
+      // K rows, referenced by BOTH the broadcast filter and the final
+      // report — materialize once so the corpus stats pass runs once
+      // (Catalyst does not CSE across plan branches)
+      .localCheckpoint()
     val kept = docs
       .join(broadcast(p.select("lang", "keep_p")), "lang")
-      .filter(expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint)") <
+      .filter(expr(h48("doc_id")) <
         floor(col("keep_p") * lit(281474976710656.0)).cast(LongType))
       .groupBy("lang").agg(count(lit(1)).as("n_kept"))
     p.join(kept, Seq("lang"), "left")

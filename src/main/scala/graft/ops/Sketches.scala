@@ -22,15 +22,8 @@ import graft.api._
   */
 object Sketches {
 
-  /** 48-bit uniform hash from md5 hex (engine-portable: same digest,
-    * same first-12-hex-chars window in Spark and DuckDB). */
-  private def h48(c: String): String =
-    s"cast(conv(substring(md5(cast($c as string)), 1, 12), 16, 10) as bigint)"
-
-  private def duckH48(c: String): String =
-    s"""CAST(list_sum(list_transform(range(1, 13), j ->
-       |      CAST(strpos('0123456789abcdef', substring(md5(CAST($c AS VARCHAR)), j, 1)) - 1 AS BIGINT)
-       |        << (4 * (12 - j)))) AS BIGINT)""".stripMargin
+  // the portable 48-bit hash lives in graft.api (single definition
+  // shared with Dedup/Pipeline)
 
   private val K = 64
   private val TwoPow48 = 281474976710656.0 // normalizer for the 48-bit hash space
@@ -86,7 +79,8 @@ object Sketches {
        |probes AS (SELECT unnest([1, 2, 3, 4, 5]) AS custkey),
        |pc AS (SELECT custkey, r, ${cmsCell("r", "custkey")} AS cell
        |       FROM probes, range(0, $CmsD) t(r)),
-       |est AS (SELECT custkey, min(cnt) AS cms_count FROM pc JOIN cells USING (r, cell) GROUP BY custkey),
+       |est AS (SELECT custkey, min(coalesce(cnt, 0)) AS cms_count
+       |        FROM pc LEFT JOIN cells USING (r, cell) GROUP BY custkey),
        |ex AS (SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS exact_count FROM orders GROUP BY 1)
        |SELECT CAST(p.custkey AS BIGINT) AS custkey, coalesce(ex.exact_count, 0) AS exact_count, est.cms_count
        |FROM probes p LEFT JOIN ex USING (custkey) JOIN est USING (custkey)
@@ -100,8 +94,10 @@ object Sketches {
     val pc = probes
       .select(col("custkey"), explode(sequence(lit(0), lit(CmsD - 1))).as("r"))
       .select(col("custkey"), col("r"), expr(cmsCell("r", "custkey")).as("cell"))
-    val est = pc.join(cells, Seq("r", "cell"))
-      .groupBy("custkey").agg(min(col("cnt")).as("cms_count"))
+    // LEFT join: a probe whose cells are all empty is a correct CMS
+    // estimate of 0, not a dropped row
+    val est = pc.join(cells, Seq("r", "cell"), "left")
+      .groupBy("custkey").agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
     val ex = orders.join(broadcast(probes), orders("o_custkey") === probes("custkey"))
       .groupBy(col("custkey")).agg(count(lit(1)).as("exact_count"))
     probes

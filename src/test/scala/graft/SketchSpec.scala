@@ -79,7 +79,7 @@ class SketchSpec extends SparkSpec {
 
   test("native minhash aggregate equals the per-permutation min columns") {
     import graft.ops.Dedup
-    val docs = graft.api.tbl(spark, sf, "documents").limit(200)
+    val docs = graft.api.tbl(spark, sf, "documents").filter(col("doc_id") < 200)
     val native = Dedup.minhashSignatures(docs)
       .select(col("doc_id"), col("sig")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
