@@ -13,12 +13,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * (k-minimum-values) distinct sketch keeps the k smallest DISTINCT
   * 48-bit hashes of a key column; `(k-1) / max_kth` (normalized)
   * estimates the distinct count. The aggregation state is a BOUNDED
-  * sorted array — k longs, never more — so unlike
-  * `collect_set`/window-rank formulations the memory per group is
-  * constant regardless of input size, and partial+final merge is a
-  * sorted-array merge: exactly the sketch contract that lets a 100 TB
-  * distinct-count run entirely map-side-combined. Deterministic and
-  * order-independent (a set's k smallest members don't depend on
+  * sorted primitive array — k longs, never more, no per-row boxing —
+  * so unlike `collect_set`/window-rank formulations the memory per
+  * group is constant regardless of input size, and partial+final merge
+  * is a sorted-array merge: exactly the sketch contract that lets a
+  * 100 TB distinct-count run entirely map-side-combined. Deterministic
+  * and order-independent (a set's k smallest members don't depend on
   * arrival order), so the DuckDB oracle reproduces it exactly with
   * DISTINCT + row_number ≤ k.
   */
@@ -35,14 +35,37 @@ object SketchAggregates {
     * the signature length). Same arithmetic, same values. */
   def minhashSig(v: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     ColumnBridge.column(
-      MinHashSignature(ColumnBridge.expression(v), a.toArray, b.toArray, p)
+      MinHashSignature(ColumnBridge.expression(v), a.toVector, b.toVector, p)
         .toAggregateExpression())
 }
 
+/** Shared fixed-width long-array wire format for aggregate buffers —
+  * ONE definition (also used by VectorAggregates) so the two native
+  * aggregates' serialization can never drift apart. */
+private[functions] object LongArraySerde {
+  def toBytes(buf: Array[Long], n: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(n * 8)
+    var i = 0
+    while (i < n) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+  def toBytes(buf: Array[Long]): Array[Byte] = toBytes(buf, buf.length)
+  def fromBytes(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+}
+
+/** Coefficients are Seq (structural equality): case-class equality over
+  * Array fields is reference equality, which would break
+  * semanticEquals/canonicalization (two identical minhash aggregates
+  * would never be recognized as the same expression). The hot loop
+  * reads them through a local Array copy. */
 case class MinHashSignature(
     child: Expression,
-    a: Array[Long],
-    b: Array[Long],
+    a: Seq[Long],
+    b: Seq[Long],
     p: Long,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
@@ -50,6 +73,9 @@ case class MinHashSignature(
   with ImplicitCastInputTypes with UnaryLike[Expression] {
 
   require(a.length == b.length, "permutation coefficient arrays must align")
+
+  @transient private lazy val aArr = a.toArray
+  @transient private lazy val bArr = b.toArray
 
   override def inputTypes = Seq(LongType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -63,9 +89,11 @@ case class MinHashSignature(
     val v = child.eval(input)
     if (v != null) {
       val x = v.asInstanceOf[Long]
+      val as = aArr
+      val bs = bArr
       var i = 0
       while (i < buf.length) {
-        val h = (x * a(i) + b(i)) % p
+        val h = (x * as(i) + bs(i)) % p
         if (h < buf(i)) buf(i) = h
         i += 1
       }
@@ -83,17 +111,9 @@ case class MinHashSignature(
     if (buf.length > 0 && buf(0) == Long.MaxValue) null // no input rows contributed
     else new GenericArrayData(buf)
 
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
-    bb.asLongBuffer().put(buf)
-    bb.array()
-  }
+  override def serialize(buf: Array[Long]): Array[Byte] = LongArraySerde.toBytes(buf)
 
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val out = new Array[Long](bytes.length / 8)
-    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
-    out
-  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = LongArraySerde.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): MinHashSignature =
     copy(mutableAggBufferOffset = newOffset)
@@ -103,12 +123,42 @@ case class MinHashSignature(
     copy(child = newChild)
 }
 
+/** Bounded sorted-array KMV state: `arr(0 until n)` holds the n ≤ k
+  * smallest DISTINCT values seen, ascending. Insert = binary search +
+  * System.arraycopy shift (k ≤ 64 → a few cache lines), zero allocation
+  * and zero boxing per row — the actual constant-k-longs contract the
+  * class doc advertises. */
+final class MinKBuffer(val k: Int) {
+  val arr = new Array[Long](k)
+  var n = 0
+
+  def insert(v: Long): Unit = {
+    if (n == k && v >= arr(n - 1)) return // can't displace the current max
+    var lo = 0
+    var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (arr(mid) < v) lo = mid + 1 else hi = mid
+    }
+    if (lo < n && arr(lo) == v) return // already present (distinct set)
+    if (n < k) {
+      System.arraycopy(arr, lo, arr, lo + 1, n - lo)
+      arr(lo) = v
+      n += 1
+    } else {
+      // v < arr(k-1): shift the tail right by one, dropping the max
+      System.arraycopy(arr, lo, arr, lo + 1, k - 1 - lo)
+      arr(lo) = v
+    }
+  }
+}
+
 case class MinKDistinctLongs(
     child: Expression,
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[Long]]
+  extends TypedImperativeAggregate[MinKBuffer]
   with ImplicitCastInputTypes with UnaryLike[Expression] {
 
   require(k > 0, "k must be positive")
@@ -118,47 +168,33 @@ case class MinKDistinctLongs(
   override def nullable: Boolean = true
   override def prettyName: String = "graft_min_k_distinct"
 
-  override def createAggregationBuffer(): java.util.TreeSet[Long] =
-    new java.util.TreeSet[Long]()
+  override def createAggregationBuffer(): MinKBuffer = new MinKBuffer(k)
 
-  private def insert(buf: java.util.TreeSet[Long], v: Long): Unit = {
-    if (buf.size < k) { buf.add(v); () }
-    else if (v < buf.last) { if (buf.add(v)) { buf.remove(buf.last); () } }
-  }
-
-  override def update(buf: java.util.TreeSet[Long], input: InternalRow): java.util.TreeSet[Long] = {
+  override def update(buf: MinKBuffer, input: InternalRow): MinKBuffer = {
     val v = child.eval(input)
-    if (v != null) insert(buf, v.asInstanceOf[Long])
+    if (v != null) buf.insert(v.asInstanceOf[Long])
     buf
   }
 
-  override def merge(b1: java.util.TreeSet[Long], b2: java.util.TreeSet[Long]): java.util.TreeSet[Long] = {
-    val it = b2.iterator()
-    while (it.hasNext) insert(b1, it.next())
+  override def merge(b1: MinKBuffer, b2: MinKBuffer): MinKBuffer = {
+    var i = 0
+    while (i < b2.n) { b1.insert(b2.arr(i)); i += 1 }
     b1
   }
 
-  override def eval(buf: java.util.TreeSet[Long]): Any =
-    if (buf.isEmpty) null
-    else {
-      val out = new Array[Long](buf.size)
-      var i = 0
-      val it = buf.iterator()
-      while (it.hasNext) { out(i) = it.next(); i += 1 }
-      new GenericArrayData(out)
-    }
+  override def eval(buf: MinKBuffer): Any =
+    if (buf.n == 0) null
+    else new GenericArrayData(java.util.Arrays.copyOf(buf.arr, buf.n))
 
-  override def serialize(buf: java.util.TreeSet[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(buf.size * 8)
-    val it = buf.iterator()
-    while (it.hasNext) bb.putLong(it.next())
-    bb.array()
-  }
+  override def serialize(buf: MinKBuffer): Array[Byte] =
+    LongArraySerde.toBytes(buf.arr, buf.n)
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Long] = {
-    val buf = new java.util.TreeSet[Long]()
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    while (bb.hasRemaining) buf.add(bb.getLong())
+  override def deserialize(bytes: Array[Byte]): MinKBuffer = {
+    val vals = LongArraySerde.fromBytes(bytes)
+    val buf = new MinKBuffer(k)
+    // already sorted ascending and distinct — bulk restore
+    System.arraycopy(vals, 0, buf.arr, 0, vals.length)
+    buf.n = vals.length
     buf
   }
 

@@ -72,17 +72,9 @@ case class VectorFixedPointSum(
   override def eval(buf: Array[Long]): Any =
     if (buf.length == 0) null else new GenericArrayData(buf)
 
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
-    bb.asLongBuffer().put(buf)
-    bb.array()
-  }
+  override def serialize(buf: Array[Long]): Array[Byte] = LongArraySerde.toBytes(buf)
 
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val out = new Array[Long](bytes.length / 8)
-    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
-    out
-  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = LongArraySerde.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): VectorFixedPointSum =
     copy(mutableAggBufferOffset = newOffset)

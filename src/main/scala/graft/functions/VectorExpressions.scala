@@ -150,12 +150,14 @@ case class L2NormSq(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val v = ctx.freshName("v")
       s"""
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i)) {
          |    double $v = $a.getDouble($i);
          |    $acc += $v * $v;
@@ -177,6 +179,10 @@ case class L2NormSq(child: Expression)
   * replaces (disjoint bits, so the sum IS the interleave). */
 case class ZValue(left: Expression, right: Expression, bits: Int)
     extends BinaryExpression with ImplicitCastInputTypes {
+
+  // two interleaved groups of `bits` must fit a 64-bit long; bits > 32
+  // would wrap the shift distance mod 64 and silently corrupt the code
+  require(bits > 0 && bits <= 32, s"bits must be in 1..32, got $bits")
 
   override def inputTypes = Seq(LongType, LongType)
   override def dataType: DataType = LongType

@@ -38,15 +38,30 @@ case class BroadcastRangeJoinExec(
   override def right: SparkPlan = build
   override def output: Seq[Attribute] = probe.output ++ build.output
 
-  override protected def doExecute(): RDD[InternalRow] = {
+  // The probe side streams through unchanged, so its distribution and
+  // order survive — without these overrides a downstream aggregate on
+  // the probe key would insert a needless exchange/sort.
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    probe.outputPartitioning
+  override def outputOrdering: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder] =
+    probe.outputOrdering
+
+  // One build+broadcast per plan instance: repeated actions on the same
+  // DataFrame (count then collect, iterative callers) reuse it instead
+  // of re-collecting the build side on the driver every execute().
+  @transient private lazy val builtBroadcast = {
     // Build side: collect, evaluate (lo, hi) once per interval, sort by
     // lo, precompute prefix max(hi) for early backward-scan termination.
+    // Rows with NULL lo/hi match nothing under inner-join semantics
+    // (the BETWEEN predicate is null), so they are dropped, not NPE'd.
     val buildRows = build.executeCollect()
     val loEval = BindReferences.bindReference(lo, build.output)
     val hiEval = BindReferences.bindReference(hi, build.output)
-    val entries = buildRows.map { r =>
-      (loEval.eval(r).asInstanceOf[Number].longValue(),
-        hiEval.eval(r).asInstanceOf[Number].longValue(), r.copy())
+    val entries = buildRows.flatMap { r =>
+      (loEval.eval(r), hiEval.eval(r)) match {
+        case (l: Number, h: Number) => Some((l.longValue(), h.longValue(), r.copy()))
+        case _ => None
+      }
     }.sortBy(_._1)
     val los = entries.map(_._1)
     val his = entries.map(_._2)
@@ -54,8 +69,11 @@ case class BroadcastRangeJoinExec(
     val prefixMaxHi = new Array[Long](entries.length)
     var m = Long.MinValue
     for (i <- entries.indices) { m = math.max(m, his(i)); prefixMaxHi(i) = m }
-    val bcast = sparkContext.broadcast((los, his, rows, prefixMaxHi))
+    sparkContext.broadcast((los, his, rows, prefixMaxHi))
+  }
 
+  override protected def doExecute(): RDD[InternalRow] = {
+    val bcast = builtBroadcast
     val posExpr = BindReferences.bindReference(pos, probe.output)
     val outputAttrs = output
     probe.execute().mapPartitions { iter =>
@@ -109,7 +127,6 @@ case class RangeJoinStrategy(spark: SparkSession) extends SparkStrategy {
         if pos1.semanticEquals(pos2) &&
           pos1.dataType == org.apache.spark.sql.types.LongType &&
           refsOnly(pos1, l) && refsOnly(lo, r) && refsOnly(hi, r) &&
-          r.stats.sizeInBytes >= 0 &&
           r.stats.sizeInBytes <= spark.sessionState.conf.autoBroadcastJoinThreshold =>
       BroadcastRangeJoinExec(planLater(l), planLater(r), pos1, lo, hi) :: Nil
     case _ => Nil

@@ -50,6 +50,29 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("null interval bounds drop the row (inner-join semantics, no NPE)") {
+    withStrategy {
+      val withNulls = Seq(
+        (1L, Some(1L), Some(10L)),
+        (2L, None, Some(10L)),      // null lo — BETWEEN is null → no match
+        (3L, Some(1L), None)        // null hi — same
+      ).toDF("iv_id", "lo", "hi")
+      val df = probe.join(withNulls, $"pos" >= $"lo" && $"pos" <= $"hi")
+      assert(df.queryExecution.executedPlan.toString.contains("BroadcastRangeJoin"))
+      // only interval 1 is usable; its matches are exactly the BNLJ result
+      val expected = probe.join(withNulls.filter($"iv_id" === 1),
+        $"pos" >= $"lo" && $"pos" <= $"hi").count()
+      assert(df.count() == expected)
+    }
+  }
+
+  test("repeated actions on one plan reuse the built broadcast") {
+    withStrategy {
+      val df = probe.join(ivs, $"pos" >= $"lo" && $"pos" <= $"hi")
+      assert(df.count() == df.count()) // second action must not rebuild/crash
+    }
+  }
+
   test("strategy declines flipped orientation and non-long types") {
     withStrategy {
       // intervals on the LEFT → canonical orientation doesn't match; Spark plans it
