@@ -33,10 +33,17 @@ class RangeVariantSource extends TableProvider {
     RangeVariantSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new VariantTable(
-      properties.getOrDefault("lo", "0").toLong,
-      properties.getOrDefault("hi", "1000000").toLong,
-      properties.getOrDefault("partitions", "8").toInt)
+    {
+      val hi = properties.getOrDefault("hi", "1000000").toLong
+      // (pos · 2654435761) stays below 2^63 only while pos < ~3.47e9;
+      // past that the gq/depth arithmetic would wrap negative and the
+      // documented DuckDB range() oracle equivalence breaks
+      require(hi <= 3000000000L,
+        s"hi must be <= 3e9 (Knuth-hash overflow bound), got $hi")
+      new VariantTable(
+        properties.getOrDefault("lo", "0").toLong, hi,
+        properties.getOrDefault("partitions", "8").toInt)
+    }
 }
 
 object RangeVariantSource {
@@ -71,8 +78,13 @@ private[sources] class VariantScanBuilder(var lo: Long, var hi: Long, partitions
     }
     accepted.foreach {
       case GreaterThanOrEqual("pos", v: Long) => lo = math.max(lo, v)
-      case GreaterThan("pos", v: Long) => lo = math.max(lo, v + 1)
-      case LessThanOrEqual("pos", v: Long) => hi = math.min(hi, v + 1)
+      // saturating +1: a boundary literal at Long.MaxValue must not wrap
+      // (the accepted filter is NOT re-applied by Spark, so an overflow
+      // here would silently change results)
+      case GreaterThan("pos", v: Long) =>
+        lo = if (v == Long.MaxValue) Long.MaxValue else math.max(lo, v + 1)
+      case LessThanOrEqual("pos", v: Long) =>
+        if (v < Long.MaxValue) hi = math.min(hi, v + 1)
       case LessThan("pos", v: Long) => hi = math.min(hi, v)
       case _ =>
     }

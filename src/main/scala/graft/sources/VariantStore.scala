@@ -22,14 +22,8 @@ import org.apache.spark.sql.functions._
   * metadata work, exactly like fetching the region index. */
 object VariantStore {
 
-  private def manifest(path: String): Seq[(String, Long, Long, Long)] = {
-    val m = java.nio.file.Paths.get(path, "_MANIFEST")
-    if (!java.nio.file.Files.exists(m)) Seq.empty
-    else scala.io.Source.fromFile(m.toFile).getLines().filter(_.nonEmpty).map { line =>
-      val Array(f, rows, mn, mx) = line.split(",", 4)
-      (f, rows.toLong, mn.toLong, mx.toLong)
-    }.toSeq
-  }
+  private def manifest(path: String): Seq[(String, Long, Long, Long)] =
+    StoreManifest.readLines(java.nio.file.Paths.get(path)).map(StoreManifest.parse)
 
   /** Scan `[lo, hi]` by key: manifest-pruned file list + residual filter. */
   def readRange(spark: SparkSession, path: String, schema: String,

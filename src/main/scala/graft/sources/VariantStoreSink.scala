@@ -82,25 +82,71 @@ private[sources] class StoreWriteBuilder(path: String, schema: StructType)
 private[sources] case class StoreCommit(
     file: String, rows: Long, minKey: Long, maxKey: Long) extends WriterCommitMessage
 
+/** THE manifest format — one render/parse/read/write implementation
+  * shared by the batch commit, the streaming commit, and the read path
+  * ([[VariantStore]]), so the wire format cannot drift between them.
+  * Writes go through a temp file + atomic move: a reader (or a crash)
+  * can only ever observe the old complete manifest or the new one,
+  * never a truncated in-between. */
+private[sources] object StoreManifest {
+  val FileName = "_MANIFEST"
+
+  def render(c: StoreCommit): String = s"${c.file},${c.rows},${c.minKey},${c.maxKey}"
+
+  def parse(line: String): (String, Long, Long, Long) = {
+    val Array(f, rows, mn, mx) = line.split(",", 4)
+    (f, rows.toLong, mn.toLong, mx.toLong)
+  }
+
+  /** Raw manifest lines (empty if absent). Files.readAllLines — no
+    * leaked handles. */
+  def readLines(dir: java.nio.file.Path): Seq[String] = {
+    val m = dir.resolve(FileName)
+    if (!java.nio.file.Files.exists(m)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(m).asScala.toSeq.filter(_.nonEmpty)
+    }
+  }
+
+  def writeLines(dir: java.nio.file.Path, lines: Seq[String]): Unit = {
+    val tmp = java.nio.file.Files.createTempFile(dir, FileName, ".tmp")
+    java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+    try java.nio.file.Files.move(tmp, dir.resolve(FileName),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(tmp, dir.resolve(FileName),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+}
+
 private[sources] class StoreBatchWrite(path: String, schema: StructType) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     StoreWriterFactory(path, schema)
 
   /** Driver-side commit: publish the manifest (region index). Task
-    * files were written under unique attempt names, so a failed/retried
-    * task leaves only orphans the manifest never references. */
+    * files are written under names unique across applications (UUID
+    * component), so a failed/retried task — or a concurrent writer —
+    * leaves only orphans no manifest ever references. ORDER MATTERS:
+    * the new manifest lands (atomically) BEFORE the old generation's
+    * files are deleted, so a crash in between leaves a fully readable
+    * store plus orphans, never a manifest pointing at deleted files. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
     java.nio.file.Files.createDirectories(dir)
     val commits = messages.collect { case m: StoreCommit if m.rows > 0 => m }
-    // truncate semantics: drop any file from a previous generation
-    val keep = commits.map(_.file).toSet + "_MANIFEST"
+    StoreManifest.writeLines(dir, commits.map(StoreManifest.render).sorted)
+    // truncate semantics: drop files of previous generations — only
+    // AFTER the new manifest is live
+    val keep = commits.map(_.file).toSet + StoreManifest.FileName
     val old = dir.toFile.listFiles()
-    if (old != null) old.filterNot(f => keep(f.getName)).foreach(_.delete())
-    val lines = commits.map(m => s"${m.file},${m.rows},${m.minKey},${m.maxKey}").sorted
-    java.nio.file.Files.write(dir.resolve("_MANIFEST"),
-      lines.mkString("\n").getBytes("UTF-8"))
+    if (old != null)
+      old.filterNot(f => keep(f.getName) || f.getName.endsWith(".tmp"))
+        .foreach(_.delete())
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -122,7 +168,11 @@ private[sources] class StoreDataWriter(
     path: String, schema: StructType, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
 
-  private val file = f"part-$partitionId%05d-$taskId.csv"
+  // taskIds restart per application — the UUID component makes the name
+  // unique across apps, so a fresh overwrite can never truncate a file
+  // the CURRENT manifest still references
+  private val file =
+    f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.csv"
   private val tmp = java.nio.file.Paths.get(path, file)
   java.nio.file.Files.createDirectories(tmp.getParent)
   private val out = java.nio.file.Files.newBufferedWriter(tmp)
@@ -156,10 +206,23 @@ private[sources] object StoreRender {
       case LongType => row.getLong(i).toString
       case IntegerType => row.getInt(i).toString
       case DoubleType => row.getDouble(i).toString
-      case StringType => row.getUTF8String(i).toString
+      case StringType => escape(row.getUTF8String(i).toString)
       case TimestampType => row.getLong(i).toString // epoch micros
       case dt => throw new UnsupportedOperationException(s"unsupported sink type $dt")
     }
+
+  /** Quote payloads containing the CSV metacharacters so the Spark
+    * reader (default quote `"`, escape `\`) round-trips them exactly.
+    * Embedded line breaks are rejected: the store is a line-oriented
+    * format (multiLine parsing is off on every read path), so accepting
+    * them would silently split one row into two. */
+  private def escape(s: String): String =
+    if (s.indexOf('\n') >= 0 || s.indexOf('\r') >= 0)
+      throw new UnsupportedOperationException(
+        "store payloads must not contain line breaks (line-oriented store format)")
+    else if (s.indexOf(',') >= 0 || s.indexOf('"') >= 0 || s.indexOf('\\') >= 0)
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    else s
 }
 
 /** Streaming (memstore) write path: every epoch appends one GENERATION
@@ -178,16 +241,13 @@ private[sources] class StoreStreamingWrite(path: String, schema: StructType)
     val dir = java.nio.file.Paths.get(path)
     java.nio.file.Files.createDirectories(dir)
     val commits = messages.collect { case m: StoreCommit if m.rows > 0 => m }
-    val manifest = dir.resolve("_MANIFEST")
     val prefix = f"gen-$epochId%09d-"
-    val existing =
-      if (java.nio.file.Files.exists(manifest))
-        scala.io.Source.fromFile(manifest.toFile).getLines()
-          .filterNot(_.startsWith(prefix)).toSeq
-      else Seq.empty
-    val added = commits.map(m => s"${m.file},${m.rows},${m.minKey},${m.maxKey}")
-    java.nio.file.Files.write(manifest,
-      (existing ++ added).sorted.mkString("\n").getBytes("UTF-8"))
+    // idempotent epoch re-commit: drop exactly this epoch's previous
+    // records (parsed file field, not raw-string prefix) and re-add
+    val existing = StoreManifest.readLines(dir)
+      .filterNot(l => StoreManifest.parse(l)._1.startsWith(prefix))
+    val added = commits.map(StoreManifest.render)
+    StoreManifest.writeLines(dir, (existing ++ added).sorted)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -213,7 +273,8 @@ private[sources] class StoreMemstoreWriter(
     path: String, schema: StructType, partitionId: Int, taskId: Long, epochId: Long)
     extends DataWriter[InternalRow] {
 
-  private val file = f"gen-$epochId%09d-part-$partitionId%05d-$taskId.csv"
+  private val file =
+    f"gen-$epochId%09d-part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.csv"
   private val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
 
   override def write(row: InternalRow): Unit = {

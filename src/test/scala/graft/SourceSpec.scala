@@ -62,6 +62,32 @@ class SourceSpec extends SparkSpec {
     assert(back.agg(sum($"key")).head.getLong(0) == (0L until 1000L).map(i => (i * 37) % 1000).sum)
   }
 
+  test("store payloads with CSV metacharacters round-trip exactly") {
+    val dir = sinkDir("escape")
+    val tricky = Seq((1L, "plain"), (2L, "a,b"), (3L, "say \"hi\""),
+      (4L, "back\\slash"), (5L, "mix,\"q\",\\end"))
+    tricky.toDF("key", "payload").coalesce(1).sortWithinPartitions("key")
+      .write.format("graft.sources.VariantStoreSink")
+      .option("path", dir).mode("overwrite").save()
+    val back = graft.sources.VariantStore
+      .readRange(spark, dir, "key LONG, payload STRING", 0L, 10L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == tricky.toMap, s"round-trip mismatch: $back")
+  }
+
+  test("store rejects payloads with embedded line breaks") {
+    val dir = sinkDir("newline")
+    val e = intercept[Exception] {
+      Seq((1L, "bad\nrow")).toDF("key", "payload").coalesce(1)
+        .write.format("graft.sources.VariantStoreSink")
+        .option("path", dir).mode("overwrite").save()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("line breaks")))
+  }
+
   test("DSv2 sink rejects out-of-order keys (bulk-load contract)") {
     val dir = sinkDir("unsorted")
     val df = Seq((5L, "a"), (1L, "b")).toDF("key", "payload").coalesce(1)
