@@ -64,6 +64,15 @@ object FixedLayoutCodec extends VariantCodec {
   private def utf8(s: String): Array[Byte] =
     if (s == null) Array.emptyByteArray else s.getBytes(UTF_8)
 
+  /** Field length as a short, failing FAST on overflow: a silent
+    * toShort wrap would write a negative length while appending all the
+    * bytes — decode would then read every later field from misaligned
+    * garbage with no error. */
+  private def shortLen(n: Int, what: String): Short = {
+    require(n <= Short.MaxValue, s"$what exceeds ${Short.MaxValue} bytes ($n)")
+    n.toShort
+  }
+
   override def encode(r: VariantRecord): Array[Byte] = {
     val sample = utf8(r.sample); val contig = utf8(r.contig); val gt = utf8(r.gt)
     val alleles = r.alleles.map(utf8)
@@ -71,12 +80,17 @@ object FixedLayoutCodec extends VariantCodec {
       gt.length + alleles.map(_.length + 2).sum)
     buf.putLong(r.start).putLong(r.end).putInt(r.gq)
       .put(if (r.kind == "site") 1.toByte else 0.toByte)
-      .putShort(if (r.sample == null) -1 else sample.length.toShort)
-      .putShort(if (r.contig == null) -1 else contig.length.toShort)
-      .putShort(if (r.gt == null) -1 else gt.length.toShort)
-      .putShort(r.alleles.size.toShort)
+      .putShort(if (r.sample == null) -1 else shortLen(sample.length, "sample"))
+      .putShort(if (r.contig == null) -1 else shortLen(contig.length, "contig"))
+      .putShort(if (r.gt == null) -1 else shortLen(gt.length, "gt"))
+      .putShort(shortLen(r.alleles.size, "allele count"))
     buf.put(sample).put(contig).put(gt)
-    alleles.foreach { a => buf.putShort(a.length.toShort); buf.put(a) }
+    // null alleles carry the same -1 marker as the header strings, so
+    // decode(encode(r)) == r holds for them too (round-trip law)
+    r.alleles.zip(alleles).foreach { case (orig, a) =>
+      buf.putShort(if (orig == null) -1 else shortLen(a.length, "allele"))
+      buf.put(a)
+    }
     buf.array()
   }
 

@@ -71,17 +71,25 @@ object Gvcf {
     * ordered per-sample summary. The interval join is bucketed on the
     * same stride grid as the storage layout, so it is an equi-join +
     * residual — never a nested-loop join (SURVEY §4.2). */
-  def combineAtSites(variants: DataFrame, bucketWidth: Long = 64): DataFrame = {
-    val sites = variants.filter(col("kind") === "site")
+  /** Shared bucketed site-coverage join (A6 grid): one row per
+    * (site, covering record). PRECONDITION (a gVCF file invariant): a
+    * sample's records do not overlap each other — exactly one covering
+    * record per (site, covered sample). Overlapping per-sample records
+    * (corrupt input) would duplicate that sample's coverage row. */
+  private def siteCoverage(v: DataFrame, bucketWidth: Long): DataFrame = {
+    val sites = v.filter(col("kind") === "site")
       .select(col("contig"), col("start").as("pos")).distinct()
     // bucket both sides on the stride grid: records explode to the
     // buckets they span, sites map to exactly one bucket.
-    val recs = variants
-      .withColumn("bkt", explode(sequence(
-        expr(s"start div $bucketWidth"), expr(s"end div $bucketWidth"))))
+    val recs = v.withColumn("bkt", explode(sequence(
+      expr(s"start div $bucketWidth"), expr(s"end div $bucketWidth"))))
     val probe = sites.withColumn("bkt", expr(s"pos div $bucketWidth"))
     probe.join(recs, Seq("contig", "bkt"))
       .filter(col("pos") >= col("start") && col("pos") <= col("end"))
+  }
+
+  def combineAtSites(variants: DataFrame, bucketWidth: Long = 64): DataFrame = {
+    siteCoverage(variants, bucketWidth)
       .select(col("contig"), col("pos"), col("sample"), col("kind"),
         col("alleles"), col("gq"))
       .groupBy("contig", "pos")
@@ -127,13 +135,7 @@ object Gvcf {
     val v = if (variants.columns.contains("gt")) variants
       else variants.withColumn("gt",
         when(col("kind") === "site", lit("0/1")).otherwise(lit("0/0")))
-    val sites = v.filter(col("kind") === "site")
-      .select(col("contig"), col("start").as("pos")).distinct()
-    val recs = v.withColumn("bkt", explode(sequence(
-      expr(s"start div $bucketWidth"), expr(s"end div $bucketWidth"))))
-    val probe = sites.withColumn("bkt", expr(s"pos div $bucketWidth"))
-    val cov = probe.join(recs, Seq("contig", "bkt"))
-      .filter(col("pos") >= col("start") && col("pos") <= col("end"))
+    val cov = siteCoverage(v, bucketWidth)
       .select("contig", "pos", "sample", "kind", "alleles", "gq", "gt")
     val merged = cov.filter(col("kind") === "site")
       .groupBy("contig", "pos")
@@ -143,10 +145,14 @@ object Gvcf {
           array_sort(array_distinct(flatten(collect_list(
             expr("slice(alleles, 2, greatest(size(alleles) - 1, 0))"))))),
           array(lit(Vcf.NonRef))).as("alts"))
+    // try_cast + range guards: a malformed GT token ('A', '', '-1')
+    // degrades to the missing call '.' instead of aborting a 100 TB
+    // combine under ANSI — same skip-bad-records posture as the parser
     val remapped = expr(
       s"""CASE WHEN kind = 'block' THEN replace(gt, '|', '/') ELSE
          |  array_join(transform(split(replace(gt, '|', '/'), '/'), g ->
-         |    CASE WHEN g = '.' THEN '.'
+         |    CASE WHEN g = '.' OR try_cast(g AS INT) IS NULL
+         |           OR try_cast(g AS INT) < 0 THEN '.'
          |         WHEN CAST(g AS INT) = 0 THEN '0'
          |         ELSE CAST(array_position(alts,
          |                CASE WHEN CAST(g AS INT) < size(alleles)
@@ -167,7 +173,8 @@ object Gvcf {
         array_join(first(col("alts")), ",").as("alt"),
         count(lit(1)).as("n_samples"),
         expr("transform(sort_array(collect_list(struct(sample_idx AS i, " +
-          "concat(sample, ':', gtm, ':', CAST(gq AS STRING)) AS c))), s -> s.c)")
+          "concat(sample, ':', coalesce(gtm, './.'), ':', " +
+          "coalesce(CAST(gq AS STRING), '.')) AS c))), s -> s.c)")
           .as("calls"))
       .orderBy("contig", "pos")
 
@@ -265,7 +272,8 @@ object Gvcf {
       .agg(sort_array(collect_list(col("sample"))).as("samples"))
     combineSites(variants, bucketWidth)
       .crossJoin(broadcast(samplesArr))
-      .withColumn("m", expr("map_from_entries(transform(calls, " +
+      .withColumn("m", expr("map_from_entries(transform(filter(calls, " +
+        "c -> c IS NOT NULL), " +
         "c -> struct(split(c, ':')[0] AS k, concat(split(c, ':')[1], ':', split(c, ':')[2]) AS v)))"))
       .select(col("contig"), col("pos"),
         concat_ws("\t",
@@ -330,12 +338,14 @@ object Gvcf {
         (col("n_samples") * 2).as("an"),
         explode(expr(
           "flatten(transform(calls, c -> split(split(c, ':')[1], '/')))")).as("g"))
-      .filter(col("g") =!= "0" && col("g") =!= ".")
-      .groupBy(col("contig"), col("pos"), col("g").cast(LongType).as("alt_idx"))
+      .filter(col("g") =!= "0" && col("g") =!= "." &&
+        expr("try_cast(g AS BIGINT)").isNotNull)
+      .groupBy(col("contig"), col("pos"),
+        expr("try_cast(g AS BIGINT)").as("alt_idx"))
       .agg(first(col("alts")).as("alts"), first(col("an")).as("an"),
         count(lit(1)).as("ac"))
       .select(col("contig"), col("pos"), col("alt_idx"),
-        element_at(col("alts"), col("alt_idx").cast(IntegerType)).as("alt"),
+        expr("try_element_at(alts, CAST(alt_idx AS INT))").as("alt"),
         col("ac"), col("an"))
       .orderBy("contig", "pos", "alt_idx")
   }
@@ -545,10 +555,13 @@ object Gvcf {
     * compared in merged index space; the pivot is a 6-column conditional
     * aggregate, one shuffle on the site key. */
   def mendelViolations(variants: DataFrame): DataFrame = {
+    // try_element_at + try_cast: a no-call ('./.' or bare '.') yields
+    // null alleles — the site just can't be checked — instead of an
+    // ANSI cast/index error
     val al = combinedCalls(variants).select(
       col("contig"), col("pos"), col("sample"),
-      split(col("gtm"), "/")(0).cast(IntegerType).as("a1"),
-      split(col("gtm"), "/")(1).cast(IntegerType).as("a2"))
+      expr("try_cast(try_element_at(split(gtm, '/'), 1) AS INT)").as("a1"),
+      expr("try_cast(try_element_at(split(gtm, '/'), 2) AS INT)").as("a2"))
     def pick(s: String, c: String) = max(when(col("sample") === s, col(c)))
     val trio = al.groupBy("contig", "pos").agg(
       pick("s0", "a1").as("c1"), pick("s0", "a2").as("c2"),

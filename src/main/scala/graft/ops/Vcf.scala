@@ -47,7 +47,9 @@ object Vcf {
   def parseLinesAs(lines: DataFrame, sampleCol: org.apache.spark.sql.Column): DataFrame = {
     def field(fmt: String) = {
       val pos = array_position(col("fmt"), fmt)
-      when(pos > 0, element_at(col("vals"), pos.cast(IntegerType)))
+      // try_element_at: a sample cell with FEWER subfields than FORMAT
+      // declares is malformed data, not a reason to kill the ingest
+      when(pos > 0, expr(s"try_element_at(vals, CAST(array_position(fmt, '$fmt') AS INT))"))
     }
     lines
       .filter(!col("value").startsWith("#"))
@@ -71,8 +73,9 @@ object Vcf {
         col("sample0").as("sample"),
         col("contig"),
         col("start"),
-        when(col("info").contains("END="),
-          expr("try_cast(regexp_extract(info, 'END=([0-9]+)', 1) AS BIGINT)"))
+        // anchored: 'CIEND=...' must not be misread as the record END
+        when(col("info").rlike("(^|;)END="),
+          expr("try_cast(regexp_extract(info, '(^|;)END=([0-9]+)', 2) AS BIGINT)"))
           .otherwise(col("start") + length(col("ref")) - 1).as("end"),
         when(size(col("alts")) === 1 && element_at(col("alts"), 1) === NonRef, "block")
           .otherwise("site").as("kind"),
@@ -85,7 +88,7 @@ object Vcf {
   /** SQL text of the FORMAT-field lookup (for try_cast composition). */
   private def fieldSql(fmt: String): String =
     s"CASE WHEN array_position(fmt, '$fmt') > 0 THEN " +
-      s"element_at(vals, CAST(array_position(fmt, '$fmt') AS INT)) END"
+      s"try_element_at(vals, CAST(array_position(fmt, '$fmt') AS INT)) END"
 
   /** Read one single-sample gVCF text file into `variants` rows. */
   def readGvcf(s: SparkSession, path: String, sample: String): DataFrame =
@@ -164,8 +167,8 @@ object Vcf {
       |parsed AS (
       |  SELECT p[1] AS contig,
       |    CAST(p[2] AS BIGINT) AS pos,
-      |    CASE WHEN contains(p[8], 'END=')
-      |         THEN CAST(regexp_extract(p[8], 'END=([0-9]+)', 1) AS BIGINT)
+      |    CASE WHEN regexp_matches(p[8], '(^|;)END=')
+      |         THEN CAST(regexp_extract(p[8], '(^|;)END=([0-9]+)', 2) AS BIGINT)
       |         ELSE CAST(p[2] AS BIGINT) + length(p[4]) - 1 END AS pend,
       |    CASE WHEN p[5] = '<NON_REF>' THEN 'block' ELSE 'site' END AS kind,
       |    array_to_string(list_prepend(p[4],
@@ -206,7 +209,10 @@ object Vcf {
     lines
       .filter(!col("value").startsWith("#"))
       .select(split(col("value"), "\t").as("f"))
-      .filter(size(col("f")) >= 10)
+      // the line must carry a cell for EVERY cohort sample — a weaker
+      // >= 10 guard would pass truncated lines and then read past the
+      // array for the later samples (fatal under ANSI)
+      .filter(size(col("f")) >= 9 + samples.size)
       .select(col("f"), posexplode(sArr))
       .withColumnRenamed("col", "sample")
       .select(
@@ -222,7 +228,7 @@ object Vcf {
         (col("start") + length(col("ref")) - 1).as("end"),
         lit("site").as("kind"),
         concat(array(col("ref")), filter(col("alts"), a => a =!= NonRef)).as("alleles"),
-        expr("try_cast(element_at(cell, 2) AS INT)").as("gq"),
+        expr("try_cast(try_element_at(cell, 2) AS INT)").as("gq"),
         element_at(col("cell"), 1).as("gt"))
   }
 

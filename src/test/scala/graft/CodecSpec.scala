@@ -22,7 +22,8 @@ object CodecProps extends Properties("codec") {
     end <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
     kind <- Gen.oneOf("site", "block")
     nAlleles <- Gen.choose(0, 3)
-    alleles <- Gen.listOfN(nAlleles, Gen.oneOf("A", "C", "G", "T", "<NON_REF>", ""))
+    alleles <- Gen.listOfN(nAlleles,
+      Gen.oneOf("A", "C", "G", "T", "<NON_REF>", "", null: String))
     gq <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
     gt <- genStr
   } yield VariantRecord(sample, contig, start, end, kind, alleles, gq, gt)

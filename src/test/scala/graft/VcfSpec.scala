@@ -57,6 +57,18 @@ class VcfSpec extends SparkSpec {
       s"malformed lines leaked or killed the good one: $out")
   }
 
+  test("sample cell with fewer subfields than FORMAT parses null, not error") {
+    // FORMAT declares GT:GQ but the cell carries only GT — GQ is null
+    val out = parse("chr1\t800\t.\tA\tT,<NON_REF>\t1\t.\tDP=1\tGT:GQ\t0/1")
+    assert(out == List(("chr1", 800L, 800L, "site", List("A", "T"), None, Some("0/1"))))
+  }
+
+  test("CIEND= is not misread as the record END (anchored match)") {
+    val out = parse("chr1\t900\t.\tAC\tT,<NON_REF>\t1\t.\tCIEND=0,500;DP=9\tGT:GQ\t0/1:7")
+    // end = start + len(ref) - 1 = 901, NOT 0 from CIEND's digits
+    assert(out == List(("chr1", 900L, 901L, "site", List("AC", "T"), Some(7), Some("0/1"))))
+  }
+
   test("export → parseCohortLines → combine round-trips the merged calls") {
     val cohort = graft.ops.Gvcf.syntheticVariants(spark, 300)
     val expected = graft.ops.Gvcf.combineSites(cohort)
