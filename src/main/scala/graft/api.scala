@@ -61,6 +61,23 @@ object api {
   /** UTC timestamp literal (session timezone is pinned to UTC). */
   def ts(s: String): Column = lit(s).cast(TimestampType)
 
+  /** Content fingerprint of a dataset path (file names + sizes +
+    * mtimes, md5'd, 12 hex chars): cache-directory keys derived from it
+    * change whenever the data changes, so persisted artifacts (IVF
+    * index, ppm files, cluster labels) can neither go stale after a
+    * fixture regeneration nor collide between datasets whose paths
+    * sanitize to the same string. */
+  def contentFingerprint(path: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName).flatMap(walk)).getOrElse(Seq.empty)
+      else Seq(f)
+    val sig = walk(new java.io.File(path))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    java.security.MessageDigest.getInstance("MD5").digest(sig.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+  }
+
   /** 48-bit uniform hash from md5 hex — engine-portable: same digest,
     * same first-12-hex-chars window in Spark and DuckDB. THE single
     * definition; Sketches/Dedup/Pipeline all call these so the two

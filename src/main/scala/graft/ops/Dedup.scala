@@ -493,7 +493,9 @@ object Dedup {
       _ => new java.util.concurrent.ConcurrentHashMap[String, () => DataFrame]())
     perSession.computeIfAbsent(d, _ => {
       lazy val built: DataFrame = {
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cc_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cc_" +
+          s"${d.replaceAll("[^a-zA-Z0-9]", "_")}_" +
+          graft.api.contentFingerprint(s"$d/documents.parquet")
         if (new java.io.File(dir, "_SUCCESS").exists()) s.read.parquet(dir)
         else {
           val docs = tbl(s, d, "documents")

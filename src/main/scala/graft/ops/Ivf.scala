@@ -86,7 +86,11 @@ object Ivf {
   /** Nearest-centroid assignment: bind the (label-sorted) centroid array
     * once per row via a broadcast one-row frame, argmin by (d2, label)
     * with a strict-< fold — ties keep the earlier (lower) label, matching
-    * the oracle's `row_number() OVER (ORDER BY d2, label)`. */
+    * the oracle's `row_number() OVER (ORDER BY d2, label)`. The first
+    * centroid is adopted unconditionally, so an all-NaN distance row
+    * (corrupt vector) gets the lowest label — same as the oracle's
+    * NaN-last sort — instead of leaking the Int.MaxValue sentinel as a
+    * phantom bucket. */
   def assignToNearest(e: DataFrame, cents: DataFrame): DataFrame = {
     val centArr = cents.agg(
       sort_array(collect_list(struct(col("label"), col("cv")))).as("cents"))
@@ -99,12 +103,17 @@ object Ivf {
           |              CAST(0.0 AS DOUBLE), (a, y) -> a + y) AS d,
           |    c.label AS l)),
           |  struct(CAST('Infinity' AS DOUBLE) AS d, 2147483647 AS l),
-          |  (acc, x) -> IF(x.d < acc.d, x, acc)).l""".stripMargin))
+          |  (acc, x) -> IF(acc.l = 2147483647 OR x.d < acc.d, x, acc)).l""".stripMargin))
       .drop("cents")
   }
 
-  private def indexDir(d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+  // keyed by CONTENT fingerprint, not just the sanitized path: distinct
+  // datasets can't collide on one cache dir, and regenerated fixture
+  // data can't silently serve a stale index
+  private def indexDir(d: String): String = {
+    val fp = graft.api.contentFingerprint(s"$d/embeddings.parquet")
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${d.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+  }
 
   /** Materialize the index once per (session, sf): `vectors/` partitioned
     * by bucket (the inverted lists), `centroids/` alongside. */

@@ -88,7 +88,8 @@ object Multimodal {
     * tested, not stressed). Executor-side writes — local-FS harness
     * idiom, same caveat as `Sources.partitionedOrdersDf`. */
   def ppmFileDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ppm_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val fp = graft.api.contentFingerprint(s"$d/documents.parquet")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ppm_${d.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
     val marker = new java.io.File(dir, "_SUCCESS")
     if (!marker.exists()) {
       new java.io.File(dir).mkdirs()
@@ -115,7 +116,15 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val (w, h, _, off) = parseP6Header(bytes)
+          val (w, h, mx, off) = parseP6Header(bytes)
+          // validate BEFORE the pixel loop: a 16-bit maxval would be
+          // silently misdecoded, truncation would throw an opaque AIOOBE
+          // mid-loop, and a hostile w*h*3 overflowing Int would make the
+          // loop a silent no-op (negative end) — fail with the facts
+          val need = off.toLong + w.toLong * h.toLong * 3L
+          require(mx == 255, s"unsupported P6 maxval $mx (8-bit only)")
+          require(w > 0 && h > 0 && need <= bytes.length,
+            s"malformed P6 payload: ${w}x$h needs $need bytes, got ${bytes.length}")
           var (sr, sg, sb) = (0L, 0L, 0L)
           var i = off
           val end = off + w * h * 3

@@ -72,15 +72,9 @@ object Similarity {
       .limit(10)
   }
 
-  /** Exact order-independent mean of a float column: quantize by an
-    * exact power-of-two scale (2^24 — a pure exponent shift, so
-    * `x * 2^24` and `floor` are exact in every engine), sum as integers,
-    * divide back. Bit-identical regardless of aggregation order; the
-    * deliberate quantization floor is 2^-24 ≈ 6e-8. */
-  private[ops] def fixedPointMean(x: Column): Column =
-    sum(floor(x.cast(DoubleType) * 16777216.0).cast(LongType)).cast(DoubleType) /
-      count(lit(1)) / 16777216.0
-
+  /** DuckDB twin of the fixed-point mean the native `vecFixedSum`
+    * aggregate computes (exact power-of-two quantize → integer sum →
+    * one division; order-independent and engine-exact). */
   private def duckFixedPointMean(x: String): String =
     s"CAST(sum(CAST(floor(CAST($x AS DOUBLE) * 16777216.0) AS BIGINT)) AS DOUBLE) / count(*) / 16777216.0"
 

@@ -81,7 +81,13 @@ object Streaming {
   /** Stream-stream self-join: pair each purchase with the same user's
     * clicks from the preceding hour (time-bounded interval condition —
     * both watermarks bound the join state Spark retains). */
-  def purchaseAttribution(events: DataFrame, delay: String = "10 minutes"): DataFrame = {
+  def purchaseAttribution(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    attribution(events, delay, "inner")
+
+  /** One builder for both attribution variants — the window, watermark,
+    * and join condition are the shared semantics; only the join type
+    * (drop vs watermark-closed NULL clicks) differs. */
+  private def attribution(events: DataFrame, delay: String, joinType: String): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
       .withWatermark("click_ts", delay)
@@ -91,7 +97,8 @@ object Streaming {
     purchases.join(clicks,
       col("p_user") === col("c_user") &&
         col("click_ts") >= col("purchase_ts") - expr("interval 1 hour") &&
-        col("click_ts") <= col("purchase_ts"))
+        col("click_ts") <= col("purchase_ts"),
+      joinType)
       .select(col("p_user").as("user_id"), col("purchase_ts"), col("click_ts"), col("value"))
   }
 
@@ -121,7 +128,10 @@ object Streaming {
         (key: (String, String), batch: Iterator[VarEvent], state: GroupState[BlockState]) =>
           var cur = state.getOption
           val out = scala.collection.mutable.ArrayBuffer.empty[FilledCall]
-          batch.toSeq.sortBy(_.start).foreach { v =>
+          // blocks sort before sites at the same position, so a site is
+          // always densified against the co-located block — the group
+          // iterator's post-shuffle order is not otherwise guaranteed
+          batch.toSeq.sortBy(v => (v.start, if (v.kind == "block") 0 else 1)).foreach { v =>
             if (v.kind == "block") { cur = Some(BlockState(v.start, v.end, v.gq)) }
             else {
               val spanning = cur.filter(b => v.start >= b.start && v.start <= b.end)
@@ -139,20 +149,8 @@ object Streaming {
     * once the watermark proves no matching click can still arrive (the
     * semantically hard part of outer stream-stream joins: the null side
     * is a watermark-closed fact, not an absence-so-far). */
-  def purchaseAttributionOuter(events: DataFrame, delay: String = "10 minutes"): DataFrame = {
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
-      .withWatermark("click_ts", delay)
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
-      .withWatermark("purchase_ts", delay)
-    purchases.join(clicks,
-      col("p_user") === col("c_user") &&
-        col("click_ts") >= col("purchase_ts") - expr("interval 1 hour") &&
-        col("click_ts") <= col("purchase_ts"),
-      "left_outer")
-      .select(col("p_user").as("user_id"), col("purchase_ts"), col("click_ts"), col("value"))
-  }
+  def purchaseAttributionOuter(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    attribution(events, delay, "left_outer")
 
   /** C7 streaming twin — native session windows (30-min inactivity gap):
     * the stateful analog of the batch gaps-and-islands query. */
