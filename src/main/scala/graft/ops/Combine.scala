@@ -193,7 +193,13 @@ object Combine {
       |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
       |FROM lineitem
       |GROUP BY key_bucket ORDER BY key_bucket""".stripMargin) { (s, d) =>
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sorted_write_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // content-fingerprinted (like the IVF/ppm/cc caches) + per-process
+    // unique: concurrent Verify/Bench runs on the same dataset must not
+    // race one shared overwrite-then-read directory
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_sorted_write_" +
+      s"${d.replaceAll("[^a-zA-Z0-9]", "_")}_" +
+      s"${graft.api.contentFingerprint(s"$d/lineitem.parquet")}_" +
+      java.lang.ProcessHandle.current().pid()
     tbl(s, d, "lineitem")
       .repartitionByRange(8, col("l_orderkey"))
       .sortWithinPartitions("l_orderkey")
