@@ -314,8 +314,16 @@ object Extras {
     * depth. This is the declarative alternative to the hand-rolled
     * pointer-jumping in `Dedup.connectedComponents` — each loop step is a
     * joined, re-planned DataFrame, so the iteration scales exactly like
-    * any other join (no driver-side traversal). The oracle replays the
-    * identical recursion in DuckDB. */
+    * any other join (no driver-side traversal).
+    *
+    * The cost driver here is DEPTH, not data: each UnionLoop round is a
+    * full driver re-plan (~0.4 s of planner time at any data size). So
+    * the Spark side walks TWO levels per round — the anchor seeds depths
+    * 0 AND 1, the recursive step joins the GRANDPARENT relation
+    * `gp(c) = (c-3) div 4` — halving the rounds (~7 instead of ~14)
+    * while computing the identical reachability set. The oracle replays
+    * the plain one-level recursion in DuckDB (re-plans are free there),
+    * so the hash match also proves the two-level rewrite correct. */
   val graphReach = Query(
     "q_graph_reach",
     """WITH RECURSIVE r(node, depth) AS (
@@ -330,12 +338,13 @@ object Extras {
       |FROM r GROUP BY depth ORDER BY depth""".stripMargin) { (s, _) =>
     s.sql(
       """WITH RECURSIVE r(node, depth) AS (
-        |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+        |  SELECT id AS node, CAST(CASE WHEN id = 0 THEN 0 ELSE 1 END AS BIGINT) AS depth
+        |  FROM range(0, 3)
         |  UNION ALL
-        |  SELECT e.child, r.depth + 1
-        |  FROM r JOIN (SELECT id AS child, (id - 1) div 2 AS parent
-        |               FROM range(1, 10000)) e
-        |    ON e.parent = r.node)
+        |  SELECT e.child, r.depth + 2
+        |  FROM r JOIN (SELECT id AS child, (id - 3) div 4 AS gparent
+        |               FROM range(3, 10000)) e
+        |    ON e.gparent = r.node)
         |SELECT depth, count(*) AS n_nodes, sum(node) AS sum_node
         |FROM r GROUP BY depth ORDER BY depth""".stripMargin)
   }
@@ -789,13 +798,17 @@ object Extras {
     * argmax is total and
     * both engines agree without relying on tie-breaking internals
     * (DuckDB's arg_max only takes scalar keys; ties would otherwise be
-    * engine-defined). One partial+final aggregate — the single-pass
-    * replacement for the sort-and-take-first window. */
+    * engine-defined). The cents key rounds EXPLICITLY (`round(·, 0)`,
+    * half-away-from-zero in both engines) before the BIGINT cast: a bare
+    * decimal→long cast truncates in Spark but rounds in DuckDB, a
+    * divergence that only fixture luck (2-decimal values) masked.
+    * One partial+final aggregate — the single-pass replacement for the
+    * sort-and-take-first window. */
   val minmaxBy = Query(
     "q_minmax_by",
     """WITH e AS (
       |  SELECT user_id, event_type, value,
-      |    CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) * 10000000000 + event_id AS k
+      |    CAST(round(CAST(value AS DECIMAL(18,4)) * 100, 0) AS BIGINT) * 10000000000 + event_id AS k
       |  FROM events)
       |SELECT user_id,
       |  arg_max(event_type, k) AS top_event_type,
@@ -805,7 +818,7 @@ object Extras {
       |ORDER BY user_id LIMIT 500""".stripMargin) { (s, d) =>
     tbl(s, d, "events")
       .withColumn("k",
-        (dec("value") * 100).cast(LongType) * 10000000000L + col("event_id"))
+        round(dec("value") * 100, 0).cast(LongType) * 10000000000L + col("event_id"))
       .groupBy("user_id")
       .agg(
         max_by(col("event_type"), col("k")).as("top_event_type"),

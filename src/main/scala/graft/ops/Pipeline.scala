@@ -590,16 +590,20 @@ object Pipeline {
     val w = Seq(("en", 0.35), ("fr", 0.25), ("de", 0.20), ("es", 0.15), ("zh", 0.05))
       .toDF("lang", "wt")
     val tot = docs.agg(count(lit(1)).as("n_total"))
+    // K rows (one per language), referenced by BOTH the broadcast filter
+    // and the final report — materialize once so the corpus stats pass
+    // runs once (Catalyst does not CSE across plan branches). A driver
+    // collect of K metadata-scale rows is a justified lineage break (the
+    // Ivf.scala centroid pattern); localCheckpoint would pin storage
+    // blocks that nothing ever unpersists across long sessions.
     val p = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
       .join(broadcast(w), "lang")
       .crossJoin(tot)
       .withColumn("keep_p",
         least(lit(1.0), col("wt") * col("n_total") * lit(0.5) / col("n_docs")))
       .select("lang", "n_docs", "keep_p")
-      // K rows, referenced by BOTH the broadcast filter and the final
-      // report — materialize once so the corpus stats pass runs once
-      // (Catalyst does not CSE across plan branches)
-      .localCheckpoint()
+      .as[(String, Long, Double)].collect().toSeq
+      .toDF("lang", "n_docs", "keep_p")
     val kept = docs
       .join(broadcast(p.select("lang", "keep_p")), "lang")
       .filter(expr(h48("doc_id")) <

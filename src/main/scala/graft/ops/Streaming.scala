@@ -130,8 +130,13 @@ object Streaming {
           val out = scala.collection.mutable.ArrayBuffer.empty[FilledCall]
           // blocks sort before sites at the same position, so a site is
           // always densified against the co-located block — the group
-          // iterator's post-shuffle order is not otherwise guaranteed
-          batch.toSeq.sortBy(v => (v.start, if (v.kind == "block") 0 else 1)).foreach { v =>
+          // iterator's post-shuffle order is not otherwise guaranteed.
+          // (end, gq) tiebreakers make the order TOTAL: two blocks
+          // sharing a start would otherwise keep their nondeterministic
+          // shuffle order (stable sort over an unstable input), and
+          // whichever sorted last would win the carried state.
+          batch.toSeq.sortBy(v =>
+            (v.start, if (v.kind == "block") 0 else 1, v.end, v.gq)).foreach { v =>
             if (v.kind == "block") { cur = Some(BlockState(v.start, v.end, v.gq)) }
             else {
               val spanning = cur.filter(b => v.start >= b.start && v.start <= b.end)

@@ -50,6 +50,7 @@ case class BroadcastRangeJoinExec(
   // DataFrame (count then collect, iterative callers) reuse it instead
   // of re-collecting the build side on the driver every execute().
   @transient private lazy val builtBroadcast = {
+    BroadcastRangeJoinExec.buildCount.incrementAndGet()
     // Build side: collect, evaluate (lo, hi) once per interval, sort by
     // lo, precompute prefix max(hi) for early backward-scan termination.
     // Rows with NULL lo/hi match nothing under inner-join semantics
@@ -107,6 +108,14 @@ case class BroadcastRangeJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastRangeJoinExec =
     copy(probe = newLeft, build = newRight)
+}
+
+object BroadcastRangeJoinExec {
+  /** Observable build counter: bumps once per build-side collect+
+    * broadcast. Lets tests assert broadcast REUSE across repeated
+    * actions directly (a `count() == count()` check passes whether or
+    * not the build re-runs). */
+  val buildCount = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 /** Planner strategy: intercept inner joins whose ONLY condition is

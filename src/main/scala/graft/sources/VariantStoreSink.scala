@@ -139,13 +139,19 @@ private[sources] class StoreBatchWrite(path: String, schema: StructType) extends
     val dir = java.nio.file.Paths.get(path)
     java.nio.file.Files.createDirectories(dir)
     val commits = messages.collect { case m: StoreCommit if m.rows > 0 => m }
+    val t0 = System.currentTimeMillis()
     StoreManifest.writeLines(dir, commits.map(StoreManifest.render).sorted)
     // truncate semantics: drop files of previous generations — only
-    // AFTER the new manifest is live
+    // AFTER the new manifest is live. `.tmp` files are in-flight
+    // manifest temps: preserve any from a CONCURRENT write (created
+    // around/after this commit started), but reap stale ones — a crash
+    // between createTempFile and the atomic move would otherwise leave
+    // an orphan `_MANIFEST*.tmp` forever.
     val keep = commits.map(_.file).toSet + StoreManifest.FileName
     val old = dir.toFile.listFiles()
     if (old != null)
-      old.filterNot(f => keep(f.getName) || f.getName.endsWith(".tmp"))
+      old.filterNot(f => keep(f.getName))
+        .filter(f => !f.getName.endsWith(".tmp") || f.lastModified < t0 - 60000)
         .foreach(_.delete())
   }
 

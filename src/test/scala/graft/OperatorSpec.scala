@@ -79,6 +79,23 @@ class OperatorSpec extends SparkSpec {
     assert(m("seen") == 4L && m("empty") == 2L, s"wrong metrics: $m")
   }
 
+  test("minmax_by argmax key rounds (not truncates) 4-decimal values") {
+    // Regression for the cross-engine cast divergence: the cents key
+    // must round explicitly — 1.2355 → 123.55 cents → 124 (a bare
+    // decimal→long cast would truncate to 123 in Spark while DuckDB
+    // rounds, diverging on any value with >2 decimals).
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val df = Seq((1.2355, 7L), (2.9999, 8L), (-1.2355, 9L))
+      .toDF("value", "event_id")
+      .withColumn("k",
+        round($"value".cast(DecimalType(18, 4)) * 100, 0).cast(LongType) *
+          10000000000L + $"event_id")
+    val ks = df.orderBy("event_id").select("k").as[Long].collect().toSeq
+    assert(ks == Seq(124L * 10000000000L + 7L,
+      300L * 10000000000L + 8L,
+      -124L * 10000000000L + 9L)) // half-away-from-zero on negatives too
+  }
+
   test("fixed-point centroid mean is exact and order-independent") {
     val vals = Seq(0.1f, 0.25f, -0.7f, 0.33f, 0.999f, -0.001f)
     val df1 = vals.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "x")

@@ -68,8 +68,17 @@ class RangeJoinSpec extends SparkSpec {
 
   test("repeated actions on one plan reuse the built broadcast") {
     withStrategy {
+      import graft.plans.BroadcastRangeJoinExec
       val df = probe.join(ivs, $"pos" >= $"lo" && $"pos" <= $"hi")
-      assert(df.count() == df.count()) // second action must not rebuild/crash
+      val before = BroadcastRangeJoinExec.buildCount.get()
+      // collect() twice: both actions run the Dataset's CACHED
+      // queryExecution, i.e. the same exec instance. (count() would NOT
+      // reuse — it wraps the Dataset in a new aggregate plan each call,
+      // so each count legitimately builds its own broadcast.)
+      assert(df.collect().length == 10)
+      assert(df.collect().length == 10)
+      val builds = BroadcastRangeJoinExec.buildCount.get() - before
+      assert(builds == 1, s"expected exactly one build-side broadcast, got $builds")
     }
   }
 
