@@ -178,6 +178,82 @@ object Gvcf {
           .as("calls"))
       .orderBy("contig", "pos")
 
+  /** The GenotypeGVCFs step — the computation the reference's store
+    * exists to enable (`VariantCombiner.java:~8 (unverified)`, per
+    * SURVEY §0): re-genotype every covered sample at every merged site
+    * FROM ITS PHRED LIKELIHOODS, in merged allele space.
+    *
+    * Per (site, covered sample):
+    *   1. Merged alleles `[ref] ++ sorted-distinct alts ++ <NON_REF>`
+    *      (the combine union). The sample's LOCAL allele list is its own
+    *      `alleles ++ <NON_REF>`.
+    *   2. PL index remap — the hard part: diploid genotype (a,b), a≤b,
+    *      lives at canonical PL index b(b+1)/2 + a. Walk the merged
+    *      genotype space in canonical order, map each merged allele to
+    *      the sample's local index (alleles the sample never saw resolve
+    *      to its <NON_REF>, the GATK convention), and read the sample's
+    *      PL at the LOCAL pair's canonical index. Block-covered samples
+    *      (no PL) synthesize the standard banded likelihoods
+    *      0 / GQ / 2·GQ for hom-ref / het / hom-alt.
+    *   3. Re-genotype: GT = argmin PL (first index on ties — canonical
+    *      order makes that deterministic); GQ = second-best − best,
+    *      capped at 99.
+    *
+    * All-integer math end to end, so the DuckDB oracle is exact. Plan
+    * shape: the same bucketed site-coverage equi-join as the combine,
+    * one merged-allele aggregate joined back, then pure per-row array
+    * expressions (codegen'd, no UDFs) and one final site aggregate —
+    * nothing new shuffles at 100 TB beyond what combine already pays. */
+  def genotypeGvcf(variants: DataFrame, bucketWidth: Long = 64): DataFrame = {
+    val cov = siteCoverage(variants, bucketWidth)
+      .select("contig", "pos", "sample", "kind", "alleles", "gq", "dp", "pl")
+    val merged = cov.filter(col("kind") === "site")
+      .groupBy("contig", "pos")
+      .agg(
+        min(element_at(col("alleles"), 1)).as("ref"),
+        concat(
+          array_sort(array_distinct(flatten(collect_list(
+            expr("slice(alleles, 2, greatest(size(alleles) - 1, 0))"))))),
+          array(lit(Vcf.NonRef))).as("alts"))
+    val re = cov.join(merged, Seq("contig", "pos"))
+      .withColumn("malleles", concat(array(col("ref")), col("alts")))
+      .withColumn("lall", concat(col("alleles"), array(lit(Vcf.NonRef))))
+      // merged-allele index -> sample-local allele index (<NON_REF>
+      // fallback for alleles outside the sample's local list)
+      .withColumn("limap", expr(
+        """transform(malleles, m ->
+          |  CASE WHEN array_position(lall, m) > 0
+          |       THEN CAST(array_position(lall, m) - 1 AS INT)
+          |       ELSE size(lall) - 1 END)""".stripMargin))
+      // merged genotype space in canonical PL order: (0,0),(0,1),(1,1),…
+      .withColumn("pairs", expr(
+        "flatten(transform(sequence(0, size(malleles) - 1), " +
+          "b -> transform(sequence(0, b), a -> array(a, b))))"))
+      .withColumn("mpl", expr(
+        """CASE WHEN kind = 'block' OR pl IS NULL THEN
+          |  transform(pairs, p -> gq * (CAST(p[0] > 0 AS INT) + CAST(p[1] > 0 AS INT)))
+          |ELSE
+          |  transform(pairs, p -> coalesce(try_element_at(pl, CAST(
+          |    (greatest(limap[p[0]], limap[p[1]]) * (greatest(limap[p[0]], limap[p[1]]) + 1)) div 2
+          |      + least(limap[p[0]], limap[p[1]]) + 1 AS INT)), 999999))
+          |END""".stripMargin))
+      .withColumn("g", expr("CAST(array_position(mpl, array_min(mpl)) - 1 AS INT)"))
+      .withColumn("gt_new", expr("concat(pairs[g][0], '/', pairs[g][1])"))
+      .withColumn("spl", array_sort(col("mpl")))
+      .withColumn("gq_new", expr("least(try_element_at(spl, 2) - try_element_at(spl, 1), 99)"))
+    re.join(broadcast(sampleNameIndex(variants)), "sample")
+      .groupBy("contig", "pos")
+      .agg(
+        first(col("ref")).as("ref"),
+        array_join(first(col("alts")), ",").as("alt"),
+        count(lit(1)).as("n_samples"),
+        sum(col("dp")).cast(LongType).as("sum_dp"),
+        expr("array_join(transform(sort_array(collect_list(struct(sample_idx AS i, " +
+          "concat(sample, ':', gt_new, ':', gq_new) AS c))), s -> s.c), ';')")
+          .as("calls"))
+      .orderBy("contig", "pos")
+  }
+
   /** Deterministic 3-sample synthetic cohort (pure arithmetic — the
     * DuckDB oracle rebuilds it value for value): record j of sample k is
     * a het/hom site at position 10j+1 when (j+k)%3 < 2 (so every
@@ -198,6 +274,23 @@ object Gvcf {
       "CAST(((id div 3) * 7 + (id % 3) * 13) % 90 + 10 AS INT) AS gq",
       "CASE WHEN ((id div 3) + id % 3) % 3 >= 2 THEN '0/0' " +
         "WHEN ((id div 3) + id % 3) % 2 = 0 THEN '0/1' ELSE '1/1' END AS gt")
+
+  /** [[syntheticVariants]] extended with the likelihood fields: every
+    * record gets a depth `dp = gq % 30 + 10`; site records get the
+    * 6-entry PL over their local `[ref, alt, <NON_REF>]` diploid space —
+    * 0 at the true genotype's canonical index, `(j+1)·10 + start%7`
+    * elsewhere (so the argmin is unique and the remap is observable);
+    * blocks carry no PL (synthesized from GQ downstream, as in a real
+    * gVCF). */
+  def syntheticVariantsPl(s: SparkSession, n: Long): DataFrame =
+    syntheticVariants(s, n)
+      .withColumn("dp", (col("gq") % 30 + 10).cast(IntegerType))
+      .withColumn("pl", expr(
+        """CASE WHEN kind = 'site' THEN
+          |  transform(sequence(0, 5), j -> CAST(
+          |    CASE WHEN j = (CASE WHEN gt = '0/1' THEN 1 WHEN gt = '1/1' THEN 2 ELSE 0 END)
+          |         THEN 0 ELSE (j + 1) * 10 + start % 7 END AS INT))
+          |END""".stripMargin))
 
   /** The same cohort as [[syntheticVariants]] in DuckDB CTE form
     * (column names vstart/vend dodge the END keyword). */
@@ -257,6 +350,75 @@ object Gvcf {
        |ORDER BY r.contig, r.pos""".stripMargin) { (s, _) =>
     combineSites(syntheticVariants(s, 3000))
       .withColumn("calls", array_join(col("calls"), ";"))
+  }
+
+  /** GenotypeGVCFs over the PL-bearing cohort. The oracle replays the
+    * ENTIRE pipeline independently in DuckDB list SQL — coverage join,
+    * allele union, canonical-order PL remap through the local-index map,
+    * argmin re-genotype, GQ from the two smallest likelihoods — so a
+    * hash match proves the remap math, not just the plumbing. */
+  val genotypeGvcfQuery = Query(
+    "q_genotype_gvcf",
+    s"""WITH $duckSyntheticV,
+       |vp AS (
+       |  SELECT *, CAST(gq % 30 + 10 AS INT) AS dp,
+       |    CASE WHEN kind = 'site' THEN
+       |      list_transform(range(0, 6), j -> CAST(
+       |        CASE WHEN j = (CASE WHEN gt = '0/1' THEN 1 WHEN gt = '1/1' THEN 2 ELSE 0 END)
+       |             THEN 0 ELSE (j + 1) * 10 + vstart % 7 END AS INT))
+       |    END AS pl,
+       |    CASE WHEN kind = 'site' THEN [ref, alt] ELSE [ref] END AS lall0
+       |  FROM v),
+       |sites AS (SELECT DISTINCT contig, vstart AS pos FROM v WHERE kind = 'site'),
+       |cov AS (
+       |  SELECT s.contig, s.pos, p.sample, p.kind, p.lall0, p.gq, p.dp, p.pl, p.alt, p.ref
+       |  FROM sites s JOIN vp p
+       |    ON p.contig = s.contig AND s.pos BETWEEN p.vstart AND p.vend),
+       |merged AS (
+       |  SELECT contig, pos, min(ref) AS mref,
+       |    list_append(list_sort(list_distinct(list(alt))), '<NON_REF>') AS calts
+       |  FROM cov WHERE kind = 'site' GROUP BY contig, pos),
+       |re AS (
+       |  SELECT c.contig, c.pos, c.sample, c.kind, c.gq, c.dp, c.pl, m.mref, m.calts,
+       |    list_prepend(m.mref, m.calts) AS mall,
+       |    list_append(c.lall0, '<NON_REF>') AS lall
+       |  FROM cov c JOIN merged m ON c.contig = m.contig AND c.pos = m.pos),
+       |re2 AS (
+       |  SELECT *,
+       |    flatten(list_transform(range(0, CAST(len(mall) AS BIGINT)),
+       |      b -> list_transform(range(0, b + 1), a -> [a, b]))) AS pairs,
+       |    list_transform(mall, mm ->
+       |      CASE WHEN coalesce(list_position(lall, mm), 0) > 0
+       |           THEN list_position(lall, mm) - 1 ELSE len(lall) - 1 END) AS limap
+       |  FROM re),
+       |re3 AS (
+       |  SELECT *, CASE WHEN kind = 'block' OR pl IS NULL THEN
+       |      list_transform(pairs, p -> gq *
+       |        ((CASE WHEN p[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN p[2] > 0 THEN 1 ELSE 0 END)))
+       |    ELSE list_transform(pairs, p -> coalesce(pl[CAST(
+       |      (greatest(limap[CAST(p[1] + 1 AS INT)], limap[CAST(p[2] + 1 AS INT)]) *
+       |       (greatest(limap[CAST(p[1] + 1 AS INT)], limap[CAST(p[2] + 1 AS INT)]) + 1)) // 2
+       |        + least(limap[CAST(p[1] + 1 AS INT)], limap[CAST(p[2] + 1 AS INT)]) + 1 AS INT)], 999999))
+       |    END AS mpl
+       |  FROM re2),
+       |re4 AS (
+       |  SELECT *, CAST(list_position(mpl, list_min(mpl)) AS INT) AS gpos,
+       |    list_sort(mpl) AS spl
+       |  FROM re3),
+       |calls AS (
+       |  SELECT contig, pos, sample, mref, calts, dp,
+       |    CAST(pairs[gpos][1] AS VARCHAR) || '/' || CAST(pairs[gpos][2] AS VARCHAR) AS gt_new,
+       |    least(spl[2] - spl[1], 99) AS gq_new
+       |  FROM re4)
+       |SELECT contig, pos, mref AS ref, array_to_string(calts, ',') AS alt,
+       |  CAST(count(*) AS BIGINT) AS n_samples,
+       |  CAST(sum(dp) AS BIGINT) AS sum_dp,
+       |  array_to_string(list(sample || ':' || gt_new || ':' || CAST(gq_new AS VARCHAR)
+       |    ORDER BY sample), ';') AS calls
+       |FROM calls
+       |GROUP BY contig, pos, mref, calts
+       |ORDER BY contig, pos""".stripMargin) { (s, _) =>
+    genotypeGvcf(syntheticVariantsPl(s, 3000))
   }
 
   /** The reference's output path (SURVEY §3.2 `load → collect →
@@ -761,5 +923,5 @@ object Gvcf {
   val queries: Seq[Query] =
     Seq(combineMerge, sampleIndexQuery, gvcfExport, siteStats, mergeBands,
       coverageHist, tiTv, breadth, mendel, concordance, covGaps,
-      intervalOverlap)
+      intervalOverlap, genotypeGvcfQuery)
 }

@@ -81,7 +81,15 @@ object Vcf {
           .otherwise("site").as("kind"),
         concat(array(col("ref")), filter(col("alts"), a => a =!= NonRef)).as("alleles"),
         expr("try_cast(" + fieldSql("GQ") + " AS INT)").as("gq"),
-        field("GT").as("gt"))
+        field("GT").as("gt"),
+        // likelihood-bearing FORMAT fields (the GenotypeGVCFs inputs):
+        // DP scalar, AD/PL comma-lists → INT arrays; all null-safe when
+        // the line's FORMAT omits them (reference blocks carry GT:GQ
+        // only), and try_cast degrades malformed tokens to null entries
+        // instead of an ANSI abort.
+        expr("try_cast(" + fieldSql("DP") + " AS INT)").as("dp"),
+        expr("transform(split(" + fieldSql("AD") + ", ','), x -> try_cast(x AS INT))").as("ad"),
+        expr("transform(split(" + fieldSql("PL") + ", ','), x -> try_cast(x AS INT))").as("pl"))
       .filter(col("end").isNotNull) // END= present but non-numeric
   }
 
@@ -107,9 +115,11 @@ object Vcf {
 
   /** Deterministic synthetic gVCF body: record i is a site (ALT =
     * concrete base + `<NON_REF>`) when i % 3 == 0, else a reference
-    * block spanning 10 positions with END in INFO. Pure integer/string
-    * arithmetic — the oracle rebuilds the same lines character for
-    * character. */
+    * block spanning 10 positions with END in INFO. Sites carry the full
+    * likelihood FORMAT `GT:GQ:DP:AD:PL` (6 PL entries — ref + 1 alt +
+    * NON_REF diploid genotype space, 0 at the 0/1 slot); blocks carry
+    * `GT:GQ` only, like a real gVCF. Pure integer/string arithmetic —
+    * the oracle rebuilds the same lines character for character. */
   private[ops] def syntheticLines(s: SparkSession, n: Long): DataFrame =
     s.range(0, n).selectExpr(
       """concat(
@@ -122,12 +132,17 @@ object Vcf {
         |  CASE WHEN id % 3 = 0 THEN CAST(id % 100 AS STRING) ELSE '.' END, '\t.\t',
         |  CASE WHEN id % 3 = 0 THEN concat('DP=', id % 64)
         |       ELSE concat('END=', (id div 2) * 10 + 10) END, '\t',
-        |  'GT:GQ', '\t',
-        |  CASE WHEN id % 3 = 0 THEN '0/1' ELSE '0/0' END, ':', id % 90 + 10
+        |  CASE WHEN id % 3 = 0 THEN 'GT:GQ:DP:AD:PL' ELSE 'GT:GQ' END, '\t',
+        |  CASE WHEN id % 3 = 0
+        |       THEN concat('0/1:', id % 90 + 10, ':', id % 50 + 10, ':',
+        |                   id % 50 + 10 - id % 7, ',', id % 7, ':',
+        |                   10 + id % 7, ',0,', 30 + id % 7, ',',
+        |                   40 + id % 7, ',', 50 + id % 7, ',', 60 + id % 7)
+        |       ELSE concat('0/0:', id % 90 + 10) END
         |) AS value""".stripMargin)
 
   private def vcfDir(d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_vcf_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    s"${System.getProperty("java.io.tmpdir")}/graft_vcf2_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
 
   /** Write-once synthetic gVCF (headers + 2000 body lines) per (session, sf). */
   def syntheticGvcfPath(s: SparkSession, d: String): String = {
@@ -159,8 +174,15 @@ object Vcf {
       |    CASE WHEN i % 3 = 0 THEN CAST(i % 100 AS VARCHAR) ELSE '.' END || chr(9) || '.' || chr(9) ||
       |    CASE WHEN i % 3 = 0 THEN 'DP=' || CAST(i % 64 AS VARCHAR)
       |         ELSE 'END=' || CAST((i // 2) * 10 + 10 AS VARCHAR) END || chr(9) ||
-      |    'GT:GQ' || chr(9) ||
-      |    CASE WHEN i % 3 = 0 THEN '0/1' ELSE '0/0' END || ':' || CAST(i % 90 + 10 AS VARCHAR)
+      |    CASE WHEN i % 3 = 0 THEN 'GT:GQ:DP:AD:PL' ELSE 'GT:GQ' END || chr(9) ||
+      |    CASE WHEN i % 3 = 0
+      |         THEN '0/1:' || CAST(i % 90 + 10 AS VARCHAR) || ':' ||
+      |              CAST(i % 50 + 10 AS VARCHAR) || ':' ||
+      |              CAST(i % 50 + 10 - i % 7 AS VARCHAR) || ',' || CAST(i % 7 AS VARCHAR) || ':' ||
+      |              CAST(10 + i % 7 AS VARCHAR) || ',0,' || CAST(30 + i % 7 AS VARCHAR) || ',' ||
+      |              CAST(40 + i % 7 AS VARCHAR) || ',' || CAST(50 + i % 7 AS VARCHAR) || ',' ||
+      |              CAST(60 + i % 7 AS VARCHAR)
+      |         ELSE '0/0:' || CAST(i % 90 + 10 AS VARCHAR) END
       |    AS line
       |  FROM g),
       |f AS (SELECT string_split(line, chr(9)) AS p FROM lines),
@@ -174,14 +196,24 @@ object Vcf {
       |    array_to_string(list_prepend(p[4],
       |      list_filter(string_split(p[5], ','), a -> a <> '<NON_REF>')), '/') AS alleles,
       |    CAST(string_split(p[10], ':')[list_position(string_split(p[9], ':'), 'GQ')] AS INT) AS gq,
-      |    string_split(p[10], ':')[list_position(string_split(p[9], ':'), 'GT')] AS gt
+      |    string_split(p[10], ':')[list_position(string_split(p[9], ':'), 'GT')] AS gt,
+      |    CAST(string_split(p[10], ':')[list_position(string_split(p[9], ':'), 'DP')] AS INT) AS dp,
+      |    list_transform(string_split(
+      |      string_split(p[10], ':')[list_position(string_split(p[9], ':'), 'AD')], ','),
+      |      x -> CAST(x AS INT)) AS ad,
+      |    list_transform(string_split(
+      |      string_split(p[10], ':')[list_position(string_split(p[9], ':'), 'PL')], ','),
+      |      x -> CAST(x AS INT)) AS pl
       |  FROM f)
       |SELECT contig, kind, count(*) AS n,
       |  CAST(sum(pos) AS BIGINT) AS sum_start,
       |  CAST(sum(pend) AS BIGINT) AS sum_end,
       |  CAST(sum(gq) AS BIGINT) AS sum_gq,
       |  CAST(count(DISTINCT alleles) AS BIGINT) AS n_allele_patterns,
-      |  CAST(count(DISTINCT gt) AS BIGINT) AS n_gts
+      |  CAST(count(DISTINCT gt) AS BIGINT) AS n_gts,
+      |  CAST(sum(dp) AS BIGINT) AS sum_dp,
+      |  CAST(sum(ad[2]) AS BIGINT) AS sum_ad_alt,
+      |  CAST(sum(list_sum(pl)) AS BIGINT) AS sum_pl
       |FROM parsed
       |GROUP BY contig, kind
       |ORDER BY contig, kind""".stripMargin) { (s, d) =>
@@ -193,7 +225,10 @@ object Vcf {
         sum(col("end")).cast(LongType).as("sum_end"),
         sum(col("gq")).cast(LongType).as("sum_gq"),
         countDistinct(array_join(col("alleles"), "/")).cast(LongType).as("n_allele_patterns"),
-        countDistinct(col("gt")).cast(LongType).as("n_gts"))
+        countDistinct(col("gt")).cast(LongType).as("n_gts"),
+        sum(col("dp")).cast(LongType).as("sum_dp"),
+        sum(expr("try_element_at(ad, 2)")).cast(LongType).as("sum_ad_alt"),
+        sum(expr("aggregate(pl, 0, (acc, x) -> acc + x)")).cast(LongType).as("sum_pl"))
       .orderBy("contig", "kind")
   }
 

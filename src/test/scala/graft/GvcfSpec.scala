@@ -249,6 +249,33 @@ class GvcfSpec extends SparkSpec {
     assert(out == Seq(("chr1", 2L, 1L)), s"wrong mendel counts: $out")
   }
 
+  test("genotypeGvcf remaps PLs under allele reordering and re-genotypes (golden trio)") {
+    // s0 carries T (local idx 1), s1 carries C (local idx 1) — the merged
+    // list [A, C, T, <NON_REF>] REORDERS both samples' alleles, so every
+    // PL lookup goes through the local-index map; s2 is block-covered
+    // (PLs synthesized 0/GQ/2GQ from its GQ).
+    val trio = Seq(
+      ("s0", "chr1", 5L, 5L, "site", Seq("A", "T"), 90, "0/1", 20,
+        Some(Seq(30, 0, 40, 25, 35, 50))),
+      ("s1", "chr1", 5L, 5L, "site", Seq("A", "C"), 90, "1/1", 30,
+        Some(Seq(60, 30, 0, 50, 40, 70))),
+      ("s2", "chr1", 1L, 10L, "block", Seq("A"), 35, "0/0", 25,
+        None: Option[Seq[Int]])
+    ).toDF("sample", "contig", "start", "end", "kind", "alleles", "gq", "gt", "dp", "pl")
+    val r = Gvcf.genotypeGvcf(trio).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("ref") == "A")
+    assert(row.getAs[String]("alt") == "C,T,<NON_REF>")
+    assert(row.getAs[Long]("n_samples") == 3L)
+    assert(row.getAs[Long]("sum_dp") == 75L)
+    // Hand-derived: s0's het A/T lands at merged (0,2) with PL 0 and
+    // runner-up 25 (its local (0,<NON_REF>) entry, duplicated via the
+    // fallback) → 0/2:25. s1's hom C/C lands at merged (1,1), runner-up
+    // its local 0/1 PL 30 → 1/1:30. s2: hom-ref, GQ = its block GQ 35.
+    assert(row.getAs[String]("calls") == "s0:0/2:25;s1:1/1:30;s2:0/0:35")
+  }
+
   test("sampleBreadth coalesces overlapping AND adjacent intervals") {
     val v = Seq(
       // overlapping + touching → one island [1,25]
