@@ -463,6 +463,64 @@ object Gvcf {
     exportLines(syntheticVariants(s, 3000)).orderBy("contig", "pos")
   }
 
+  /** The gVCF HEADER for [[exportLines]] — the piece that makes the
+    * export a LOADABLE file (`##contig` extents and `##FORMAT`
+    * declarations; the reference carries this context in its encoder,
+    * `HBaseVariantContextEncoder.java:~25 (unverified)`). Everything is
+    * derived deterministically FROM THE DATA: contig lengths are the
+    * observed per-contig max(end), the sample columns are the sorted
+    * cohort samples. Output is (ord, line) so the caller can
+    * `orderBy(ord)` and prepend to the body. Metadata-scale aggregates
+    * only — the single-partition row_number window runs over
+    * #contigs rows, never data. */
+  def exportHeader(variants: DataFrame): DataFrame = {
+    import variants.sparkSession.implicits._
+    val fixed = Seq(
+      (0L, "##fileformat=VCFv4.2"),
+      (1L, """##INFO=<ID=NS,Number=1,Type=Integer,Description="Number of samples">"""),
+      (2L, """##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">"""),
+      (3L, """##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype quality">""")
+    ).toDF("ord", "line")
+    val contigs = variants.groupBy("contig").agg(max(col("end")).as("mx"))
+      .withColumn("ord", lit(100L) + row_number().over(Window.orderBy("contig")))
+      .select(col("ord"),
+        concat(lit("##contig=<ID="), col("contig"),
+          lit(",length="), col("mx").cast(StringType), lit(">")).as("line"))
+    val samplesLine = sampleNameIndex(variants)
+      .agg(sort_array(collect_list(col("sample"))).as("ss"))
+      .select(lit(1000L).as("ord"),
+        concat(lit("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"),
+          array_join(col("ss"), "\t")).as("line"))
+    fixed.unionByName(contigs).unionByName(samplesLine).orderBy("ord")
+  }
+
+  /** Header emission over the synthetic cohort; the oracle rebuilds the
+    * byte-identical lines from the same data extents. */
+  val gvcfHeader = Query(
+    "q_gvcf_header",
+    s"""WITH $duckSyntheticV,
+       |c AS (
+       |  SELECT contig, max(vend) AS mx,
+       |    CAST(row_number() OVER (ORDER BY contig) AS BIGINT) AS rn
+       |  FROM v GROUP BY contig),
+       |smp AS (
+       |  SELECT array_to_string(list(sample ORDER BY sample), chr(9)) AS s
+       |  FROM (SELECT DISTINCT sample FROM v)),
+       |h AS (
+       |  SELECT 0 AS ord, '##fileformat=VCFv4.2' AS line
+       |  UNION ALL SELECT 1, '##INFO=<ID=NS,Number=1,Type=Integer,Description="Number of samples">'
+       |  UNION ALL SELECT 2, '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">'
+       |  UNION ALL SELECT 3, '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype quality">'
+       |  UNION ALL SELECT 100 + rn, '##contig=<ID=' || contig || ',length=' || CAST(mx AS VARCHAR) || '>' FROM c
+       |  UNION ALL SELECT 1000,
+       |    '#CHROM' || chr(9) || 'POS' || chr(9) || 'ID' || chr(9) || 'REF' || chr(9) ||
+       |    'ALT' || chr(9) || 'QUAL' || chr(9) || 'FILTER' || chr(9) || 'INFO' || chr(9) ||
+       |    'FORMAT' || chr(9) || s FROM smp)
+       |SELECT CAST(ord AS BIGINT) AS ord, line FROM h
+       |ORDER BY ord""".stripMargin) { (s, _) =>
+    exportHeader(syntheticVariants(s, 3000))
+  }
+
   /** Dense sample-name index as an oracle-backed query: the index joined
     * back against the cohort with per-sample extents. */
   val sampleIndexQuery = Query(
@@ -579,6 +637,109 @@ object Gvcf {
       .select(col("sample"), col("contig"), col("start").cast(LongType).as("start"),
         col("end").cast(LongType).as("end"), col("gq").cast(LongType).as("gq"))
       .orderBy("sample", "contig", "start")
+  }
+
+  /** GQ re-banding of the MERGED cohort stream — the GVCFWriter banding
+    * step on the reference's output path (`GVCFHBase.java:~120
+    * (unverified)`): where [[mergeAdjacentBlocks]] bands each sample's
+    * input blocks, this bands the COMBINED reference stream by
+    * min-GQ-over-samples. Pipeline:
+    *   1. elementary segmentation — every block start and end+1 is a
+    *      boundary, so any block overlapping a segment covers it
+    *      entirely;
+    *   2. bucketed containment join (the A6 grid — equi-join +
+    *      residual, never a nested loop) → per-segment cohort-min GQ;
+    *   3. band by the standard GQ bands and coalesce TOUCHING same-band
+    *      segments (gaps-and-islands), carrying the band-min GQ.
+    * O(records) segments end to end; the per-contig windows are the
+    * same shape as [[coverageHistogram]] — at 100 TB you'd range-
+    * partition within contig, the plan is otherwise unchanged. */
+  def rebandMerged(variants: DataFrame, bucketWidth: Long = 64): DataFrame = {
+    val blocks = variants.filter(col("kind") === "block")
+      .select("contig", "start", "end", "sample", "gq")
+    val bounds = blocks.select(col("contig"), col("start").as("p"))
+      .unionAll(blocks.select(col("contig"), (col("end") + 1).as("p")))
+      .distinct()
+    val wB = Window.partitionBy("contig").orderBy("p")
+    val segs = bounds
+      .withColumn("hi", lead(col("p"), 1).over(wB) - 1)
+      .filter(col("hi").isNotNull)
+      .select(col("contig"), col("p").as("lo"), col("hi"))
+    val recs = blocks.withColumn("bkt", explode(sequence(
+      expr(s"start div $bucketWidth"), expr(s"end div $bucketWidth"))))
+    val probe = segs.withColumn("bkt", expr(s"lo div $bucketWidth"))
+    // uncovered segments drop here (inner join), which also breaks
+    // band runs across coverage gaps in the islands pass below
+    val covered = probe.join(recs, Seq("contig", "bkt"))
+      .filter(col("lo") >= col("start") && col("lo") <= col("end"))
+      .groupBy("contig", "lo", "hi")
+      .agg(min(col("gq")).as("mgq"))
+    val w = Window.partitionBy("contig").orderBy("lo")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val newGrp = when(lag(col("hi"), 1).over(w).isNull ||
+      col("lo") =!= lag(col("hi"), 1).over(w) + 1 ||
+      col("band") =!= lag(col("band"), 1).over(w), 1).otherwise(0)
+    covered
+      .withColumn("band", when(col("mgq") < 20, 0L).when(col("mgq") < 60, 1L).otherwise(2L))
+      .withColumn("grp", sum(newGrp).over(run))
+      .groupBy("contig", "grp", "band")
+      .agg(min(col("lo")).as("start"), max(col("hi")).as("end"),
+        min(col("mgq")).cast(LongType).as("gq"))
+      .select("contig", "start", "end", "band", "gq")
+      .orderBy("contig", "start")
+  }
+
+  /** Re-banding over a cohort whose per-sample block EXTENTS differ
+    * (sample k's block j ends k early), so elementary segments see
+    * varying coverage and the min-GQ genuinely changes within a block
+    * run; the oracle replays segmentation + banding in window SQL. */
+  val rebandMergedQuery = Query(
+    "q_reband_merged",
+    """WITH g AS (SELECT range AS i FROM range(0, 3000)),
+      |v AS (
+      |  SELECT 's' || CAST(i % 3 AS VARCHAR) AS sample,
+      |    'chr' || CAST(1 + (i // 600) AS VARCHAR) AS contig,
+      |    ((i // 3) % 200) * 10 + 1 AS vstart,
+      |    ((i // 3) % 200) * 10 + 10 - i % 3 AS vend,
+      |    CAST(((i // 3) * 7 + (i % 3) * 13) % 90 + 10 AS INT) AS gq
+      |  FROM g),
+      |b AS (
+      |  SELECT DISTINCT contig, vstart AS p FROM v
+      |  UNION SELECT DISTINCT contig, vend + 1 FROM v),
+      |sg AS (
+      |  SELECT contig, p AS lo,
+      |    lead(p) OVER (PARTITION BY contig ORDER BY p) - 1 AS hi
+      |  FROM b),
+      |cov AS (
+      |  SELECT s.contig, s.lo, s.hi, min(v.gq) AS mgq
+      |  FROM sg s JOIN v ON v.contig = s.contig AND s.lo BETWEEN v.vstart AND v.vend
+      |  WHERE s.hi IS NOT NULL
+      |  GROUP BY s.contig, s.lo, s.hi),
+      |banded AS (
+      |  SELECT *, CASE WHEN mgq < 20 THEN 0 WHEN mgq < 60 THEN 1 ELSE 2 END AS band
+      |  FROM cov),
+      |flagged AS (
+      |  SELECT *, CASE WHEN lag(hi) OVER w IS NULL OR lo <> lag(hi) OVER w + 1
+      |                   OR band <> lag(band) OVER w THEN 1 ELSE 0 END AS new_grp
+      |  FROM banded
+      |  WINDOW w AS (PARTITION BY contig ORDER BY lo)),
+      |grp AS (
+      |  SELECT *, sum(new_grp) OVER (PARTITION BY contig ORDER BY lo
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp_id
+      |  FROM flagged)
+      |SELECT contig, CAST(min(lo) AS BIGINT) AS start,
+      |  CAST(max(hi) AS BIGINT) AS "end",
+      |  CAST(band AS BIGINT) AS band, CAST(min(mgq) AS BIGINT) AS gq
+      |FROM grp GROUP BY contig, grp_id, band
+      |ORDER BY contig, start""".stripMargin) { (s, _) =>
+    val blocks = s.range(0, 3000).selectExpr(
+      "concat('s', id % 3) AS sample",
+      "concat('chr', 1 + (id div 600)) AS contig",
+      "((id div 3) % 200) * 10 + 1 AS start",
+      "((id div 3) % 200) * 10 + 10 - id % 3 AS end",
+      "'block' AS kind", "array('REF') AS alleles",
+      "CAST(((id div 3) * 7 + (id % 3) * 13) % 90 + 10 AS INT) AS gq")
+    rebandMerged(blocks)
   }
 
   /** Depth-of-coverage histogram (samtools-depth / GATK DepthOfCoverage
@@ -717,13 +878,17 @@ object Gvcf {
     * compared in merged index space; the pivot is a 6-column conditional
     * aggregate, one shuffle on the site key. */
   def mendelViolations(variants: DataFrame): DataFrame = {
-    // try_element_at + try_cast: a no-call ('./.' or bare '.') yields
-    // null alleles — the site just can't be checked — instead of an
-    // ANSI cast/index error
-    val al = combinedCalls(variants).select(
-      col("contig"), col("pos"), col("sample"),
-      expr("try_cast(try_element_at(split(gtm, '/'), 1) AS INT)").as("a1"),
-      expr("try_cast(try_element_at(split(gtm, '/'), 2) AS INT)").as("a2"))
+    // ONE validated typed-genotype column up front: split + try_cast
+    // once into an INT array (a no-call './.' or malformed token yields
+    // null entries — the site just can't be checked — instead of an
+    // ANSI cast/index error), then cheap element reads. One transform
+    // per row instead of two independent split+cast chains.
+    val al = combinedCalls(variants)
+      .select(col("contig"), col("pos"), col("sample"),
+        expr("transform(split(gtm, '/'), g -> try_cast(g AS INT))").as("ga"))
+      .select(col("contig"), col("pos"), col("sample"),
+        expr("try_element_at(ga, 1)").as("a1"),
+        expr("try_element_at(ga, 2)").as("a2"))
     def pick(s: String, c: String) = max(when(col("sample") === s, col(c)))
     val trio = al.groupBy("contig", "pos").agg(
       pick("s0", "a1").as("c1"), pick("s0", "a2").as("c2"),
@@ -923,5 +1088,5 @@ object Gvcf {
   val queries: Seq[Query] =
     Seq(combineMerge, sampleIndexQuery, gvcfExport, siteStats, mergeBands,
       coverageHist, tiTv, breadth, mendel, concordance, covGaps,
-      intervalOverlap, genotypeGvcfQuery)
+      intervalOverlap, genotypeGvcfQuery, gvcfHeader, rebandMergedQuery)
 }

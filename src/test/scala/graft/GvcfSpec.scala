@@ -276,6 +276,19 @@ class GvcfSpec extends SparkSpec {
     assert(row.getAs[String]("calls") == "s0:0/2:25;s1:1/1:30;s2:0/0:35")
   }
 
+  test("rebandMerged bands the cohort-min GQ and coalesces same-band runs") {
+    val blocks = Seq(
+      ("a", "chr1", 1L, 10L, "block", Seq("REF"), 30),  // band 1
+      ("b", "chr1", 1L, 4L, "block", Seq("REF"), 55),   // band 1, ends early
+      ("a", "chr1", 11L, 14L, "block", Seq("REF"), 80)  // band 2
+    ).toDF("sample", "contig", "start", "end", "kind", "alleles", "gq")
+    val out = Gvcf.rebandMerged(blocks)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // segments [1,4] (min 30) and [5,10] (min 30) are same-band touching
+    // → one merged band block; [11,14] is band 2 → separate
+    assert(out == Seq(("chr1", 1L, 10L, 1L, 30L), ("chr1", 11L, 14L, 2L, 80L)))
+  }
+
   test("sampleBreadth coalesces overlapping AND adjacent intervals") {
     val v = Seq(
       // overlapping + touching → one island [1,25]

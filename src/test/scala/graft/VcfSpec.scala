@@ -83,6 +83,33 @@ class VcfSpec extends SparkSpec {
     assert(actual == expected, "text export is not lossless at sites")
   }
 
+  test("exportHeader + exportLines form a loadable gVCF end to end") {
+    val cohort = graft.ops.Gvcf.syntheticVariants(spark, 300)
+    val header = graft.ops.Gvcf.exportHeader(cohort)
+      .orderBy("ord").select("line").as[String].collect().toSeq
+    // structural checks: fileformat first, contig extents from the data,
+    // #CHROM last with the sorted cohort samples
+    assert(header.head == "##fileformat=VCFv4.2")
+    assert(header.exists(_.startsWith("##contig=<ID=chr1,length=")))
+    assert(header.last.startsWith("#CHROM\tPOS\t") &&
+      header.last.endsWith("FORMAT\ts0\ts1\ts2"))
+    assert(header.count(_.startsWith("##FORMAT=")) == 2)
+    // write header + body as one file; the cohort parser must load it
+    // (headers skipped) and reproduce the direct combine exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft_loadable").toString
+    val body = graft.ops.Gvcf.exportLines(cohort)
+      .orderBy("contig", "pos").select("line").as[String].collect().toSeq
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "cohort.vcf"),
+      (header ++ body).mkString("\n").getBytes("UTF-8"))
+    val reparsed = Vcf.parseCohortLines(
+      spark.read.text(s"$dir/cohort.vcf"), Seq("s0", "s1", "s2"))
+    val expected = graft.ops.Gvcf.combineSites(cohort)
+      .select("contig", "pos", "ref", "alt").collect().map(_.toString).toList
+    val actual = graft.ops.Gvcf.combineSites(reparsed)
+      .select("contig", "pos", "ref", "alt").collect().map(_.toString).toList
+    assert(actual == expected, "self-exported gVCF did not reload")
+  }
+
   test("readGvcfDir ingests a directory of per-sample files, sample from file name") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cohort").toString
     def write(sample: String, lines: Seq[String]): Unit =
