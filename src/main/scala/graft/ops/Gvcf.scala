@@ -229,9 +229,13 @@ object Gvcf {
       .withColumn("pairs", expr(
         "flatten(transform(sequence(0, size(malleles) - 1), " +
           "b -> transform(sequence(0, b), a -> array(a, b))))"))
+      // coalesce(gq, 0): a block with GQ '.' (the parser's nullable gq)
+      // must still emit a call — null would poison mpl and silently drop
+      // the sample from `calls` while n_samples still counts it. GQ 0 =
+      // "covered, no confidence": gt 0/0 with gq_new 0.
       .withColumn("mpl", expr(
         """CASE WHEN kind = 'block' OR pl IS NULL THEN
-          |  transform(pairs, p -> gq * (CAST(p[0] > 0 AS INT) + CAST(p[1] > 0 AS INT)))
+          |  transform(pairs, p -> coalesce(gq, 0) * (CAST(p[0] > 0 AS INT) + CAST(p[1] > 0 AS INT)))
           |ELSE
           |  transform(pairs, p -> coalesce(try_element_at(pl, CAST(
           |    (greatest(limap[p[0]], limap[p[1]]) * (greatest(limap[p[0]], limap[p[1]]) + 1)) div 2
@@ -393,7 +397,7 @@ object Gvcf {
        |  FROM re),
        |re3 AS (
        |  SELECT *, CASE WHEN kind = 'block' OR pl IS NULL THEN
-       |      list_transform(pairs, p -> gq *
+       |      list_transform(pairs, p -> coalesce(gq, 0) *
        |        ((CASE WHEN p[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN p[2] > 0 THEN 1 ELSE 0 END)))
        |    ELSE list_transform(pairs, p -> coalesce(pl[CAST(
        |      (greatest(limap[CAST(p[1] + 1 AS INT)], limap[CAST(p[2] + 1 AS INT)]) *
@@ -486,9 +490,13 @@ object Gvcf {
       .select(col("ord"),
         concat(lit("##contig=<ID="), col("contig"),
           lit(",length="), col("mx").cast(StringType), lit(">")).as("line"))
+    // Long.MaxValue, not a round constant: the #CHROM line must sort
+    // after EVERY ##contig line (ord 100+rank), and real references
+    // carry thousands of contigs/scaffolds — a cap like 1000 would let
+    // contig lines leak past the column header and break loadability.
     val samplesLine = sampleNameIndex(variants)
       .agg(sort_array(collect_list(col("sample"))).as("ss"))
-      .select(lit(1000L).as("ord"),
+      .select(lit(Long.MaxValue).as("ord"),
         concat(lit("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"),
           array_join(col("ss"), "\t")).as("line"))
     fixed.unionByName(contigs).unionByName(samplesLine).orderBy("ord")
@@ -512,7 +520,7 @@ object Gvcf {
        |  UNION ALL SELECT 2, '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">'
        |  UNION ALL SELECT 3, '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="Genotype quality">'
        |  UNION ALL SELECT 100 + rn, '##contig=<ID=' || contig || ',length=' || CAST(mx AS VARCHAR) || '>' FROM c
-       |  UNION ALL SELECT 1000,
+       |  UNION ALL SELECT 9223372036854775807,
        |    '#CHROM' || chr(9) || 'POS' || chr(9) || 'ID' || chr(9) || 'REF' || chr(9) ||
        |    'ALT' || chr(9) || 'QUAL' || chr(9) || 'FILTER' || chr(9) || 'INFO' || chr(9) ||
        |    'FORMAT' || chr(9) || s FROM smp)

@@ -50,7 +50,10 @@ object Sources {
   // full-volume round trip keeps end-to-end coverage. A full-corpus
   // format conversion inside a bench query is exactly the shape that
   // cannot survive a 100 TB scale-up.
-  private def textSliced(fmt: String): Boolean = fmt != "orc"
+  // explicit allowlist, not "everything but orc": a future columnar
+  // round trip (parquet/avro) must NOT silently inherit the text-format
+  // slice and lose its full-volume coverage
+  private def textSliced(fmt: String): Boolean = Set("csv", "json", "xml")(fmt)
 
   private def roundTrip(fmt: String) = Query(s"q_source_$fmt",
     if (textSliced(fmt))

@@ -141,8 +141,17 @@ object Vcf {
         |       ELSE concat('0/0:', id % 90 + 10) END
         |) AS value""".stripMargin)
 
+  /** Bump WHENEVER [[syntheticLines]]' emitted format changes — the
+    * fixture cache below is keyed on it, so a stale tmpdir copy from a
+    * previous build can never be served against a new oracle (the
+    * stale-cache bug class round 6 fixed elsewhere with content
+    * fingerprints; the generator's output doesn't exist on disk before
+    * first write, so a version key is the cheapest correct analog). */
+  private[ops] val SyntheticFormatVersion = 2
+
   private def vcfDir(d: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_vcf2_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+    s"${System.getProperty("java.io.tmpdir")}/graft_vcf_v${SyntheticFormatVersion}_" +
+      d.replaceAll("[^a-zA-Z0-9]", "_")
 
   /** Write-once synthetic gVCF (headers + 2000 body lines) per (session, sf). */
   def syntheticGvcfPath(s: SparkSession, d: String): String = {
@@ -228,7 +237,14 @@ object Vcf {
         countDistinct(col("gt")).cast(LongType).as("n_gts"),
         sum(col("dp")).cast(LongType).as("sum_dp"),
         sum(expr("try_element_at(ad, 2)")).cast(LongType).as("sum_ad_alt"),
-        sum(expr("aggregate(pl, 0, (acc, x) -> acc + x)")).cast(LongType).as("sum_pl"))
+        // null-SKIPPING per-row sum to mirror DuckDB's list_sum: a single
+        // malformed PL token (try_cast -> null entry) must not poison the
+        // whole row's sum into NULL while the oracle still counts the
+        // parseable entries — that would be a cross-engine hash mismatch
+        // on exactly the degraded records the parser tolerates.
+        sum(expr("CASE WHEN size(filter(pl, x -> x IS NOT NULL)) > 0 THEN " +
+          "aggregate(filter(pl, x -> x IS NOT NULL), 0, (acc, x) -> acc + x) END"))
+          .cast(LongType).as("sum_pl"))
       .orderBy("contig", "kind")
   }
 

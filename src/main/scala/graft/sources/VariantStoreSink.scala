@@ -143,15 +143,18 @@ private[sources] class StoreBatchWrite(path: String, schema: StructType) extends
     StoreManifest.writeLines(dir, commits.map(StoreManifest.render).sorted)
     // truncate semantics: drop files of previous generations — only
     // AFTER the new manifest is live. `.tmp` files are in-flight
-    // manifest temps: preserve any from a CONCURRENT write (created
-    // around/after this commit started), but reap stale ones — a crash
-    // between createTempFile and the atomic move would otherwise leave
-    // an orphan `_MANIFEST*.tmp` forever.
+    // manifest temps: preserve any from a CONCURRENT write, but reap
+    // stale ones — a crash between createTempFile and the atomic move
+    // would otherwise leave an orphan `_MANIFEST*.tmp` forever. The
+    // 1-hour grace is deliberate: a concurrent writer's temp lives
+    // milliseconds between create and move, so an hour of slack costs
+    // only slower orphan cleanup, while a short grace could delete a
+    // GC-paused writer's temp out from under its move.
     val keep = commits.map(_.file).toSet + StoreManifest.FileName
     val old = dir.toFile.listFiles()
     if (old != null)
       old.filterNot(f => keep(f.getName))
-        .filter(f => !f.getName.endsWith(".tmp") || f.lastModified < t0 - 60000)
+        .filter(f => !f.getName.endsWith(".tmp") || f.lastModified < t0 - 3600000)
         .foreach(_.delete())
   }
 

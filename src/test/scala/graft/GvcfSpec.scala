@@ -276,6 +276,20 @@ class GvcfSpec extends SparkSpec {
     assert(row.getAs[String]("calls") == "s0:0/2:25;s1:1/1:30;s2:0/0:35")
   }
 
+  test("genotypeGvcf still emits a call for a block-covered sample with null GQ") {
+    val trio = Seq(
+      ("s0", "chr1", 5L, 5L, "site", Seq("A", "T"), Some(90), "0/1", 20,
+        Some(Seq(30, 0, 40, 25, 35, 50))),
+      ("s1", "chr1", 1L, 10L, "block", Seq("A"), None: Option[Int], "0/0", 15,
+        None: Option[Seq[Int]])
+    ).toDF("sample", "contig", "start", "end", "kind", "alleles", "gq", "gt", "dp", "pl")
+    val row = Gvcf.genotypeGvcf(trio).collect().head
+    // n_samples and calls must agree — the GQ-less block degrades to a
+    // zero-confidence 0/0 call, it does not vanish from the record
+    assert(row.getAs[Long]("n_samples") == 2L)
+    assert(row.getAs[String]("calls") == "s0:0/1:25;s1:0/0:0")
+  }
+
   test("rebandMerged bands the cohort-min GQ and coalesces same-band runs") {
     val blocks = Seq(
       ("a", "chr1", 1L, 10L, "block", Seq("REF"), 30),  // band 1
