@@ -201,28 +201,39 @@ object Dedup {
     val hexChars = "0123456789abcdef"
     val toked = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .repartition(col("doc_id"))
-    val dig = toked
+    // 4× fan-out, not 16×: each exploded row carries a 16-BIT GROUP
+    // (4 hex digits via one conv) and the aggregate counts its 16 bit
+    // lanes — same arithmetic as the old one-digit/4-lane shape at a
+    // quarter of the rows through explode+shuffle (the r8 rework;
+    // 16 agg columns stays far under the 64-column JIT blowup of r2).
+    val grp = toked
       .select(col("doc_id"), size(col("toks")).as("n"), explode(col("toks")).as("t"))
       .select(col("doc_id"), col("n"), substring(md5(col("t")), 1, 16).as("hx"))
-      .select(col("doc_id"), col("n"), col("hx"),
-        explode(sequence(lit(1), lit(16))).as("j"))
-      .select(col("doc_id"), col("n"), col("j"),
-        (expr(s"locate(substring(hx, j, 1), '$hexChars')") - 1).as("dv"))
-    val perDigit = dig.groupBy("doc_id", "j")
-      .agg(first(col("n")).as("n"),
-        sum(col("dv").bitwiseAND(1)).as("b0"),
-        sum(shiftright(col("dv"), 1).bitwiseAND(1)).as("b1"),
-        sum(shiftright(col("dv"), 2).bitwiseAND(1)).as("b2"),
-        sum(shiftright(col("dv"), 3).bitwiseAND(1)).as("b3"))
-      .select(col("doc_id"), col("j"),
-        (when(col("b0") * 2 > col("n"), 1).otherwise(0) +
-         when(col("b1") * 2 > col("n"), 2).otherwise(0) +
-         when(col("b2") * 2 > col("n"), 4).otherwise(0) +
-         when(col("b3") * 2 > col("n"), 8).otherwise(0)).as("digit"))
-      .select(col("doc_id"), col("j"),
-        substring(lit(hexChars), col("digit") + 1, lit(1)).as("hc"))
-    perDigit.groupBy("doc_id")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("j"), col("hc")))),
+      .select(col("doc_id"), col("n"),
+        posexplode(expr("transform(sequence(0, 3), g -> " +
+          "CAST(conv(substring(hx, 4 * g + 1, 4), 16, 10) AS INT))"))
+          .as(Seq("g", "v4")))
+    val laneSums = (0 until 16).map(r =>
+      sum(shiftright(col("v4"), r).bitwiseAND(1)).as(s"b$r"))
+    // group g's digits j = 4g+1..4g+4; digit o's bit b is v4 lane
+    // (4-o)*4 + b (digit 4g+1 is the high nibble of the conv value)
+    def digitChar(o: Int) = {
+      val v = (0 until 4).map(b =>
+        when(col(s"b${(4 - o) * 4 + b}") * 2 > col("n"), 1 << b).otherwise(0))
+        .reduce(_ + _)
+      substr(lit(hexChars), v + 1, lit(1))
+    }
+    grp.groupBy("doc_id", "g")
+      // max, NOT first: n is constant per doc so the value is the same,
+      // but first() is flagged non-deterministic and a non-deterministic
+      // expression anywhere below a self-join's exchange defeats
+      // ReuseExchange — the whole md5 pipeline then runs once PER SIDE
+      // (measured 2× the query time at sf0.1).
+      .agg(max(col("n")).as("n"), laneSums: _*)
+      .select(col("doc_id"), col("g"),
+        concat(digitChar(1), digitChar(2), digitChar(3), digitChar(4)).as("hc"))
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("g"), col("hc")))),
         x => x.getField("hc")), "").as("sig"))
   }
 
@@ -274,11 +285,24 @@ object Dedup {
       """aggregate(sequence(1, 16), 0, (acc, j) -> acc + bit_count(
         |  (locate(substring(sa, j, 1), '0123456789abcdef') - 1) ^
         |  (locate(substring(sb, j, 1), '0123456789abcdef') - 1)))""".stripMargin)
-    chunks.as("x").join(chunks.as("y"),
-        col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sig").as("sa"), col("y.sig").as("sb"))
+    // Bucket-local pair generation instead of a chunk self-join: a
+    // self-join here re-runs the ENTIRE md5 signature pipeline once per
+    // side (AQE broadcasts one side, so no exchange is shared — measured
+    // 2× the query time), while grouping by bucket computes signatures
+    // ONCE and expands pairs per bucket. Same reduce-then-expand shape
+    // as q_dedup_editdist; bucket width is LSH-bounded (near-dup
+    // clusters + ~n²/2¹⁶ random 16-bit collisions per chunk position),
+    // the identical pair volume the join would produce.
+    chunks.groupBy("c", "chunk")
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, a ->
+          |  transform(filter(ds, b -> b.doc_id > a.doc_id),
+          |    b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |                a.sig AS sa, b.sig AS sb))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.sa").as("sa"), col("p.sb").as("sb"))
       .distinct()
       .select(col("doc_a"), col("doc_b"), hamming.cast(LongType).as("hamming"))
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
