@@ -124,11 +124,22 @@ object Dedup {
         s"b -> array_join(transform(sequence(1, $BandRows), " +
         s"r -> cast(element_at(sig, b * $BandRows + r) as string)), ':'))"))
         .as(Seq("band", "bh")))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sig").as("sa"), col("y.sig").as("sb"))
+    // bucket-local pair expansion, not a bands self-join: the self-join
+    // re-runs the whole shingle+md5+minhash pipeline once per side (AQE
+    // broadcasts one side — no shared exchange), while grouping by
+    // (band, bh) computes signatures ONCE. Identical candidate volume —
+    // LSH banding bounds bucket width by construction. Same rework as
+    // q_dedup_simhash (r8).
+    val cand = bands.groupBy("band", "bh")
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, a ->
+          |  transform(filter(ds, b -> b.doc_id > a.doc_id),
+          |    b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |                a.sig AS sa, b.sig AS sb))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.sa").as("sa"), col("p.sb").as("sb"))
       .distinct()
     cand
       .select(col("doc_a"), col("doc_b"),
