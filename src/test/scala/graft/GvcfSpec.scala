@@ -276,6 +276,16 @@ class GvcfSpec extends SparkSpec {
     assert(row.getAs[String]("calls") == "s0:0/2:25;s1:1/1:30;s2:0/0:35")
   }
 
+  test("genotypeGvcf is split-invariant (the reference's stride-split property)") {
+    // splitting blocks at stride boundaries must not change any
+    // re-genotyped call: coverage is identical and block PLs derive
+    // only from GQ, which splitBlocks preserves
+    val v = Gvcf.syntheticVariantsPl(spark, 300)
+    val whole = Gvcf.genotypeGvcf(v).collect().map(_.toString).toList
+    val split = Gvcf.genotypeGvcf(Gvcf.splitBlocks(v, 7)).collect().map(_.toString).toList
+    assert(split == whole, "stride-splitting blocks changed genotyping output")
+  }
+
   test("genotypeGvcf still emits a call for a block-covered sample with null GQ") {
     val trio = Seq(
       ("s0", "chr1", 5L, 5L, "site", Seq("A", "T"), Some(90), "0/1", 20,

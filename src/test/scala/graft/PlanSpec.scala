@@ -77,6 +77,23 @@ class PlanSpec extends SparkSpec {
       "signatures should need only the single materialization barrier")
   }
 
+  test("LSH candidate generation scans the corpus ONCE (no self-join recompute)") {
+    // bucket-local pair expansion (r8): a bands/chunks self-join makes
+    // AQE broadcast one side and re-run the whole signature pipeline per
+    // side — locked in by counting parquet scans in the executed plan.
+    for (q <- Seq(Dedup.dedupNear, Dedup.dedupSimhash)) {
+      val p = plan(q)
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(scans == 1, s"${q.name}: expected 1 corpus scan, got $scans")
+    }
+  }
+
+  test("genotypeGvcf plans the coverage join as equi-join (no nested loop)") {
+    val p = plan(Gvcf.genotypeGvcfQuery)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval coverage fell back to a nested loop:\n${p.take(1500)}")
+  }
+
   test("IVF search prunes the index scan to the probed buckets (DPP)") {
     val p = ops.Ivf.search(spark, sf, probeVecId = 0L, nprobe = 2, k = 10)
       .queryExecution.executedPlan.toString
