@@ -17,12 +17,44 @@ import graft.api._
   * SURVEY §5.2). n-gram Jaccard is pure set arithmetic and oracle-backed.
   *
   * Scale notes (100 TB): signatures are one scan + one groupBy(doc);
-  * LSH banding turns the quadratic pair search into an equi-join on
-  * (band, bandhash) — candidate volume is controlled by (bands, rows),
-  * and the same-bucket self-join is the only shuffle-heavy step. The
-  * exact-Jaccard op is blocked on (lang, source) for the same reason.
+  * LSH banding turns the quadratic pair search into a bucket groupBy on
+  * (band, bandhash) with per-member pair expansion ([[bucketPairs]]) —
+  * candidate volume is controlled by (bands, rows), the signature
+  * pipeline runs ONCE (a bands self-join would re-run it per side:
+  * AQE broadcasts one side, so no exchange is shared), and per-row
+  * state is O(bucket width), never O(width²). The exact-Jaccard op is
+  * blocked on (lang, source) for the same reason.
   */
 object Dedup {
+
+  /** Candidate pairs from LSH buckets WITHOUT a self-join: group by the
+    * bucket key, collect the members once, then explode each member
+    * against the bucket remainder (`b.doc_id > a.doc_id` ≙ the join's
+    * `x.doc_id < y.doc_id`; `distinct` dedups pairs matching in several
+    * buckets). Two bounds matter at 100 TB:
+    *   - the signature pipeline runs ONCE (the r8 rework — a self-join
+    *     re-ran it per side because AQE broadcast one side);
+    *   - per-ROW memory is O(bucket width) — the collected member list
+    *     and one member's pair fan-out — NOT the O(width²) a whole-
+    *     bucket flatten would materialize in a single unsafe row.
+    * The residual bound is the collect_list itself: bucket width ≈ the
+    * largest near-duplicate cluster. That is the standard contract —
+    * run exact dedup (q_dedup_exact) BEFORE near-dedup so mass-
+    * duplicated boilerplate collapses first; adversarially wide
+    * residual buckets would need triangle-join salting, deliberately
+    * out of scope here. */
+  private def bucketPairs(bucketed: DataFrame, keys: Seq[String]): DataFrame =
+    bucketed.groupBy(keys.map(col): _*)
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
+      .select(explode(expr(
+        """transform(filter(ds, b -> b.doc_id > a.doc_id),
+          |  b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |              a.sig AS sa, b.sig AS sb))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.sa").as("sa"), col("p.sb").as("sb"))
+      .distinct()
 
   val NumPerms = 32 // MinHash signature length
   val BandRows = 2  // rows per LSH band → 16 bands
@@ -124,24 +156,9 @@ object Dedup {
         s"b -> array_join(transform(sequence(1, $BandRows), " +
         s"r -> cast(element_at(sig, b * $BandRows + r) as string)), ':'))"))
         .as(Seq("band", "bh")))
-    // bucket-local pair expansion, not a bands self-join: the self-join
-    // re-runs the whole shingle+md5+minhash pipeline once per side (AQE
-    // broadcasts one side — no shared exchange), while grouping by
-    // (band, bh) computes signatures ONCE. Identical candidate volume —
-    // LSH banding bounds bucket width by construction. Same rework as
-    // q_dedup_simhash (r8).
-    val cand = bands.groupBy("band", "bh")
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ds, a ->
-          |  transform(filter(ds, b -> b.doc_id > a.doc_id),
-          |    b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
-          |                a.sig AS sa, b.sig AS sb))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.sa").as("sa"), col("p.sb").as("sb"))
-      .distinct()
-    cand
+    // signatures computed ONCE, pairs expanded per bucket, per-row state
+    // O(bucket width) — see bucketPairs for the full scale contract
+    bucketPairs(bands, Seq("band", "bh"))
       .select(col("doc_a"), col("doc_b"),
         round(size(filter(zip_with(col("sa"), col("sb"), (a, b) => a === b),
           x => x)).cast(DoubleType) / NumPerms, 6).as("est_jaccard"))
@@ -236,10 +253,10 @@ object Dedup {
     }
     grp.groupBy("doc_id", "g")
       // max, NOT first: n is constant per doc so the value is the same,
-      // but first() is flagged non-deterministic and a non-deterministic
-      // expression anywhere below a self-join's exchange defeats
-      // ReuseExchange — the whole md5 pipeline then runs once PER SIDE
-      // (measured 2× the query time at sf0.1).
+      // but first() is flagged non-deterministic, which poisons plan
+      // canonicalization — any future consumer that branches this frame
+      // (joins, ReuseExchange, cached-plan matching) would silently
+      // recompute instead of reuse.
       .agg(max(col("n")).as("n"), laneSums: _*)
       .select(col("doc_id"), col("g"),
         concat(digitChar(1), digitChar(2), digitChar(3), digitChar(4)).as("hc"))
@@ -296,25 +313,7 @@ object Dedup {
       """aggregate(sequence(1, 16), 0, (acc, j) -> acc + bit_count(
         |  (locate(substring(sa, j, 1), '0123456789abcdef') - 1) ^
         |  (locate(substring(sb, j, 1), '0123456789abcdef') - 1)))""".stripMargin)
-    // Bucket-local pair generation instead of a chunk self-join: a
-    // self-join here re-runs the ENTIRE md5 signature pipeline once per
-    // side (AQE broadcasts one side, so no exchange is shared — measured
-    // 2× the query time), while grouping by bucket computes signatures
-    // ONCE and expands pairs per bucket. Same reduce-then-expand shape
-    // as q_dedup_editdist; bucket width is LSH-bounded (near-dup
-    // clusters + ~n²/2¹⁶ random 16-bit collisions per chunk position),
-    // the identical pair volume the join would produce.
-    chunks.groupBy("c", "chunk")
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ds, a ->
-          |  transform(filter(ds, b -> b.doc_id > a.doc_id),
-          |    b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
-          |                a.sig AS sa, b.sig AS sb))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.sa").as("sa"), col("p.sb").as("sb"))
-      .distinct()
+    bucketPairs(chunks, Seq("c", "chunk"))
       .select(col("doc_a"), col("doc_b"), hamming.cast(LongType).as("hamming"))
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       .limit(20)
