@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -819,9 +819,74 @@ object Pipeline {
       .limit(20)
   }
 
+  /** Content-defined chunk dedup (CDC, the rsync/LLM-dataset
+    * partial-duplicate primitive): token windows of 8 hash via the
+    * portable [[graft.api.h48]]; a chunk boundary falls after token i
+    * when the window hash ≡ 0 (mod 16) — boundaries derive from CONTENT,
+    * so a shared paragraph chunks identically in every document that
+    * contains it regardless of position. Duplicated chunks (≥2 distinct
+    * docs) are exactly the cross-document shared segments that exact
+    * dedup (whole doc) and MinHash (whole-doc similarity) both miss.
+    * All per-row array math (no window functions, no self-join): one
+    * scan → per-doc boundary list → explode chunks → one groupBy(chunk).
+    * At 100 TB the only shuffle is that final aggregate, keyed on chunk
+    * text (swap in the 48-bit chunk hash as the key to cut shuffle
+    * bytes; text kept here so the report is human-readable). */
+  val chunkDedup = Query(
+    "q_chunk_dedup",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |b AS (
+       |  SELECT doc_id, t,
+       |    [0] || list_filter(range(8, CAST(len(t) AS BIGINT)), i ->
+       |      ${duckH48("array_to_string(t[CAST(i - 7 AS INT):CAST(i AS INT)], ' ')")} % 16 = 0)
+       |      || [CAST(len(t) AS BIGINT)] AS bounds
+       |  FROM toks),
+       |ch AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, CAST(len(bounds) AS BIGINT)), j ->
+       |    array_to_string(t[CAST(bounds[CAST(j AS INT)] + 1 AS INT):CAST(bounds[CAST(j + 1 AS INT)] AS INT)], ' '))) AS chunk
+       |  FROM b)
+       |SELECT chunk, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_occ
+       |FROM ch GROUP BY chunk
+       |HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY n_docs DESC, n_occ DESC, chunk
+       |LIMIT 15""".stripMargin) { (s, d) =>
+    sharedChunks(tbl(s, d, "documents")).limit(15)
+  }
+
+  /** The CDC pipeline over any (doc_id, text) frame: duplicated chunks
+    * with distinct-doc and occurrence counts, most-shared first. */
+  def sharedChunks(docs: DataFrame): DataFrame = {
+    val toked = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      // exchange barrier: t must be a materialized attribute (the r2
+      // shingle lesson) or the window lambda re-tokenizes per element
+      .repartition(col("doc_id"))
+    val winHash = h48("array_join(slice(t, CAST(i - 7 AS INT), 8), ' ')")
+    toked
+      // guard the sequence: Spark's sequence(8, stop) DESCENDS when
+      // stop < 8 (short docs) — DuckDB's range is empty there
+      .withColumn("bounds", expr(
+        s"""concat(array(0L),
+           |  CASE WHEN size(t) > 8
+           |       THEN filter(sequence(8L, size(t) - 1), i -> $winHash % 16 = 0)
+           |       ELSE array() END,
+           |  array(CAST(size(t) AS BIGINT)))""".stripMargin))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(bounds) - 1), j -> array_join(
+          |  slice(t, CAST(element_at(bounds, CAST(j AS INT)) + 1 AS INT),
+          |    CAST(element_at(bounds, CAST(j + 1 AS INT)) -
+          |         element_at(bounds, CAST(j AS INT)) AS INT)), ' '))""".stripMargin))
+        .as("chunk"))
+      .groupBy("chunk")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(desc("n_docs"), desc("n_occ"), col("chunk"))
+  }
+
   val queries: Seq[Query] = Seq(
     dedupExact, textTokens, textStats, langId, qualityScore, tokenCount,
     fingerprint, multimodalMeta, mediaDecode, mediaResize, tokenizeRegex, bigrams, tfidf, sessionize, windowTumbling, windowSliding,
     redact, repetition, contamination, collocations, sessionPaths,
-    mixSample, seqPack, bm25, chunkOverlap, rareTokens, bpePairs)
+    mixSample, seqPack, bm25, chunkOverlap, rareTokens, bpePairs, chunkDedup)
 }

@@ -96,6 +96,25 @@ class OperatorSpec extends SparkSpec {
       -124L * 10000000000L + 9L)) // half-away-from-zero on negatives too
   }
 
+  test("chunk dedup finds a shared paragraph at different positions") {
+    // the shared 80-token paragraph sits at offset 0 in doc 1 and after
+    // 13 tokens of unique prefix in doc 2 — content-defined boundaries
+    // realign inside the shared region, so interior chunks duplicate
+    val para = (1 to 80).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, para + " " + (1 to 9).map(i => s"tailA$i").mkString(" ")),
+      (2L, (1 to 13).map(i => s"prefixB$i").mkString(" ") + " " + para),
+      (3L, (1 to 50).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Pipeline.sharedChunks(docs)
+      .select("chunk", "n_docs").as[(String, Long)].collect().toSeq
+    assert(out.nonEmpty, "no duplicated chunk detected in planted shared paragraph")
+    assert(out.forall { case (c, n) => n == 2L && c.contains("shared") })
+    // determinism: identical result on re-run
+    assert(out == Pipeline.sharedChunks(docs)
+      .select("chunk", "n_docs").as[(String, Long)].collect().toSeq)
+  }
+
   test("fixed-point centroid mean is exact and order-independent") {
     val vals = Seq(0.1f, 0.25f, -0.7f, 0.33f, 0.999f, -0.001f)
     val df1 = vals.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "x")
