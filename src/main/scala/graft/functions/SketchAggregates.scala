@@ -37,6 +37,16 @@ object SketchAggregates {
     ColumnBridge.column(
       MinHashSignature(ColumnBridge.expression(v), a.toVector, b.toVector, p)
         .toAggregateExpression())
+
+  /** Misra-Gries heavy-hitter CANDIDATE keys (sorted array<long>, ≤ k):
+    * every key with true frequency > n/k is guaranteed present
+    * regardless of partitioning/merge order; sub-threshold survivors
+    * may vary, so callers MUST re-count candidates exactly and filter
+    * (the standard two-pass heavy-hitters contract — that final result
+    * IS deterministic). */
+  def heavyHitterKeys(v: Column, k: Int): Column =
+    ColumnBridge.column(
+      MisraGriesKeys(ColumnBridge.expression(v), k).toAggregateExpression())
 }
 
 /** Shared fixed-width long-array wire format for aggregate buffers —
@@ -151,6 +161,112 @@ final class MinKBuffer(val k: Int) {
       arr(lo) = v
     }
   }
+}
+
+/** Misra-Gries summary buffer (mergeable-summaries formulation,
+  * Agarwal et al.): up to 2k (key, count) entries in parallel arrays;
+  * on overflow, subtract the (k+1)-th largest count from every entry
+  * and keep the positive ones (≤ k survive). Linear key probes — k is
+  * a few dozen, the entries fit in two cache lines. */
+final class MGBuffer(val k: Int) {
+  val keys = new Array[Long](2 * k)
+  val cnts = new Array[Long](2 * k)
+  var n = 0
+
+  def add(v: Long, c: Long): Unit = {
+    var i = 0
+    while (i < n) {
+      if (keys(i) == v) { cnts(i) += c; return }
+      i += 1
+    }
+    if (n == 2 * k) compress()
+    keys(n) = v; cnts(n) = c; n += 1
+  }
+
+  /** Reduce to ≤ k entries, preserving the MG error bound. */
+  def compress(): Unit = {
+    if (n <= k) return
+    val sorted = java.util.Arrays.copyOf(cnts, n)
+    java.util.Arrays.sort(sorted)
+    val threshold = sorted(n - 1 - k) // (k+1)-th largest
+    var w = 0
+    var i = 0
+    while (i < n) {
+      if (cnts(i) > threshold) { keys(w) = keys(i); cnts(w) = cnts(i) - threshold; w += 1 }
+      i += 1
+    }
+    n = w
+  }
+}
+
+/** Heavy-hitter candidate keys via a bounded Misra-Gries summary —
+  * constant state per group (≤ 2k longs ×2), map-side combinable, so a
+  * 100 TB frequency scan never materializes the full key dictionary.
+  * Output is the SORTED candidate key array; counts are deliberately
+  * not exposed (MG counts depend on merge order — the deterministic
+  * contract is candidates-then-exact-recount, see
+  * [[SketchAggregates.heavyHitterKeys]]). */
+case class MisraGriesKeys(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MGBuffer]
+  with ImplicitCastInputTypes with UnaryLike[Expression] {
+
+  require(k > 0, "k must be positive")
+
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_heavy_hitter_keys"
+
+  override def createAggregationBuffer(): MGBuffer = new MGBuffer(k)
+
+  override def update(buf: MGBuffer, input: InternalRow): MGBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Long], 1L)
+    buf
+  }
+
+  override def merge(b1: MGBuffer, b2: MGBuffer): MGBuffer = {
+    var i = 0
+    while (i < b2.n) { b1.add(b2.keys(i), b2.cnts(i)); i += 1 }
+    b1
+  }
+
+  override def eval(buf: MGBuffer): Any = {
+    if (buf.n == 0) return null
+    buf.compress()
+    val out = java.util.Arrays.copyOf(buf.keys, buf.n)
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: MGBuffer): Array[Byte] = {
+    val flat = new Array[Long](2 * buf.n)
+    var i = 0
+    while (i < buf.n) { flat(2 * i) = buf.keys(i); flat(2 * i + 1) = buf.cnts(i); i += 1 }
+    LongArraySerde.toBytes(flat)
+  }
+
+  override def deserialize(bytes: Array[Byte]): MGBuffer = {
+    val flat = LongArraySerde.fromBytes(bytes)
+    val buf = new MGBuffer(k)
+    var i = 0
+    while (i < flat.length / 2) {
+      buf.keys(i) = flat(2 * i); buf.cnts(i) = flat(2 * i + 1); i += 1
+    }
+    buf.n = flat.length / 2
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesKeys =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesKeys =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MisraGriesKeys =
+    copy(child = newChild)
 }
 
 case class MinKDistinctLongs(

@@ -223,5 +223,44 @@ object Sketches {
       .orderBy("l_returnflag")
   }
 
-  def queries: Seq[Query] = Seq(distinctKmv, sketchCms, quantileSketch, kmvMerge)
+  /** Exact heavy hitters via the two-pass Misra-Gries pattern — the way
+    * a 100 TB frequency scan finds its hot keys without materializing
+    * the key dictionary: pass 1 runs the BOUNDED-state native MG
+    * aggregate (graft_heavy_hitter_keys, ≤ 2k longs ×2 per partial
+    * buffer, map-side combined) whose candidate set PROVABLY contains
+    * every key with frequency > n/K; pass 2 re-counts only the ≤ K
+    * broadcast candidates exactly and filters `cnt·K > n` (integer
+    * compare, no division). MG's internal counts depend on merge order,
+    * so they are never exposed — the candidates-then-recount composite
+    * is deterministic and exactly equals the oracle's plain
+    * GROUP BY/HAVING. The key is a planted-skew derivation over events
+    * (5 hot keys carry a third of the stream; the tail is ~100k keys). */
+  val heavyHitters = Query(
+    "q_heavy_hitters",
+    """WITH e AS (
+      |  SELECT CASE WHEN event_id % 3 = 0 THEN event_id % 5
+      |              ELSE 1000 + event_id % 100000 END AS key
+      |  FROM events),
+      |tot AS (SELECT count(*) AS n FROM e)
+      |SELECT e.key, CAST(count(*) AS BIGINT) AS cnt
+      |FROM e, tot
+      |GROUP BY e.key, tot.n
+      |HAVING count(*) * 32 > tot.n
+      |ORDER BY key""".stripMargin) { (s, d) =>
+    val e = tbl(s, d, "events").select(
+      when(col("event_id") % 3 === 0, col("event_id") % 5)
+        .otherwise(lit(1000) + col("event_id") % 100000).as("key"))
+    val cands = e.agg(
+      graft.functions.SketchAggregates.heavyHitterKeys(col("key"), 32).as("ks"),
+      count(lit(1)).as("n"))
+    e.join(broadcast(cands.select(explode(col("ks")).as("key"), col("n"))), "key")
+      .groupBy("key", "n")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 32 > col("n"))
+      .select(col("key"), col("cnt"))
+      .orderBy("key")
+  }
+
+  def queries: Seq[Query] =
+    Seq(distinctKmv, sketchCms, quantileSketch, kmvMerge, heavyHitters)
 }

@@ -99,6 +99,21 @@ class SketchSpec extends SparkSpec {
     assert(native == ref)
   }
 
+  test("Misra-Gries candidates always contain every true heavy hitter") {
+    import spark.implicits._
+    // 10,000 rows: key 7 appears 1,500 times (15% > 1/16), the rest are
+    // 8,500 distinct singletons. With k = 16, key 7 MUST be a candidate
+    // under EVERY partitioning (merge shape must not matter).
+    val rows = (Seq.fill(1500)(7L) ++ (100000L until 108500L)).toDF("v")
+    for (parts <- Seq(1, 3, 17)) {
+      val cands = rows.repartition(parts)
+        .agg(SketchAggregates.heavyHitterKeys($"v", 16).as("ks"))
+        .select(explode($"ks").as("k")).as[Long].collect().toSeq
+      assert(cands.length <= 16, s"state bound violated: ${cands.length} candidates")
+      assert(cands.contains(7L), s"heavy hitter lost at $parts partitions: $cands")
+    }
+  }
+
   test("LSH ANN results are true cosine scores and respect the Hamming gate") {
     // every returned cos_sim must equal the brute-force score for that
     // vec_id (LSH prunes candidates; it must not alter scoring)
