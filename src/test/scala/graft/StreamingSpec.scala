@@ -374,6 +374,38 @@ class StreamingSpec extends SparkSpec {
       s"compacted ranges overlap: $ranges")
   }
 
+  test("Misra-Gries heavy-hitter candidates aggregate inside streaming windows") {
+    // the MG summary is merge-based, so per-window candidate sets
+    // accumulate across micro-batches like any built-in aggregate;
+    // the repeated user must be a candidate in the final window state
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Ev]
+    val hh = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.SketchAggregates.heavyHitterKeys(col("user_id"), 4).as("ks"),
+        count(lit(1)).as("n"))
+    val q = hh.writeStream.format("memory").queryName("mg_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        Ev(ts("2024-01-01 10:05:00"), 9, "click", 1.0),
+        Ev(ts("2024-01-01 10:10:00"), 9, "click", 1.0),
+        Ev(ts("2024-01-01 10:15:00"), 5, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        Ev(ts("2024-01-01 10:20:00"), 9, "click", 1.0),
+        Ev(ts("2024-01-01 10:25:00"), 9, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT ks, n FROM mg_stream ORDER BY n DESC LIMIT 1").collect()
+      assert(rows.head.getLong(1) == 5)
+      assert(rows.head.getSeq[Long](0).contains(9L),
+        s"dominant user lost across micro-batches: ${rows.head}")
+    } finally q.stop()
+  }
+
   test("KMV sketch aggregates inside a streaming windowed aggregation") {
     // the bounded min-k aggregate is merge-based, so it composes with
     // streaming state exactly like built-in aggregates: per-window
