@@ -260,20 +260,27 @@ object Extras {
       |  UNION ALL SELECT '2_click', count(*) FROM cl
       |  UNION ALL SELECT '3_purchase', count(*) FROM pu)
       |ORDER BY step""".stripMargin) { (s, d) =>
-    val ev = tbl(s, d, "events")
-    val su = ev.filter(col("event_type") === "signup")
-      .groupBy("user_id").agg(min(col("ts")).as("t1"))
-    val cl = ev.join(su, "user_id")
-      .filter(col("event_type") === "click" && col("ts") >= col("t1"))
-      .groupBy("user_id").agg(min(col("ts")).as("t2"))
-    val pu = ev.join(cl, "user_id")
-      .filter(col("event_type") === "purchase" && col("ts") >= col("t2"))
-      .groupBy("user_id").agg(min(col("ts")).as("t3"))
-    su.agg(count(lit(1)).as("n_users")).select(lit("1_signup").as("step"), col("n_users"))
-      .unionByName(cl.agg(count(lit(1)).as("n_users"))
-        .select(lit("2_click").as("step"), col("n_users")))
-      .unionByName(pu.agg(count(lit(1)).as("n_users"))
-        .select(lit("3_purchase").as("step"), col("n_users")))
+    // ONE scan + ONE shuffle (hash by user), not a per-stage join
+    // cascade: the three stage times are sequential per-user window
+    // minima — t2's predicate reads t1 (the previous window's result),
+    // so each stage gates on the one before, exactly the join
+    // semantics — and the three WindowExecs share the user
+    // partitioning. The old shape scanned the events fact SIX times
+    // (asserted in PlanSpec now); at 100 TB the fact scan IS the cost.
+    val w = Window.partitionBy("user_id")
+    val staged = tbl(s, d, "events")
+      .withColumn("t1", min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("ts") >= col("t1"), col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("ts") >= col("t2"), col("ts"))).over(w))
+      .select("user_id", "t1", "t2", "t3").distinct()
+    staged.agg(
+      count(when(col("t1").isNotNull, 1)).as("n1"),
+      count(when(col("t2").isNotNull, 1)).as("n2"),
+      count(when(col("t3").isNotNull, 1)).as("n3"))
+      .selectExpr("stack(3, '1_signup', n1, '2_click', n2, '3_purchase', n3) " +
+        "AS (step, n_users)")
       .orderBy("step")
   }
 

@@ -94,6 +94,12 @@ class PlanSpec extends SparkSpec {
       s"interval coverage fell back to a nested loop:\n${p.take(1500)}")
   }
 
+  test("q_funnel scans the events fact exactly once (window funnel, no join cascade)") {
+    val p = plan(Extras.funnel)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"funnel re-scans the fact table: $scans scans")
+  }
+
   test("IVF search prunes the index scan to the probed buckets (DPP)") {
     val p = ops.Ivf.search(spark, sf, probeVecId = 0L, nprobe = 2, k = 10)
       .queryExecution.executedPlan.toString
