@@ -505,9 +505,19 @@ object Pipeline {
           |              element_at(toks, i + 1) AS w2))""".stripMargin)).as("s"))
       .select(col("s.w1"), col("s.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("nxy"))
+    // reference `uni` ONCE: joining it separately for w1 and w2 re-runs
+    // the whole unigram corpus pass per branch (3 corpus scans; no
+    // exchange reuse across branches). Melt the (tiny, nxy>=5-filtered)
+    // bigram frame into role-tagged rows, join the vocab once, pivot
+    // the two counts back — 2 corpus scans, the structural minimum for
+    // two aggregates that must join each other.
     bi.filter(col("nxy") >= 5)
-      .join(uni.select(col("w").as("w1"), col("nw").as("n1")), "w1")
-      .join(uni.select(col("w").as("w2"), col("nw").as("n2")), "w2")
+      .select(col("w1"), col("w2"), col("nxy"),
+        posexplode(array(col("w1"), col("w2"))).as(Seq("role", "w")))
+      .join(uni, "w")
+      .groupBy("w1", "w2", "nxy")
+      .agg(max(when(col("role") === 0, col("nw"))).as("n1"),
+        max(when(col("role") === 1, col("nw"))).as("n2"))
       .withColumn("dice_ppm", expr("2 * nxy * 1000000 div (n1 + n2)"))
       .select("w1", "w2", "nxy", "dice_ppm")
       .orderBy(desc("dice_ppm"), col("w1"), col("w2"))

@@ -493,21 +493,24 @@ object Similarity {
     val e = tbl(s, d, "embeddings")
     val probes = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("pid"), col("embedding").as("pv"))
-    def top10(score: Column): DataFrame =
-      e.crossJoin(broadcast(probes))
-        .filter(col("vec_id") =!= col("pid"))
-        .select(col("pid"), col("vec_id"), score.as("cs"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("pid").orderBy(desc("cs"), col("vec_id"))))
-        .filter(col("rn") <= 10)
-        .select("pid", "vec_id")
-    val full = top10(cosine(col("embedding"), col("pv")))
-    val trunc = top10(
-      cosine(slice(col("embedding"), 1, 16), slice(col("pv"), 1, 16)))
-    full.join(trunc.withColumn("hit", lit(1)), Seq("pid", "vec_id"), "left")
+    // ONE corpus pass scoring BOTH metrics, two rank windows over the
+    // same (pid) exchange, intersection via a flag — the old shape
+    // built full-dim and truncated top-10s as separate branches and
+    // left-joined them, re-running the broadcast scoring pass per
+    // branch (4 scans; at 100 TB the corpus pass IS the cost).
+    val ranked = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        cosine(col("embedding"), col("pv")).as("cs_full"),
+        cosine(slice(col("embedding"), 1, 16), slice(col("pv"), 1, 16)).as("cs_tr"))
+      .withColumn("rn_f", row_number().over(
+        Window.partitionBy("pid").orderBy(desc("cs_full"), col("vec_id"))))
+      .withColumn("rn_t", row_number().over(
+        Window.partitionBy("pid").orderBy(desc("cs_tr"), col("vec_id"))))
+    ranked.filter(col("rn_f") <= 10)
       .groupBy(col("pid").as("vec_id"))
-      .agg(count(col("hit")).as("n_hits"),
-        round(count(col("hit")).cast(DoubleType) / 10, 6).as("recall"))
+      .agg(count(when(col("rn_t") <= 10, 1)).as("n_hits"),
+        round(count(when(col("rn_t") <= 10, 1)).cast(DoubleType) / 10, 6).as("recall"))
       .orderBy("vec_id")
   }
 
