@@ -236,8 +236,11 @@ case class MisraGriesKeys(
   }
 
   override def eval(buf: MGBuffer): Any = {
-    if (buf.n == 0) return null
     buf.compress()
+    // Uniform no-candidate encoding: compress() can drop EVERY entry
+    // (e.g. all counts equal in a group of ≤2k singletons); return null
+    // for that case too, not sometimes-null-sometimes-empty-array.
+    if (buf.n == 0) return null
     val out = java.util.Arrays.copyOf(buf.keys, buf.n)
     java.util.Arrays.sort(out)
     new GenericArrayData(out)

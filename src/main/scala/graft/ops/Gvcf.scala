@@ -169,8 +169,11 @@ object Gvcf {
     combinedCalls(variants, bucketWidth)
       .groupBy("contig", "pos")
       .agg(
-        first(col("ref")).as("ref"),
-        array_join(first(col("alts")), ",").as("alt"),
+        // max(), not first(): ref/alts are constant per (contig,pos) here,
+        // and first() is flagged non-deterministic, which poisons plan
+        // canonicalization / exchange reuse.
+        max(col("ref")).as("ref"),
+        array_join(max(col("alts")), ",").as("alt"),
         count(lit(1)).as("n_samples"),
         expr("transform(sort_array(collect_list(struct(sample_idx AS i, " +
           "concat(sample, ':', coalesce(gtm, './.'), ':', " +
@@ -248,8 +251,11 @@ object Gvcf {
     re.join(broadcast(sampleNameIndex(variants)), "sample")
       .groupBy("contig", "pos")
       .agg(
-        first(col("ref")).as("ref"),
-        array_join(first(col("alts")), ",").as("alt"),
+        // max(), not first(): ref/alts are constant per (contig,pos) here,
+        // and first() is flagged non-deterministic, which poisons plan
+        // canonicalization / exchange reuse.
+        max(col("ref")).as("ref"),
+        array_join(max(col("alts")), ",").as("alt"),
         count(lit(1)).as("n_samples"),
         sum(col("dp")).cast(LongType).as("sum_dp"),
         expr("array_join(transform(sort_array(collect_list(struct(sample_idx AS i, " +

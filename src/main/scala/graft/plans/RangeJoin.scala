@@ -38,6 +38,13 @@ case class BroadcastRangeJoinExec(
   override def right: SparkPlan = build
   override def output: Seq[Attribute] = probe.output ++ build.output
 
+  /** Per-INSTANCE build counter (tests assert broadcast reuse across
+    * repeated actions by reading it off the executed plan node). An
+    * instance-scoped counter can't be inflated by other suites that
+    * happen to trigger the strategy concurrently, unlike the old
+    * JVM-global one. */
+  @transient val builds = new java.util.concurrent.atomic.AtomicLong(0L)
+
   // The probe side streams through unchanged, so its distribution and
   // order survive — without these overrides a downstream aggregate on
   // the probe key would insert a needless exchange/sort.
@@ -50,7 +57,7 @@ case class BroadcastRangeJoinExec(
   // DataFrame (count then collect, iterative callers) reuse it instead
   // of re-collecting the build side on the driver every execute().
   @transient private lazy val builtBroadcast = {
-    BroadcastRangeJoinExec.buildCount.incrementAndGet()
+    builds.incrementAndGet()
     // Build side: collect, evaluate (lo, hi) once per interval, sort by
     // lo, precompute prefix max(hi) for early backward-scan termination.
     // Rows with NULL lo/hi match nothing under inner-join semantics
@@ -108,14 +115,6 @@ case class BroadcastRangeJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastRangeJoinExec =
     copy(probe = newLeft, build = newRight)
-}
-
-object BroadcastRangeJoinExec {
-  /** Observable build counter: bumps once per build-side collect+
-    * broadcast. Lets tests assert broadcast REUSE across repeated
-    * actions directly (a `count() == count()` check passes whether or
-    * not the build re-runs). */
-  val buildCount = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 /** Planner strategy: intercept inner joins whose ONLY condition is

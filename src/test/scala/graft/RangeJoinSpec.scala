@@ -70,14 +70,18 @@ class RangeJoinSpec extends SparkSpec {
     withStrategy {
       import graft.plans.BroadcastRangeJoinExec
       val df = probe.join(ivs, $"pos" >= $"lo" && $"pos" <= $"hi")
-      val before = BroadcastRangeJoinExec.buildCount.get()
       // collect() twice: both actions run the Dataset's CACHED
       // queryExecution, i.e. the same exec instance. (count() would NOT
       // reuse — it wraps the Dataset in a new aggregate plan each call,
       // so each count legitimately builds its own broadcast.)
       assert(df.collect().length == 10)
       assert(df.collect().length == 10)
-      val builds = BroadcastRangeJoinExec.buildCount.get() - before
+      // Read the INSTANCE counter off this plan's own exec node — immune
+      // to other suites triggering the strategy concurrently.
+      val node = df.queryExecution.executedPlan.collectFirst {
+        case b: BroadcastRangeJoinExec => b
+      }.getOrElse(fail("no BroadcastRangeJoinExec in plan"))
+      val builds = node.builds.get()
       assert(builds == 1, s"expected exactly one build-side broadcast, got $builds")
     }
   }
