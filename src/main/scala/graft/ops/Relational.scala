@@ -546,7 +546,11 @@ object Relational {
         .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1998-01-01")),
         col("c_custkey") === col("o_custkey"))
       .join(tbl(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(tbl(s, d, "supplier")),
+      // supplier scales LINEARLY with the fact tables in TPC-H — no
+      // broadcast() hint (a hint overrides autoBroadcastJoinThreshold and
+      // forces an OOM at 100×). AQE still picks broadcast at today's
+      // sizes; only fixed-cardinality dims (nation/region) keep hints.
+      .join(tbl(s, d, "supplier"),
         col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(tbl(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(tbl(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
@@ -559,8 +563,9 @@ object Relational {
 
   /** TPC-H Q7-shaped composite: cross-nation shipping volume per year —
     * the SAME dimension table joined in TWO roles (supplier nation vs
-    * customer nation), both broadcast, over the fact-fact orderkey
-    * join. */
+    * customer nation), both nation roles broadcast, over the fact-fact
+    * orderkey join. customer/supplier are deliberately UNHINTED: they
+    * scale linearly with the facts, so AQE decides per run. */
   val tpchQ7 = Query(
     "q_tpch_q7",
     """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -585,8 +590,11 @@ object Relational {
     tbl(s, d, "lineitem")
       .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1998-01-01"))
       .join(tbl(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(tbl(s, d, "customer")), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(tbl(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      // customer/supplier scale linearly with the facts — unhinted (see
+      // q_tpch_q5 note); AQE broadcasts them while they fit, shuffles
+      // when they don't. The two nation roles stay hinted (25 rows).
+      .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(tbl(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
       .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
       .filter(col("supp_nation") =!= col("cust_nation"))
@@ -909,7 +917,8 @@ object Relational {
       .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
       .join(broadcast(tbl(s, d, "region").filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
-      .join(broadcast(tbl(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      // supplier is linear-scaling — unhinted (see q_tpch_q5 note).
+      .join(tbl(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
       .groupBy(year(col("o_orderdate")).cast(LongType).as("yr"))
       .agg(
