@@ -135,9 +135,9 @@ object Codec {
        |  CAST(sum(plen) AS BIGINT) AS sum_payload_bytes
        |FROM sized
        |GROUP BY contig, kind
-       |ORDER BY contig, kind""".stripMargin) { (s, _) =>
+       |ORDER BY contig, kind""".stripMargin) { (s, d) =>
     val dec = FixedLayoutCodec.decodeDf(
-      FixedLayoutCodec.encodeDf(Gvcf.syntheticVariants(s, 3000)))
+      FixedLayoutCodec.encodeDf(Gvcf.syntheticVariants(s, Gvcf.cohortN(s, d))))
     dec.groupBy("contig", "kind")
       .agg(
         count(lit(1)).as("n"),

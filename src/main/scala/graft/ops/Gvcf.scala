@@ -302,10 +302,27 @@ object Gvcf {
           |         THEN 0 ELSE (j + 1) * 10 + start % 7 END AS INT))
           |END""".stripMargin))
 
+  /** Cohort size derived from the scale factor so the gVCF family is
+    * bench-visible as data grows (r8 verdict: a fixed 3,000-record cohort
+    * made dual-scale vacuous for the genomics core): n = |orders| / 5 =
+    * 300 at sf0.001, 3,000 at sf0.01 (the driver's gate scale — output
+    * unchanged), 30,000 at sf0.1. Memoized per dir; the count is a
+    * parquet-metadata read, not a scan. */
+  private val cohortSizes = scala.collection.concurrent.TrieMap.empty[String, Long]
+  def cohortN(s: SparkSession, d: String): Long =
+    cohortSizes.getOrElseUpdate(d, tbl(s, d, "orders").count() / 5)
+
+  /** The same `i = 0..n-1` enumeration in DuckDB. `range()` only takes
+    * constants, so n = |orders| / 5 is derived by windowed enumeration
+    * over the SAME parquet `orders` the Spark side counts. */
+  private[ops] val duckG =
+    """g AS (SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS i FROM orders
+      |      QUALIFY row_number() OVER (ORDER BY o_orderkey) <= count(*) OVER () // 5)""".stripMargin
+
   /** The same cohort as [[syntheticVariants]] in DuckDB CTE form
     * (column names vstart/vend dodge the END keyword). */
   private[ops] val duckSyntheticV =
-    """g AS (SELECT range AS i FROM range(0, 3000)),
+    s"""$duckG,
       |v AS (
       |  SELECT 's' || CAST(i % 3 AS VARCHAR) AS sample,
       |    'chr' || CAST(1 + (i // 3) % 2 AS VARCHAR) AS contig,
@@ -357,8 +374,8 @@ object Gvcf {
        |  array_to_string(list(r.sample || ':' || r.gtm || ':' || CAST(r.gq AS VARCHAR) ORDER BY r.sample), ';') AS calls
        |FROM remap r JOIN merged m ON r.contig = m.contig AND r.pos = m.pos
        |GROUP BY r.contig, r.pos, m.mref, m.calts
-       |ORDER BY r.contig, r.pos""".stripMargin) { (s, _) =>
-    combineSites(syntheticVariants(s, 3000))
+       |ORDER BY r.contig, r.pos""".stripMargin) { (s, d) =>
+    combineSites(syntheticVariants(s, cohortN(s, d)))
       .withColumn("calls", array_join(col("calls"), ";"))
   }
 
@@ -427,8 +444,8 @@ object Gvcf {
        |    ORDER BY sample), ';') AS calls
        |FROM calls
        |GROUP BY contig, pos, mref, calts
-       |ORDER BY contig, pos""".stripMargin) { (s, _) =>
-    genotypeGvcf(syntheticVariantsPl(s, 3000))
+       |ORDER BY contig, pos""".stripMargin) { (s, d) =>
+    genotypeGvcf(syntheticVariantsPl(s, cohortN(s, d)))
   }
 
   /** The reference's output path (SURVEY §3.2 `load → collect →
@@ -469,8 +486,8 @@ object Gvcf {
        |  array_to_string(list(r.gtm || ':' || CAST(r.gq AS VARCHAR) ORDER BY r.sample), chr(9)) AS line
        |FROM remap r JOIN merged m ON r.contig = m.contig AND r.pos = m.pos
        |GROUP BY r.contig, r.pos, m.mref, m.calts
-       |ORDER BY r.contig, r.pos""".stripMargin) { (s, _) =>
-    exportLines(syntheticVariants(s, 3000)).orderBy("contig", "pos")
+       |ORDER BY r.contig, r.pos""".stripMargin) { (s, d) =>
+    exportLines(syntheticVariants(s, cohortN(s, d))).orderBy("contig", "pos")
   }
 
   /** The gVCF HEADER for [[exportLines]] — the piece that makes the
@@ -531,8 +548,8 @@ object Gvcf {
        |    'ALT' || chr(9) || 'QUAL' || chr(9) || 'FILTER' || chr(9) || 'INFO' || chr(9) ||
        |    'FORMAT' || chr(9) || s FROM smp)
        |SELECT CAST(ord AS BIGINT) AS ord, line FROM h
-       |ORDER BY ord""".stripMargin) { (s, _) =>
-    exportHeader(syntheticVariants(s, 3000))
+       |ORDER BY ord""".stripMargin) { (s, d) =>
+    exportHeader(syntheticVariants(s, cohortN(s, d)))
   }
 
   /** Dense sample-name index as an oracle-backed query: the index joined
@@ -548,8 +565,8 @@ object Gvcf {
        |  CAST(max(v.vend) AS BIGINT) AS max_end
        |FROM v JOIN idx ON v.sample = idx.sample
        |GROUP BY v.sample, idx.sample_idx
-       |ORDER BY idx.sample_idx""".stripMargin) { (s, _) =>
-    val v = syntheticVariants(s, 3000)
+       |ORDER BY idx.sample_idx""".stripMargin) { (s, d) =>
+    val v = syntheticVariants(s, cohortN(s, d))
     v.join(broadcast(sampleNameIndex(v)), "sample")
       .groupBy("sample", "sample_idx")
       .agg(count(lit(1)).as("n_records"),
@@ -601,8 +618,8 @@ object Gvcf {
        |  count(*) AS ac, CAST(min(an.an) AS BIGINT) AS an
        |FROM gt JOIN an ON gt.contig = an.contig AND gt.pos = an.pos
        |GROUP BY gt.contig, gt.pos, gt.alt_idx, alt
-       |ORDER BY gt.contig, gt.pos, gt.alt_idx""".stripMargin) { (s, _) =>
-    siteAlleleStats(syntheticVariants(s, 3000))
+       |ORDER BY gt.contig, gt.pos, gt.alt_idx""".stripMargin) { (s, d) =>
+    siteAlleleStats(syntheticVariants(s, cohortN(s, d)))
   }
 
   /** GQ-band block merging as an oracle-backed query: a synthetic
@@ -614,7 +631,7 @@ object Gvcf {
     * band-min GQ). */
   val mergeBands = Query(
     "q_merge_bands",
-    """WITH g AS (SELECT range AS i FROM range(0, 3000)),
+    s"""WITH $duckG,
       |v AS (
       |  SELECT 's' || CAST(i % 3 AS VARCHAR) AS sample,
       |    'chr' || CAST(1 + (i // 600) AS VARCHAR) AS contig,
@@ -638,8 +655,8 @@ object Gvcf {
       |SELECT sample, contig, CAST(min(vstart) AS BIGINT) AS start,
       |  CAST(max(vend) AS BIGINT) AS "end", CAST(min(gq) AS BIGINT) AS gq
       |FROM grp GROUP BY sample, contig, grp_id
-      |ORDER BY sample, contig, start""".stripMargin) { (s, _) =>
-    val blocks = s.range(0, 3000).selectExpr(
+      |ORDER BY sample, contig, start""".stripMargin) { (s, d) =>
+    val blocks = s.range(0, cohortN(s, d)).selectExpr(
       "concat('s', id % 3) AS sample",
       "concat('chr', 1 + (id div 600)) AS contig",
       "((id div 3) % 200) * 10 + 1 AS start",
@@ -709,7 +726,7 @@ object Gvcf {
     * run; the oracle replays segmentation + banding in window SQL. */
   val rebandMergedQuery = Query(
     "q_reband_merged",
-    """WITH g AS (SELECT range AS i FROM range(0, 3000)),
+    s"""WITH $duckG,
       |v AS (
       |  SELECT 's' || CAST(i % 3 AS VARCHAR) AS sample,
       |    'chr' || CAST(1 + (i // 600) AS VARCHAR) AS contig,
@@ -745,8 +762,8 @@ object Gvcf {
       |  CAST(max(hi) AS BIGINT) AS "end",
       |  CAST(band AS BIGINT) AS band, CAST(min(mgq) AS BIGINT) AS gq
       |FROM grp GROUP BY contig, grp_id, band
-      |ORDER BY contig, start""".stripMargin) { (s, _) =>
-    val blocks = s.range(0, 3000).selectExpr(
+      |ORDER BY contig, start""".stripMargin) { (s, d) =>
+    val blocks = s.range(0, cohortN(s, d)).selectExpr(
       "concat('s', id % 3) AS sample",
       "concat('chr', 1 + (id div 600)) AS contig",
       "((id div 3) % 200) * 10 + 1 AS start",
@@ -800,8 +817,8 @@ object Gvcf {
        |SELECT contig, CAST(depth AS BIGINT) AS depth, CAST(sum(seg) AS BIGINT) AS bases
        |FROM seg WHERE depth > 0 AND seg IS NOT NULL
        |GROUP BY contig, depth
-       |ORDER BY contig, depth""".stripMargin) { (s, _) =>
-    coverageHistogram(syntheticVariants(s, 3000))
+       |ORDER BY contig, depth""".stripMargin) { (s, d) =>
+    coverageHistogram(syntheticVariants(s, cohortN(s, d)))
   }
 
   /** Transition/transversion QC counts per contig over the distinct site
@@ -834,8 +851,8 @@ object Gvcf {
        |    CAST(sum(CASE WHEN (ref IN ('A','G')) = (alt IN ('A','G')) THEN 0 ELSE 1 END) AS BIGINT) AS tv
        |  FROM s GROUP BY contig)
        |SELECT contig, ti, tv, ti * 1000000 // tv AS ratio_ppm
-       |FROM c ORDER BY contig""".stripMargin) { (s, _) =>
-    tiTvByContig(syntheticVariants(s, 3000))
+       |FROM c ORDER BY contig""".stripMargin) { (s, d) =>
+    tiTvByContig(syntheticVariants(s, cohortN(s, d)))
   }
 
   /** Per-(sample, contig) covered breadth: union the sample's intervals
@@ -881,8 +898,8 @@ object Gvcf {
        |SELECT sample, contig, CAST(sum(hi - lo + 1) AS BIGINT) AS breadth,
        |  CAST(count(*) AS BIGINT) AS n_islands
        |FROM ext GROUP BY sample, contig
-       |ORDER BY sample, contig""".stripMargin) { (s, _) =>
-    sampleBreadth(syntheticVariants(s, 3000))
+       |ORDER BY sample, contig""".stripMargin) { (s, d) =>
+    sampleBreadth(syntheticVariants(s, cohortN(s, d)))
   }
 
   /** Trio Mendelian-violation counts (s0 = child, s1/s2 = parents) over
@@ -944,8 +961,8 @@ object Gvcf {
        |  FROM trio)
        |SELECT contig, CAST(count(*) AS BIGINT) AS n_sites,
        |  CAST(sum(viol) AS BIGINT) AS n_violations
-       |FROM j GROUP BY contig ORDER BY contig""".stripMargin) { (s, _) =>
-    mendelViolations(syntheticVariants(s, 3000))
+       |FROM j GROUP BY contig ORDER BY contig""".stripMargin) { (s, d) =>
+    mendelViolations(syntheticVariants(s, cohortN(s, d)))
   }
 
   /** Genotype concordance (GATK GenotypeConcordance shape): callset B is
@@ -967,8 +984,8 @@ object Gvcf {
        |FROM sa a JOIN sb b
        |  ON a.contig = b.contig AND a.pos = b.pos AND a.sample = b.sample
        |GROUP BY a.gt, b.gt_b
-       |ORDER BY gt_a, gt_b""".stripMargin) { (s, _) =>
-    val sa = syntheticVariants(s, 3000).filter(col("kind") === "site")
+       |ORDER BY gt_a, gt_b""".stripMargin) { (s, d) =>
+    val sa = syntheticVariants(s, cohortN(s, d)).filter(col("kind") === "site")
       .select(col("contig"), col("start").as("pos"), col("sample"), col("gt"))
     val sb = sa.withColumn("gt_b",
       when(expr("(pos div 10 + CAST(substring(sample, 2, 1) AS INT)) % 7 = 0"),
@@ -1010,7 +1027,7 @@ object Gvcf {
     * so real holes exist); the oracle replays islands + complement. */
   val covGaps = Query(
     "q_coverage_gaps",
-    """WITH g AS (SELECT range AS i FROM range(0, 3000)),
+    s"""WITH $duckG,
       |v AS (
       |  SELECT 'chr' || CAST(1 + (i // 3) % 2 AS VARCHAR) AS contig,
       |    (i // 3) * 30 + 1 AS vstart, (i // 3) * 30 + 10 + (i % 3) AS vend
@@ -1035,8 +1052,8 @@ object Gvcf {
       |SELECT contig, CAST(hi + 1 AS BIGINT) AS gap_start,
       |  CAST(next_lo - 1 AS BIGINT) AS gap_end
       |FROM nxt WHERE next_lo IS NOT NULL AND next_lo > hi + 1
-      |ORDER BY contig, gap_start""".stripMargin) { (s, _) =>
-    val v = s.range(0, 3000)
+      |ORDER BY contig, gap_start""".stripMargin) { (s, d) =>
+    val v = s.range(0, cohortN(s, d))
       .filter(expr("(id div 3) % 3 <> 1"))
       .selectExpr(
         "concat('s', id % 3) AS sample",
@@ -1078,9 +1095,9 @@ object Gvcf {
        |  ON a.contig = b.contig AND a.sample < b.sample
        | AND a.vstart <= b.vend AND b.vstart <= a.vend
        |GROUP BY sample_a, sample_b, a.contig
-       |ORDER BY sample_a, sample_b, a.contig""".stripMargin) { (s, _) =>
+       |ORDER BY sample_a, sample_b, a.contig""".stripMargin) { (s, d) =>
     val w = 64L
-    val blocks = syntheticVariants(s, 3000).filter(col("kind") === "block")
+    val blocks = syntheticVariants(s, cohortN(s, d)).filter(col("kind") === "block")
       .select(col("sample"), col("contig"), col("start"),
         (col("end") + 15).as("end"))
     def bucketed(side: String) = blocks
