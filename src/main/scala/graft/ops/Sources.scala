@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.api._
@@ -313,7 +313,61 @@ object Sources {
       .orderBy("prio")
   }
 
+  /** Versioned (as-of-timestamp) store read — HBase `maxVersions` +
+    * timerange semantics (`GVCFHBaseTest.java:~40 (unverified)`): three
+    * generations land in one store — a v1 bulk load of every order key,
+    * then APPEND-mode generations updating keys ≡0 (mod 3) at v2 and ≡0
+    * (mod 7) at v3. `VariantStore.readAsOf` replays "the cohort as of
+    * last month": at t=2 the v3 updates must be invisible and v2 wins
+    * over v1; at t=3, v3 > v2 > v1. The oracle reconstructs both
+    * snapshots from `orders` directly, so a hash match proves the
+    * version resolution exact — including that appends never clobbered
+    * the older generations' files. */
+  val storeAsOf = Query(
+    "q_store_asof",
+    """WITH v2 AS (
+      |  SELECT o_orderkey AS key,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN 'U2-' || o_orderpriority
+      |         ELSE o_orderpriority END AS payload
+      |  FROM orders),
+      |v3 AS (
+      |  SELECT o_orderkey AS key,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN 'U3-' || o_orderpriority
+      |         WHEN o_orderkey % 3 = 0 THEN 'U2-' || o_orderpriority
+      |         ELSE o_orderpriority END AS payload
+      |  FROM orders)
+      |SELECT CAST(2 AS BIGINT) AS as_of, payload,
+      |  CAST(count(*) AS BIGINT) AS n, CAST(sum(key) AS BIGINT) AS sum_key
+      |FROM v2 GROUP BY payload
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), payload,
+      |  CAST(count(*) AS BIGINT), CAST(sum(key) AS BIGINT)
+      |FROM v3 GROUP BY payload
+      |ORDER BY as_of, payload""".stripMargin) { (s, d) =>
+    val dir = outDir(s, d, "store_asof")
+    val schema = "key LONG, ver LONG, payload STRING"
+    def gen(ver: Long, filter: Column, prefix: String): DataFrame =
+      tbl(s, d, "orders").filter(filter)
+        .select(col("o_orderkey").as("key"), lit(ver).as("ver"),
+          concat(lit(prefix), col("o_orderpriority")).as("payload"))
+        .repartitionByRange(8, col("key")).sortWithinPartitions("key")
+    gen(1L, lit(true), "").write.format("graft.sources.VariantStoreSink")
+      .option("path", dir).mode("overwrite").save()
+    gen(2L, col("o_orderkey") % 3 === 0, "U2-")
+      .write.format("graft.sources.VariantStoreSink")
+      .option("path", dir).mode("append").save()
+    gen(3L, col("o_orderkey") % 7 === 0, "U3-")
+      .write.format("graft.sources.VariantStoreSink")
+      .option("path", dir).mode("append").save()
+    def snap(t: Long): DataFrame =
+      graft.sources.VariantStore.readAsOf(s, dir, schema, t)
+        .groupBy("payload")
+        .agg(count(lit(1)).as("n"), sum(col("key")).cast(LongType).as("sum_key"))
+        .select(lit(t).as("as_of"), col("payload"), col("n"), col("sum_key"))
+    snap(2L).unionAll(snap(3L)).orderBy("as_of", "payload")
+  }
+
   val queries: Seq[Query] =
     Seq(sourceCsv, sourceJson, sourceOrc, partitionPrune, sourceCustom, bucketedJoin,
-      sinkStore, sourceBinary, storeScan, schemaEvolution, sourceXml)
+      sinkStore, sourceBinary, storeScan, schemaEvolution, sourceXml, storeAsOf)
 }

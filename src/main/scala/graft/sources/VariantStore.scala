@@ -39,6 +39,40 @@ object VariantStore {
       .filter(col(keyCol) >= lo && col(keyCol) <= hi)
   }
 
+  /** As-of-timestamp read — the HBase versioned-cell analog
+    * (`maxVersions > 1` + timerange scans, `GVCFHBaseTest.java:~40`,
+    * reconstructed per SURVEY §0). The store holds every written
+    * version of a key (append-mode generations carry a `ver` LONG as
+    * the SECOND schema field); `readAsOf` reconstructs "the table as of
+    * t": per key, the highest-`ver` row with `ver <= asOf`, i.e. HBase's
+    * latest-cell-at-timerange-end semantics. Rows whose every version is
+    * newer than `asOf` are absent, exactly like a cell first written
+    * after t.
+    *
+    * Scale: one window exchange on the key — the generations are each
+    * range-partitioned and sorted by key, so at 100 TB this is the
+    * standard versioned-read shuffle (HBase pays the same merge across
+    * HFiles per region, just region-locally). The `ver <= asOf` filter
+    * is applied at scan, so long-dead versions never reach the window. */
+  def readAsOf(spark: SparkSession, path: String, schema: String,
+      asOf: Long): DataFrame = {
+    val cols = schema.trim.split(",").map(_.trim.split("\\s+")(0))
+    require(cols.length >= 2 && cols(1) == "ver",
+      s"versioned schema needs (key, ver, ...): got ${schema}")
+    val keyCol = cols(0)
+    val files = manifest(path).map { case (f, _, _, _) => s"$path/$f" }
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("ver").desc)
+    spark.read.schema(schema).csv(files: _*)
+      .filter(col("ver") <= asOf)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Rewrite every live generation as one sorted bulk generation. The
     * input file list comes from the manifest (never a directory listing),
     * so orphans from failed tasks are excluded by construction. */

@@ -64,11 +64,11 @@ private[sources] class StoreWriteBuilder(path: String, schema: StructType)
     require(schema.nonEmpty && schema.head.dataType == LongType,
       s"leading field must be the LONG sort key, got ${schema.headOption}")
     new Write {
-      override def toBatch: BatchWrite = {
-        require(truncating,
-          "VariantStoreSink supports only mode('overwrite'): bulk load replaces a generation")
-        new StoreBatchWrite(path, schema)
-      }
+      /** overwrite = bulk load (replace all generations); append = add
+        * ONE generation on top of the live ones (HBase put / incremental
+        * bulk-load-into-region analog) — the manifest merges, nothing is
+        * deleted, and readers see old + new files together. */
+      override def toBatch: BatchWrite = new StoreBatchWrite(path, schema, truncating)
       /** Streaming ingest = the memstore path: rows buffer per task, are
         * sorted by key at flush, and every epoch COMMITS A NEW GENERATION
         * of files appended to the manifest (bulk load replaces; puts
@@ -123,7 +123,8 @@ private[sources] object StoreManifest {
   }
 }
 
-private[sources] class StoreBatchWrite(path: String, schema: StructType) extends BatchWrite {
+private[sources] class StoreBatchWrite(
+    path: String, schema: StructType, truncate: Boolean) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     StoreWriterFactory(path, schema)
@@ -134,12 +135,19 @@ private[sources] class StoreBatchWrite(path: String, schema: StructType) extends
     * leaves only orphans no manifest ever references. ORDER MATTERS:
     * the new manifest lands (atomically) BEFORE the old generation's
     * files are deleted, so a crash in between leaves a fully readable
-    * store plus orphans, never a manifest pointing at deleted files. */
+    * store plus orphans, never a manifest pointing at deleted files.
+    * Append mode keeps the old generations: the new manifest is
+    * old lines + this write's, and no files are reaped. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
     java.nio.file.Files.createDirectories(dir)
     val commits = messages.collect { case m: StoreCommit if m.rows > 0 => m }
     val t0 = System.currentTimeMillis()
+    if (!truncate) {
+      StoreManifest.writeLines(dir,
+        (StoreManifest.readLines(dir) ++ commits.map(StoreManifest.render)).sorted)
+      return
+    }
     StoreManifest.writeLines(dir, commits.map(StoreManifest.render).sorted)
     // truncate semantics: drop files of previous generations — only
     // AFTER the new manifest is live. `.tmp` files are in-flight

@@ -102,15 +102,49 @@ class SourceSpec extends SparkSpec {
       s"unexpected failure: $e")
   }
 
-  test("DSv2 sink refuses append mode (generations are replaced)") {
+  test("append mode adds a generation without clobbering the old one") {
     val dir = sinkDir("append")
-    val df = Seq((1L, "a")).toDF("key", "payload")
-    val e = intercept[Exception] {
-      df.write.format("graft.sources.VariantStoreSink")
-        .option("path", dir).mode("append").save()
-    }
-    assert(e.getMessage.contains("overwrite") ||
-      (e.getCause != null && e.getCause.getMessage.contains("overwrite")))
+    Seq((1L, "a"), (2L, "b")).toDF("key", "payload")
+      .repartitionByRange(1, $"key").sortWithinPartitions("key")
+      .write.format("graft.sources.VariantStoreSink")
+      .option("path", dir).mode("overwrite").save()
+    val gen1Files = scala.io.Source.fromFile(s"$dir/_MANIFEST").getLines().toSeq
+    Seq((2L, "b2"), (3L, "c")).toDF("key", "payload")
+      .repartitionByRange(1, $"key").sortWithinPartitions("key")
+      .write.format("graft.sources.VariantStoreSink")
+      .option("path", dir).mode("append").save()
+    val lines = scala.io.Source.fromFile(s"$dir/_MANIFEST").getLines().toSeq
+    assert(gen1Files.forall(lines.contains), "append dropped generation-1 manifest records")
+    assert(lines.length == gen1Files.length + 1, s"expected one appended record: $lines")
+    // both generations' rows are visible (key 2 now has two versions)
+    val back = spark.read.schema("key LONG, payload STRING")
+      .csv(lines.map(l => s"$dir/${l.split(",")(0)}"): _*)
+    assert(back.count() == 4L)
+  }
+
+  test("VariantStore.readAsOf resolves HBase-style versions at a timestamp") {
+    val dir = sinkDir("asof")
+    def gen(ver: Long, rows: Seq[(Long, String)], mode: String): Unit =
+      rows.toDF("key", "payload")
+        .select($"key", org.apache.spark.sql.functions.lit(ver).as("ver"), $"payload")
+        .repartitionByRange(1, $"key").sortWithinPartitions("key")
+        .write.format("graft.sources.VariantStoreSink")
+        .option("path", dir).mode(mode).save()
+    gen(10L, Seq((1L, "v1a"), (2L, "v1b"), (3L, "v1c")), "overwrite")
+    gen(20L, Seq((2L, "v2b")), "append")
+    gen(30L, Seq((2L, "v3b"), (4L, "v3d")), "append")
+    val schema = "key LONG, ver LONG, payload STRING"
+    def snap(t: Long): Map[Long, String] =
+      graft.sources.VariantStore.readAsOf(spark, dir, schema, t)
+        .select("key", "payload").as[(Long, String)].collect().toMap
+    // before any write: empty, not a crash
+    assert(snap(5L).isEmpty)
+    // t=20: v2 wins for key 2; key 4 not yet born
+    assert(snap(20L) == Map(1L -> "v1a", 2L -> "v2b", 3L -> "v1c"))
+    // t=25 (between versions): same snapshot as t=20
+    assert(snap(25L) == Map(1L -> "v1a", 2L -> "v2b", 3L -> "v1c"))
+    // t=30: v3 wins, key 4 appears
+    assert(snap(30L) == Map(1L -> "v1a", 2L -> "v3b", 3L -> "v1c", 4L -> "v3d"))
   }
 
   test("VariantStore.readRange prunes to manifest-overlapping files (HBase-scan analog)") {
