@@ -379,6 +379,132 @@ object Gvcf {
       .withColumn("calls", array_join(col("calls"), ";"))
   }
 
+  /** Delta sample for the incremental combine: 's3' contributes a het
+    * site at the first n/30 position groups (so its positions land in
+    * ~10% of the store's position buckets), pure arithmetic on both
+    * engines. Its alt allele (j+2 mod 4) differs from the cohort's two
+    * site alleles at most groups, so the merged allele list — and every
+    * covered sample's remapped genotype — genuinely changes in the
+    * touched buckets. */
+  def deltaSample(s: SparkSession, n: Long): DataFrame =
+    s.range(0, n / 30).selectExpr(
+      "'s3' AS sample",
+      "concat('chr', 1 + id % 2) AS contig",
+      "id * 10 + 1 AS start",
+      "id * 10 + 1 AS end",
+      "'site' AS kind",
+      "array(substr('ACGT', CAST(id % 4 AS INT) + 1, 1), " +
+        "substr('ACGT', CAST((id + 2) % 4 AS INT) + 1, 1)) AS alleles",
+      "CAST((id * 11) % 90 + 10 AS INT) AS gq",
+      "'0/1' AS gt")
+
+  /** Bump whenever [[syntheticVariants]] / [[combineSites]] output or the
+    * incremental store layout changes — the bucket-partitioned fixture
+    * dirs below are keyed on it (the [[Vcf.SyntheticFormatVersion]]
+    * stale-cache rule). */
+  val IncStoreVersion = 1
+  /** Position-bucket width of the incremental store. */
+  val IncBucketW = 1000L
+
+  private def incDir(d: String, which: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_inc_${which}_v${IncStoreVersion}_" +
+      d.replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** Write-once incremental-store fixtures per (session, sf): the raw
+    * cohort exploded into every position bucket a record SPANS (the
+    * reference's spanning-block duplication at region boundaries,
+    * `GVCFHBase.java:~95 (unverified)`), and the combined output
+    * bucketed by site position — both `partitionBy(bucket)` so reads
+    * prune at the directory level. */
+  private[ops] def incrementalStore(s: SparkSession, d: String): (String, String) = {
+    val (rawDir, combDir) = (incDir(d, "raw"), incDir(d, "comb"))
+    if (!new java.io.File(rawDir, "_SUCCESS").exists() ||
+        !new java.io.File(combDir, "_SUCCESS").exists()) {
+      val base = syntheticVariants(s, cohortN(s, d))
+      base.withColumn("bucket",
+          explode(sequence(col("start") / IncBucketW cast LongType, col("end") / IncBucketW cast LongType)))
+        .write.mode("overwrite").partitionBy("bucket").parquet(rawDir)
+      combineSites(base)
+        .withColumn("calls", array_join(col("calls"), ";"))
+        .withColumn("bucket", (col("pos") / IncBucketW).cast(LongType))
+        .write.mode("overwrite").partitionBy("bucket").parquet(combDir)
+    }
+    (rawDir, combDir)
+  }
+
+  /** Bucket-pruned INCREMENTAL combine — the reference's raison d'être
+    * (`README.md:~1 (unverified)`): adding sample N+1 must not redo the
+    * other N samples' work. Sample s3's delta touches ~10% of the
+    * position buckets; the query re-runs [[combineSites]] ONLY on those
+    * buckets' raw records (+ the delta) — a `bucket IN (...)` partition
+    * filter, directory-level pruning, asserted in GvcfSpec — and passes
+    * every untouched bucket's PREVIOUS combined output through verbatim
+    * (complement partition filter, pruned likewise). The touched-bucket
+    * list is a K-row driver materialization (|delta positions| / bucket
+    * width, metadata-scale — the Ivf-centroid class of documented
+    * lineage break). Spanning-block duplicates inside the touched slice
+    * collapse via dropDuplicates before re-combining. The oracle replays
+    * the FULL 4-sample combine from scratch — a hash match proves
+    * incremental == full recompute. */
+  val combineIncremental = Query(
+    "q_combine_incremental",
+    s"""WITH $duckSyntheticV,
+       |dn AS (SELECT count(*) AS n FROM g),
+       |delta AS (
+       |  SELECT 's3' AS sample,
+       |    'chr' || CAST(1 + (i // 3) % 2 AS VARCHAR) AS contig,
+       |    (i // 3) * 10 + 1 AS vstart, (i // 3) * 10 + 1 AS vend,
+       |    'site' AS kind,
+       |    substr('ACGT', CAST((i // 3) % 4 AS INT) + 1, 1) AS ref,
+       |    substr('ACGT', CAST(((i // 3) + 2) % 4 AS INT) + 1, 1) AS alt,
+       |    CAST(((i // 3) * 11) % 90 + 10 AS INT) AS gq,
+       |    '0/1' AS gt
+       |  FROM g, dn WHERE i % 3 = 0 AND i < n // 10),
+       |v4 AS (SELECT * FROM v UNION ALL SELECT * FROM delta),
+       |sites AS (SELECT DISTINCT contig, vstart AS pos FROM v4 WHERE kind = 'site'),
+       |cov AS (
+       |  SELECT s.contig, s.pos, v4.sample, v4.kind, v4.ref, v4.alt, v4.gt, v4.gq
+       |  FROM sites s JOIN v4 ON v4.contig = s.contig AND s.pos BETWEEN v4.vstart AND v4.vend),
+       |merged AS (
+       |  SELECT contig, pos, min(ref) AS mref,
+       |    list_sort(list_distinct(list(alt))) AS calts
+       |  FROM cov WHERE kind = 'site' GROUP BY contig, pos),
+       |remap AS (
+       |  SELECT c.contig, c.pos, c.sample,
+       |    CASE WHEN c.kind = 'block' THEN c.gt
+       |         ELSE array_to_string(list_transform(string_split(c.gt, '/'), g2 ->
+       |           CASE WHEN g2 = '0' THEN '0'
+       |                ELSE CAST(list_position(m.calts, c.alt) AS VARCHAR) END), '/')
+       |    END AS gtm, c.gq
+       |  FROM cov c JOIN merged m ON c.contig = m.contig AND c.pos = m.pos)
+       |SELECT r.contig, r.pos, m.mref AS ref,
+       |  array_to_string(m.calts, ',') || ',<NON_REF>' AS alt,
+       |  count(*) AS n_samples,
+       |  array_to_string(list(r.sample || ':' || r.gtm || ':' || CAST(r.gq AS VARCHAR) ORDER BY r.sample), ';') AS calls
+       |FROM remap r JOIN merged m ON r.contig = m.contig AND r.pos = m.pos
+       |GROUP BY r.contig, r.pos, m.mref, m.calts
+       |ORDER BY r.contig, r.pos""".stripMargin) { (s, d) =>
+    val (rawDir, combDir) = incrementalStore(s, d)
+    val delta = deltaSample(s, cohortN(s, d))
+    // touched buckets from the delta — K rows to the driver
+    val touched = delta
+      .select((col("start") / IncBucketW).cast(LongType).as("bucket"))
+      .distinct().orderBy("bucket")
+      .collect().map(_.getLong(0)).toSeq
+    val rawTouched = s.read.parquet(rawDir)
+      .filter(col("bucket").isin(touched: _*))
+      .drop("bucket")
+      // spanning blocks were duplicated into each bucket they cross —
+      // collapse before combining (one record per (sample, start))
+      .dropDuplicates("sample", "contig", "start")
+    val recombined = combineSites(rawTouched.unionByName(delta))
+      .withColumn("calls", array_join(col("calls"), ";"))
+    val passthrough = s.read.parquet(combDir)
+      .filter(!col("bucket").isin(touched: _*))
+      .drop("bucket")
+    passthrough.unionByName(recombined).orderBy("contig", "pos")
+  }
+
   /** GenotypeGVCFs over the PL-bearing cohort. The oracle replays the
     * ENTIRE pipeline independently in DuckDB list SQL — coverage join,
     * allele union, canonical-order PL remap through the local-index map,
@@ -1119,5 +1245,6 @@ object Gvcf {
   val queries: Seq[Query] =
     Seq(combineMerge, sampleIndexQuery, gvcfExport, siteStats, mergeBands,
       coverageHist, tiTv, breadth, mendel, concordance, covGaps,
-      intervalOverlap, genotypeGvcfQuery, gvcfHeader, rebandMergedQuery)
+      intervalOverlap, genotypeGvcfQuery, gvcfHeader, rebandMergedQuery,
+      combineIncremental)
 }

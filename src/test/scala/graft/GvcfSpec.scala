@@ -329,4 +329,52 @@ class GvcfSpec extends SparkSpec {
       .as[(String, String, Long, Long)].collect().toSeq
     assert(out == Seq(("a", "chr1", 25L + 4L + 21L, 3L)))
   }
+
+  test("incremental combine equals full recompute and prunes untouched buckets") {
+    // sf0.01, not sf0.001: the 300-record cohort spans a single position
+    // bucket, so there would be nothing untouched to prune
+    val d = "/root/testdata/sf0.01"
+    val df = Gvcf.combineIncremental.run(spark, d)
+    // ground truth: combine the 4-sample cohort from scratch
+    val n = Gvcf.cohortN(spark, d)
+    val full = Gvcf.combineSites(
+        Gvcf.syntheticVariants(spark, n).unionByName(Gvcf.deltaSample(spark, n)))
+      .withColumn("calls", org.apache.spark.sql.functions.array_join(
+        org.apache.spark.sql.functions.col("calls"), ";"))
+      .orderBy("contig", "pos")
+    assert(df.collect().toSeq == full.collect().toSeq,
+      "incremental combine diverged from the full recompute")
+    // directory-level pruning: the raw store contributes ONLY touched
+    // buckets, the previous combined output ONLY untouched ones
+    val touched = Gvcf.deltaSample(spark, n)
+      .selectExpr(s"CAST(start div ${Gvcf.IncBucketW} AS LONG) AS b")
+      .distinct().collect().map(_.getLong(0)).toSet
+    def bucketOf(f: String): Long =
+      "bucket=(\\d+)".r.findFirstMatchIn(f).get.group(1).toLong
+    // df.inputFiles lists the whole FileIndex (pruning-unaware) — read
+    // the files each scan ACTUALLY selected off the executed plan
+    import org.apache.spark.sql.execution.SparkPlan
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        flatten(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        flatten(r.child)
+      case other => other.children.flatMap(flatten)
+    })
+    val scans: Seq[(String, Seq[String])] =
+      flatten(df.queryExecution.executedPlan).collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          (s.relation.location.rootPaths.mkString,
+            s.selectedPartitions.toPartitionArray.map(_.urlEncodedPath).toSeq)
+      }
+    val rawFiles = scans.filter(_._1.contains("graft_inc_raw_")).flatMap(_._2)
+    val combFiles = scans.filter(_._1.contains("graft_inc_comb_")).flatMap(_._2)
+    assert(rawFiles.nonEmpty && combFiles.nonEmpty)
+    assert(rawFiles.map(bucketOf).forall(touched),
+      "recombine side scanned an untouched raw bucket")
+    assert(combFiles.map(bucketOf).forall(b => !touched(b)),
+      "passthrough side rescanned a touched combined bucket")
+  }
 }
