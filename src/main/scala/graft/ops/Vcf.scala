@@ -65,6 +65,8 @@ object Vcf {
         expr("try_cast(element_at(f, 2) AS BIGINT)").as("start"),
         element_at(col("f"), 4).as("ref"),
         split(element_at(col("f"), 5), ",").as("alts"),
+        element_at(col("f"), 6).as("qual0"),
+        element_at(col("f"), 7).as("filter0"),
         element_at(col("f"), 8).as("info"),
         split(element_at(col("f"), 9), ":").as("fmt"),
         split(element_at(col("f"), 10), ":").as("vals"))
@@ -89,7 +91,15 @@ object Vcf {
         // instead of an ANSI abort.
         expr("try_cast(" + fieldSql("DP") + " AS INT)").as("dp"),
         expr("transform(split(" + fieldSql("AD") + ", ','), x -> try_cast(x AS INT))").as("ad"),
-        expr("transform(split(" + fieldSql("PL") + ", ','), x -> try_cast(x AS INT))").as("pl"))
+        expr("transform(split(" + fieldSql("PL") + ", ','), x -> try_cast(x AS INT))").as("pl"),
+        // site-level QUAL/FILTER (htsjdk carries both; '.' = absent).
+        // qual is DOUBLE per spec 4.2; a malformed token degrades to
+        // null like every other field, never an ANSI abort.
+        expr("try_cast(nullif(qual0, '.') AS DOUBLE)").as("qual"),
+        expr("nullif(filter0, '.')").as("filter"),
+        // phasing survives verbatim in gt ('0|1'); the flag makes
+        // "phased calls only" a column predicate instead of a LIKE
+        field("GT").contains("|").as("phased"))
       .filter(col("end").isNotNull) // END= present but non-numeric
   }
 
@@ -126,14 +136,30 @@ object Vcf {
         |  'chr', 1 + id % 2, '\t',
         |  (id div 2) * 10 + 1, '\t.\t',
         |  substr('ACGT', CAST(id % 4 AS INT) + 1, 1), '\t',
-        |  CASE WHEN id % 3 = 0
+        |  CASE WHEN id % 12 = 0
+        |       THEN concat(substr('ACGT', CAST((id + 1) % 4 AS INT) + 1, 1), ',',
+        |                   substr('ACGT', CAST((id + 2) % 4 AS INT) + 1, 1), ',<NON_REF>')
+        |       WHEN id % 3 = 0
         |       THEN concat(substr('ACGT', CAST((id + 1) % 4 AS INT) + 1, 1), ',<NON_REF>')
         |       ELSE '<NON_REF>' END, '\t',
-        |  CASE WHEN id % 3 = 0 THEN CAST(id % 100 AS STRING) ELSE '.' END, '\t.\t',
+        |  CASE WHEN id % 3 = 0 THEN CAST(id % 100 AS STRING) ELSE '.' END, '\t',
+        |  CASE WHEN id % 3 = 0 AND id % 5 = 0 THEN 'LowQual'
+        |       WHEN id % 3 = 0 THEN 'PASS' ELSE '.' END, '\t',
         |  CASE WHEN id % 3 = 0 THEN concat('DP=', id % 64)
         |       ELSE concat('END=', (id div 2) * 10 + 10) END, '\t',
         |  CASE WHEN id % 3 = 0 THEN 'GT:GQ:DP:AD:PL' ELSE 'GT:GQ' END, '\t',
-        |  CASE WHEN id % 3 = 0
+        |  CASE WHEN id % 12 = 0
+        |       THEN concat('1|2:', id % 90 + 10, ':', id % 50 + 10, ':',
+        |                   id % 50 + 10 - id % 7 - id % 11, ',', id % 7, ',', id % 11, ':',
+        |                   10 + id % 7, ',0,', 30 + id % 7, ',',
+        |                   40 + id % 7, ',', 50 + id % 7, ',', 60 + id % 7, ',',
+        |                   70 + id % 7, ',', 80 + id % 7, ',', 90 + id % 7, ',', 100 + id % 7)
+        |       WHEN id % 9 = 0
+        |       THEN concat('0|1:', id % 90 + 10, ':', id % 50 + 10, ':',
+        |                   id % 50 + 10 - id % 7, ',', id % 7, ':',
+        |                   10 + id % 7, ',0,', 30 + id % 7, ',',
+        |                   40 + id % 7, ',', 50 + id % 7, ',', 60 + id % 7)
+        |       WHEN id % 3 = 0
         |       THEN concat('0/1:', id % 90 + 10, ':', id % 50 + 10, ':',
         |                   id % 50 + 10 - id % 7, ',', id % 7, ':',
         |                   10 + id % 7, ',0,', 30 + id % 7, ',',
@@ -147,7 +173,7 @@ object Vcf {
     * stale-cache bug class round 6 fixed elsewhere with content
     * fingerprints; the generator's output doesn't exist on disk before
     * first write, so a version key is the cheapest correct analog). */
-  private[ops] val SyntheticFormatVersion = 2
+  private[ops] val SyntheticFormatVersion = 3
 
   private def vcfDir(d: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_vcf_v${SyntheticFormatVersion}_" +
@@ -177,14 +203,36 @@ object Vcf {
       |  SELECT 'chr' || CAST(1 + i % 2 AS VARCHAR) || chr(9) ||
       |    CAST((i // 2) * 10 + 1 AS VARCHAR) || chr(9) || '.' || chr(9) ||
       |    substr('ACGT', CAST(i % 4 AS INT) + 1, 1) || chr(9) ||
-      |    CASE WHEN i % 3 = 0
+      |    CASE WHEN i % 12 = 0
+      |         THEN substr('ACGT', CAST((i + 1) % 4 AS INT) + 1, 1) || ',' ||
+      |              substr('ACGT', CAST((i + 2) % 4 AS INT) + 1, 1) || ',<NON_REF>'
+      |         WHEN i % 3 = 0
       |         THEN substr('ACGT', CAST((i + 1) % 4 AS INT) + 1, 1) || ',<NON_REF>'
       |         ELSE '<NON_REF>' END || chr(9) ||
-      |    CASE WHEN i % 3 = 0 THEN CAST(i % 100 AS VARCHAR) ELSE '.' END || chr(9) || '.' || chr(9) ||
+      |    CASE WHEN i % 3 = 0 THEN CAST(i % 100 AS VARCHAR) ELSE '.' END || chr(9) ||
+      |    CASE WHEN i % 3 = 0 AND i % 5 = 0 THEN 'LowQual'
+      |         WHEN i % 3 = 0 THEN 'PASS' ELSE '.' END || chr(9) ||
       |    CASE WHEN i % 3 = 0 THEN 'DP=' || CAST(i % 64 AS VARCHAR)
       |         ELSE 'END=' || CAST((i // 2) * 10 + 10 AS VARCHAR) END || chr(9) ||
       |    CASE WHEN i % 3 = 0 THEN 'GT:GQ:DP:AD:PL' ELSE 'GT:GQ' END || chr(9) ||
-      |    CASE WHEN i % 3 = 0
+      |    CASE WHEN i % 12 = 0
+      |         THEN '1|2:' || CAST(i % 90 + 10 AS VARCHAR) || ':' ||
+      |              CAST(i % 50 + 10 AS VARCHAR) || ':' ||
+      |              CAST(i % 50 + 10 - i % 7 - i % 11 AS VARCHAR) || ',' ||
+      |              CAST(i % 7 AS VARCHAR) || ',' || CAST(i % 11 AS VARCHAR) || ':' ||
+      |              CAST(10 + i % 7 AS VARCHAR) || ',0,' || CAST(30 + i % 7 AS VARCHAR) || ',' ||
+      |              CAST(40 + i % 7 AS VARCHAR) || ',' || CAST(50 + i % 7 AS VARCHAR) || ',' ||
+      |              CAST(60 + i % 7 AS VARCHAR) || ',' || CAST(70 + i % 7 AS VARCHAR) || ',' ||
+      |              CAST(80 + i % 7 AS VARCHAR) || ',' || CAST(90 + i % 7 AS VARCHAR) || ',' ||
+      |              CAST(100 + i % 7 AS VARCHAR)
+      |         WHEN i % 9 = 0
+      |         THEN '0|1:' || CAST(i % 90 + 10 AS VARCHAR) || ':' ||
+      |              CAST(i % 50 + 10 AS VARCHAR) || ':' ||
+      |              CAST(i % 50 + 10 - i % 7 AS VARCHAR) || ',' || CAST(i % 7 AS VARCHAR) || ':' ||
+      |              CAST(10 + i % 7 AS VARCHAR) || ',0,' || CAST(30 + i % 7 AS VARCHAR) || ',' ||
+      |              CAST(40 + i % 7 AS VARCHAR) || ',' || CAST(50 + i % 7 AS VARCHAR) || ',' ||
+      |              CAST(60 + i % 7 AS VARCHAR)
+      |         WHEN i % 3 = 0
       |         THEN '0/1:' || CAST(i % 90 + 10 AS VARCHAR) || ':' ||
       |              CAST(i % 50 + 10 AS VARCHAR) || ':' ||
       |              CAST(i % 50 + 10 - i % 7 AS VARCHAR) || ',' || CAST(i % 7 AS VARCHAR) || ':' ||
@@ -212,7 +260,11 @@ object Vcf {
       |      x -> CAST(x AS INT)) AS ad,
       |    list_transform(string_split(
       |      string_split(p[10], ':')[list_position(string_split(p[9], ':'), 'PL')], ','),
-      |      x -> CAST(x AS INT)) AS pl
+      |      x -> CAST(x AS INT)) AS pl,
+      |    CAST(nullif(p[6], '.') AS DOUBLE) AS qual,
+      |    nullif(p[7], '.') AS filt,
+      |    contains(string_split(p[10], ':')[list_position(string_split(p[9], ':'), 'GT')], '|')
+      |      AS phased
       |  FROM f)
       |SELECT contig, kind, count(*) AS n,
       |  CAST(sum(pos) AS BIGINT) AS sum_start,
@@ -222,7 +274,12 @@ object Vcf {
       |  CAST(count(DISTINCT gt) AS BIGINT) AS n_gts,
       |  CAST(sum(dp) AS BIGINT) AS sum_dp,
       |  CAST(sum(ad[2]) AS BIGINT) AS sum_ad_alt,
-      |  CAST(sum(list_sum(pl)) AS BIGINT) AS sum_pl
+      |  CAST(sum(list_sum(pl)) AS BIGINT) AS sum_pl,
+      |  CAST(sum(qual) AS BIGINT) AS sum_qual,
+      |  CAST(count(DISTINCT filt) AS BIGINT) AS n_filters,
+      |  CAST(count(*) FILTER (filt = 'PASS') AS BIGINT) AS n_pass,
+      |  CAST(count(*) FILTER (phased) AS BIGINT) AS n_phased,
+      |  CAST(max(len(string_split(alleles, '/'))) AS BIGINT) AS max_n_alleles
       |FROM parsed
       |GROUP BY contig, kind
       |ORDER BY contig, kind""".stripMargin) { (s, d) =>
@@ -244,7 +301,12 @@ object Vcf {
         // on exactly the degraded records the parser tolerates.
         sum(expr("CASE WHEN size(filter(pl, x -> x IS NOT NULL)) > 0 THEN " +
           "aggregate(filter(pl, x -> x IS NOT NULL), 0, (acc, x) -> acc + x) END"))
-          .cast(LongType).as("sum_pl"))
+          .cast(LongType).as("sum_pl"),
+        sum(col("qual")).cast(LongType).as("sum_qual"),
+        countDistinct(col("filter")).cast(LongType).as("n_filters"),
+        count(when(col("filter") === "PASS", 1)).cast(LongType).as("n_pass"),
+        count(when(col("phased"), 1)).cast(LongType).as("n_phased"),
+        max(size(col("alleles"))).cast(LongType).as("max_n_alleles"))
       .orderBy("contig", "kind")
   }
 

@@ -134,6 +134,31 @@ class VcfSpec extends SparkSpec {
     assert(calls(15L) == Seq("alice:0/1:99", "bob:0/0:42"))
   }
 
+  test("QUAL and FILTER are carried (htsjdk parity); '.' parses as null") {
+    val rows = Vcf.parseLines(Seq(
+      "chr1\t100\t.\tA\tG,<NON_REF>\t88.5\tPASS\tDP=9\tGT:GQ\t0/1:30",
+      "chr1\t200\t.\tC\tT,<NON_REF>\t12\tLowQual\tDP=4\tGT:GQ\t0/1:11",
+      "chr1\t300\t.\tG\t<NON_REF>\t.\t.\tEND=349\tGT:GQ\t0/0:50").toDF("value"), "s1")
+      .orderBy("start")
+      .select("qual", "filter", "phased").collect()
+    assert(rows(0).getDouble(0) == 88.5 && rows(0).getString(1) == "PASS")
+    assert(rows(1).getDouble(0) == 12.0 && rows(1).getString(1) == "LowQual")
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
+    assert(rows.forall(!_.getBoolean(2)))
+  }
+
+  test("multi-allelic phased site: all alleles kept, phased flag set, 10-entry PL") {
+    val r = Vcf.parseLines(Seq(
+      "chr2\t500\t.\tA\tC,G,<NON_REF>\t99\tPASS\tDP=20\tGT:GQ:DP:AD:PL\t" +
+        "1|2:45:20:3,8,9:50,40,0,60,35,55,70,80,90,100").toDF("value"), "s1")
+      .collect().head
+    assert(r.getAs[scala.collection.Seq[String]]("alleles").toList == List("A", "C", "G"))
+    assert(r.getAs[String]("gt") == "1|2" && r.getAs[Boolean]("phased"))
+    assert(r.getAs[scala.collection.Seq[Int]]("ad").toList == List(3, 8, 9))
+    assert(r.getAs[scala.collection.Seq[Int]]("pl").length == 10)
+    assert(r.getAs[Double]("qual") == 99.0 && r.getAs[String]("filter") == "PASS")
+  }
+
   test("phased genotypes survive parsing and normalize in the combine") {
     val out = parse(
       "chr1\t500\t.\tT\tC,<NON_REF>\t10\t.\tDP=5\tGT:GQ\t0|1:33")
