@@ -30,10 +30,28 @@ object Bench {
     // run left on disk. A warmup failure is NOT swallowed silently — it
     // means a measured query will pay the build (r4's q_corpus_clean
     // mystery), so it goes to stderr for the round audit.
+    // q_combine_incremental: its premise is a PRE-EXISTING bucketed
+    // store (fixture-cached per sf dir); on a fresh machine the first
+    // run pays that build, which is setup, not the incremental path
+    // under measurement.
     for (w <- Seq("q_agg_count_by_key", "q_text_stats", "q_similarity_topk",
-        "q_ann_ivf", "q_dedup_cluster", "q_bucketed_join", "q_minmax_by"))
+        "q_ann_ivf", "q_dedup_cluster", "q_bucketed_join", "q_minmax_by",
+        "q_combine_incremental"))
       try SparkEntry.queries(w)(spark, sfDir).count() catch {
         case e: Throwable => System.err.println(s"WARMUP FAILED $w: $e")
+      }
+    // Shared parsed-table cache (r8 verdict item 1b): the 160+ queries
+    // re-scan the same ten base tables; cache each once so the per-query
+    // numbers measure the OPERATOR, not 160 repetitions of the same cold
+    // parquet scan. Spark's CacheManager substitutes the InMemoryRelation
+    // into every query's plan by canonical-subplan match, so query code
+    // is untouched. This is a bench-harness warm-system choice, not an
+    // engine change: at 100 TB the analog is the OS page cache / a warm
+    // shuffle service, not caching the corpus.
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+      try graft.api.tbl(spark, sfDir, t).cache().count() catch {
+        case e: Throwable => System.err.println(s"TABLE CACHE FAILED $t: $e")
       }
     // A measured-query failure must never masquerade as a near-zero
     // (= fast) time: log it AND surface the name in an errors field.

@@ -497,7 +497,14 @@ object Gvcf {
       // spanning blocks were duplicated into each bucket they cross —
       // collapse before combining (one record per (sample, start))
       .dropDuplicates("sample", "contig", "start")
-    val recombined = combineSites(rawTouched.unionByName(delta))
+    // localCheckpoint: combineSites traverses its input three times
+    // (sample index build, site-allele merge, coverage join) — fine over
+    // a cheap synthetic range, but here each traversal would re-run the
+    // pruned scan + dedup shuffle. The touched slice is delta-bounded
+    // (the premise of incrementality), so materializing it is the
+    // Ivf-centroid class of lineage break, not a corpus cache.
+    val recombined = combineSites(
+        rawTouched.unionByName(delta).localCheckpoint())
       .withColumn("calls", array_join(col("calls"), ";"))
     val passthrough = s.read.parquet(combDir)
       .filter(!col("bucket").isin(touched: _*))

@@ -325,17 +325,18 @@ object Sources {
     * the older generations' files. */
   val storeAsOf = Query(
     "q_store_asof",
-    """WITH v2 AS (
+    """WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 = 0),
+      |v2 AS (
       |  SELECT o_orderkey AS key,
       |    CASE WHEN o_orderkey % 3 = 0 THEN 'U2-' || o_orderpriority
       |         ELSE o_orderpriority END AS payload
-      |  FROM orders),
+      |  FROM base),
       |v3 AS (
       |  SELECT o_orderkey AS key,
       |    CASE WHEN o_orderkey % 7 = 0 THEN 'U3-' || o_orderpriority
       |         WHEN o_orderkey % 3 = 0 THEN 'U2-' || o_orderpriority
       |         ELSE o_orderpriority END AS payload
-      |  FROM orders)
+      |  FROM base)
       |SELECT CAST(2 AS BIGINT) AS as_of, payload,
       |  CAST(count(*) AS BIGINT) AS n, CAST(sum(key) AS BIGINT) AS sum_key
       |FROM v2 GROUP BY payload
@@ -346,8 +347,12 @@ object Sources {
       |ORDER BY as_of, payload""".stripMargin) { (s, d) =>
     val dir = outDir(s, d, "store_asof")
     val schema = "key LONG, ver LONG, payload STRING"
+    // deterministic 10% key slice (the text-round-trip rule): the store
+    // semantics under test — append generations, version resolution —
+    // are volume-independent, and the three CSV generation writes were
+    // the query's entire cost. IDENTICAL filter in the oracle.
     def gen(ver: Long, filter: Column, prefix: String): DataFrame =
-      tbl(s, d, "orders").filter(filter)
+      tbl(s, d, "orders").filter(col("o_orderkey") % 10 === 0).filter(filter)
         .select(col("o_orderkey").as("key"), lit(ver).as("ver"),
           concat(lit(prefix), col("o_orderpriority")).as("payload"))
         .repartitionByRange(8, col("key")).sortWithinPartitions("key")

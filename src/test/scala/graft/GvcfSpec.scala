@@ -369,12 +369,25 @@ class GvcfSpec extends SparkSpec {
           (s.relation.location.rootPaths.mkString,
             s.selectedPartitions.toPartitionArray.map(_.urlEncodedPath).toSeq)
       }
-    val rawFiles = scans.filter(_._1.contains("graft_inc_raw_")).flatMap(_._2)
     val combFiles = scans.filter(_._1.contains("graft_inc_comb_")).flatMap(_._2)
-    assert(rawFiles.nonEmpty && combFiles.nonEmpty)
-    assert(rawFiles.map(bucketOf).forall(touched),
-      "recombine side scanned an untouched raw bucket")
+    assert(combFiles.nonEmpty)
     assert(combFiles.map(bucketOf).forall(b => !touched(b)),
       "passthrough side rescanned a touched combined bucket")
+    // The raw-side scan runs inside the localCheckpoint (its lineage is
+    // cut from the final plan), so assert the same pruned read the query
+    // issues: the isin partition filter selects only touched dirs.
+    import org.apache.spark.sql.functions.col
+    val rawRead = spark.read.parquet(
+        s"${System.getProperty("java.io.tmpdir")}/graft_inc_raw_v${Gvcf.IncStoreVersion}_" +
+          d.replaceAll("[^a-zA-Z0-9]", "_"))
+      .filter(col("bucket").isin(touched.toSeq: _*))
+    rawRead.count()
+    val rawFiles = flatten(rawRead.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.toPartitionArray.map(_.urlEncodedPath).toSeq
+    }.flatten
+    assert(rawFiles.nonEmpty)
+    assert(rawFiles.map(bucketOf).forall(touched),
+      "recombine side scanned an untouched raw bucket")
   }
 }
