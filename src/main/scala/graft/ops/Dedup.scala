@@ -22,8 +22,9 @@ import graft.api._
   * candidate volume is controlled by (bands, rows), the signature
   * pipeline runs ONCE (a bands self-join would re-run it per side:
   * AQE broadcasts one side, so no exchange is shared), and per-row
-  * state is O(bucket width), never O(width²). The exact-Jaccard op is
-  * blocked on (lang, source) for the same reason.
+  * state is O(bucket width), never O(width²). The exact-Jaccard op
+  * scores ONLY LSH-banding survivors ([[bucketPairs]] candidates), so
+  * its cost is bounded by candidate volume, not any block's size².
   */
 object Dedup {
 

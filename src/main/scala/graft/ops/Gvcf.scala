@@ -406,8 +406,13 @@ object Gvcf {
   /** Position-bucket width of the incremental store. */
   val IncBucketW = 1000L
 
-  private def incDir(d: String, which: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_inc_${which}_v${IncStoreVersion}_" +
+  /** Fixture dir key carries the cohort size: unlike the fixed-n VCF
+    * fixture, this store's CONTENT is data-dependent (n = |orders|/5),
+    * so a version constant alone would serve a stale fixture if the
+    * testdata at the same path were regenerated with a different
+    * cardinality. */
+  private[graft] def incDir(d: String, which: String, n: Long): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_inc_${which}_v${IncStoreVersion}_n${n}_" +
       d.replaceAll("[^a-zA-Z0-9]", "_")
 
   /** Write-once incremental-store fixtures per (session, sf): the raw
@@ -417,10 +422,11 @@ object Gvcf {
     * bucketed by site position — both `partitionBy(bucket)` so reads
     * prune at the directory level. */
   private[ops] def incrementalStore(s: SparkSession, d: String): (String, String) = {
-    val (rawDir, combDir) = (incDir(d, "raw"), incDir(d, "comb"))
+    val n = cohortN(s, d)
+    val (rawDir, combDir) = (incDir(d, "raw", n), incDir(d, "comb", n))
     if (!new java.io.File(rawDir, "_SUCCESS").exists() ||
         !new java.io.File(combDir, "_SUCCESS").exists()) {
-      val base = syntheticVariants(s, cohortN(s, d))
+      val base = syntheticVariants(s, n)
       base.withColumn("bucket",
           explode(sequence(col("start") / IncBucketW cast LongType, col("end") / IncBucketW cast LongType)))
         .write.mode("overwrite").partitionBy("bucket").parquet(rawDir)
@@ -459,7 +465,7 @@ object Gvcf {
        |    substr('ACGT', CAST(((i // 3) + 2) % 4 AS INT) + 1, 1) AS alt,
        |    CAST(((i // 3) * 11) % 90 + 10 AS INT) AS gq,
        |    '0/1' AS gt
-       |  FROM g, dn WHERE i % 3 = 0 AND i < n // 10),
+       |  FROM g, dn WHERE i % 3 = 0 AND i < 3 * (n // 30)),
        |v4 AS (SELECT * FROM v UNION ALL SELECT * FROM delta),
        |sites AS (SELECT DISTINCT contig, vstart AS pos FROM v4 WHERE kind = 'site'),
        |cov AS (

@@ -377,9 +377,7 @@ class GvcfSpec extends SparkSpec {
     // cut from the final plan), so assert the same pruned read the query
     // issues: the isin partition filter selects only touched dirs.
     import org.apache.spark.sql.functions.col
-    val rawRead = spark.read.parquet(
-        s"${System.getProperty("java.io.tmpdir")}/graft_inc_raw_v${Gvcf.IncStoreVersion}_" +
-          d.replaceAll("[^a-zA-Z0-9]", "_"))
+    val rawRead = spark.read.parquet(Gvcf.incDir(d, "raw", Gvcf.cohortN(spark, d)))
       .filter(col("bucket").isin(touched.toSeq: _*))
     rawRead.count()
     val rawFiles = flatten(rawRead.queryExecution.executedPlan).collect {
