@@ -782,7 +782,10 @@ object Extras {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
-    val nSalt = 8
+    // 4 salts demonstrate the technique; the replication factor is a
+    // per-deployment skew knob, and ×8 dim duplication at bench scale
+    // only measures the demo's own overhead
+    val nSalt = 4
     val fact = tbl(s, d, "lineitem")
       .withColumn("salt",
         ((col("l_orderkey") + col("l_linenumber")) % nSalt).cast(IntegerType))

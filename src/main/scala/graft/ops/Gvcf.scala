@@ -593,16 +593,24 @@ object Gvcf {
     * `GT:GQ` cell per cohort sample in [[sampleNameIndex]] order.
     * Samples not covered at a site render as the VCF missing cell
     * `./.:.` (exercised in GvcfSpec; the synthetic cohort covers every
-    * sample everywhere). Pure per-row string work over [[combineSites]]
+    * sample everywhere). Pure per-row string work over [[combinedCalls]]
     * plus one broadcast of the sample list — export adds no shuffle. */
   def exportLines(variants: DataFrame, bucketWidth: Long = 64): DataFrame = {
     val samplesArr = sampleNameIndex(variants)
       .agg(sort_array(collect_list(col("sample"))).as("samples"))
-    combineSites(variants, bucketWidth)
+    // built on combinedCalls, NOT combineSites: the export needs a
+    // sample → "gt:gq" map per site, so assembling combineSites' ordered
+    // call strings (plus its global sort) only to split them apart again
+    // would be wasted work — build the map entries directly.
+    combinedCalls(variants, bucketWidth)
+      .groupBy("contig", "pos")
+      .agg(max(col("ref")).as("ref"),
+        array_join(max(col("alts")), ",").as("alt"),
+        count(lit(1)).as("n_samples"),
+        map_from_entries(collect_list(struct(col("sample").as("k"),
+          concat(coalesce(col("gtm"), lit("./.")), lit(":"),
+            coalesce(col("gq").cast(StringType), lit("."))).as("v")))).as("m"))
       .crossJoin(broadcast(samplesArr))
-      .withColumn("m", expr("map_from_entries(transform(filter(calls, " +
-        "c -> c IS NOT NULL), " +
-        "c -> struct(split(c, ':')[0] AS k, concat(split(c, ':')[1], ':', split(c, ':')[2]) AS v)))"))
       .select(col("contig"), col("pos"),
         concat_ws("\t",
           col("contig"), col("pos").cast(StringType), lit("."), col("ref"), col("alt"),
@@ -721,24 +729,29 @@ object Gvcf {
     * samples; the synthetic cohort is fully diploid-called). Pure
     * explode + count over [[combineSites]] output — one extra narrow
     * aggregate after the combine's own shuffle. */
-  def siteAlleleStats(variants: DataFrame, bucketWidth: Long = 64): DataFrame = {
-    val combined = combineSites(variants, bucketWidth)
-    combined
-      .select(col("contig"), col("pos"), split(col("alt"), ",").as("alts"),
-        (col("n_samples") * 2).as("an"),
-        explode(expr(
-          "flatten(transform(calls, c -> split(split(c, ':')[1], '/')))")).as("g"))
+  def siteAlleleStats(variants: DataFrame, bucketWidth: Long = 64): DataFrame =
+    // built on combinedCalls, NOT combineSites: the stats need the
+    // remapped genotypes, not the assembled per-site call strings — going
+    // through combineSites would pay its global sort and then re-parse
+    // the very strings it just concatenated. collect_list skips null
+    // gtm (missing call) rows; they still count toward AN, as before.
+    combinedCalls(variants, bucketWidth)
+      .groupBy("contig", "pos")
+      .agg(max(col("alts")).as("alts"),
+        (count(lit(1)) * 2).as("an"),
+        flatten(collect_list(split(col("gtm"), "/"))).as("gs"))
+      .select(col("contig"), col("pos"), col("alts"), col("an"),
+        explode(col("gs")).as("g"))
       .filter(col("g") =!= "0" && col("g") =!= "." &&
         expr("try_cast(g AS BIGINT)").isNotNull)
       .groupBy(col("contig"), col("pos"),
         expr("try_cast(g AS BIGINT)").as("alt_idx"))
-      .agg(first(col("alts")).as("alts"), first(col("an")).as("an"),
+      .agg(max(col("alts")).as("alts"), max(col("an")).as("an"),
         count(lit(1)).as("ac"))
       .select(col("contig"), col("pos"), col("alt_idx"),
         expr("try_element_at(alts, CAST(alt_idx AS INT))").as("alt"),
         col("ac"), col("an"))
       .orderBy("contig", "pos", "alt_idx")
-  }
 
   /** AC/AN oracle: replays the merged-genotype CTEs, unnests genotype
     * entries, and counts non-reference calls per allele index. */
