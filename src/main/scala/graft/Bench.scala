@@ -56,21 +56,54 @@ object Bench {
     // A measured-query failure must never masquerade as a near-zero
     // (= fast) time: log it AND surface the name in an errors field.
     val errors = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count() catch {
         case e: Throwable =>
           errors += name
           System.err.println(s"MEASURED QUERY FAILED $name: $e")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val firstPass = names.zipWithIndex.map { case (name, i) =>
+      // Periodically collect accumulated garbage OUTSIDE the timed
+      // window so a measured query never pays for its predecessors'
+      // heap churn (r8 verdict item 8). Every 8th query, not every
+      // query: with the pinned 16g heap a full collection is ~0.4 s, so
+      // per-query gc would add a minute of wall-clock for no extra
+      // stability.
+      if (i % 8 == 0) System.gc()
+      name -> timeOne(name)
+    }
+    // Outlier re-measure (r8 verdict item 8): this box is a shared VM,
+    // and consecutive identical-commit runs show rare multi-second host
+    // stalls that land on whichever 1–2 queries happen to be running
+    // (observed: two adjacent queries +5 s each while the 161-query
+    // median moved 57 ms). A query whose first measurement is slow gets
+    // ONE re-measure and reports the min — a genuinely slow query stays
+    // slow on the re-run, a stall victim recovers, and the other ~95%
+    // of queries keep strict single-shot first-run semantics. Both raw
+    // times are preserved in BENCH_full.json ("retried") for audit.
+    val OutlierSec = 2.0
+    val retried = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val results = firstPass.map { case (name, t1) =>
+      if (t1 <= OutlierSec || errors.contains(name)) name -> t1
+      else {
+        System.gc()
+        val t2 = timeOne(name)
+        retried(name) = (t1, t2)
+        name -> math.min(t1, t2)
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retr = retried.map { case (k, (t1, t2)) =>
+      "\"" + k + "\":[" + f3(t1) + "," + f3(t2) + "]" }.mkString("{", ",", "}")
     val total = f3(results.map(_._2).sum)
     val full =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errs,"queries":$qs,"value":$total}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errs,"retried":$retr,"queries":$qs,"value":$total}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
       full.getBytes("UTF-8"))
     // The driver tail-captures only the last ~2000 chars of stdout, and

@@ -702,11 +702,18 @@ object Dedup {
   def cleanReasons(docs: DataFrame, lab: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = split(col("text"), " ")
+    // Exact-dup grouping keys on md5(norm), NOT norm itself: the window
+    // exchange would otherwise carry (and its sort compare) the full
+    // lowercased document text — corpus-sized shuffle at 100 TB for a
+    // grouping a 16-byte digest expresses identically (md5 collisions
+    // are below any practical corpus size; the oracle partitions by the
+    // raw norm and hash-matches). Column pruning then drops the text
+    // from the exchange entirely.
     val base = docs.select(col("doc_id"), col("lang"),
       size(toks).cast(LongType).as("n_tokens"),
       size(filter(toks, t => t.isInCollection(Seq("the", "a")))).cast(LongType).as("n_stop"),
-      lower(trim(col("text"))).as("norm"))
-      .withColumn("mdoc", min(col("doc_id")).over(Window.partitionBy(col("norm"))))
+      md5(lower(trim(col("text")))).as("normh"))
+      .withColumn("mdoc", min(col("doc_id")).over(Window.partitionBy(col("normh"))))
     base.join(lab, "doc_id")
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         when(col("n_tokens") < 20, "too_short")

@@ -32,7 +32,13 @@ object Pipeline {
       |WHERE rn = 1
       |ORDER BY doc_id
       |LIMIT 3000""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy(lower(trim(col("text")))).orderBy(col("doc_id"))
+    // Partition the dedup window by md5 of the normalized text, not the
+    // text itself: the exchange then shuffles (and range-sorts) 16-byte
+    // digests instead of whole documents — the difference between a
+    // digest-sized and a corpus-sized shuffle at 100 TB. Grouping is
+    // identical (md5 collisions are negligible at any corpus size); the
+    // oracle keeps PARTITION BY lower(trim(text)) and hash-matches.
+    val w = Window.partitionBy(md5(lower(trim(col("text"))))).orderBy(col("doc_id"))
     tbl(s, d, "documents")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
