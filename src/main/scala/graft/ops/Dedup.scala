@@ -312,13 +312,21 @@ object Dedup {
       |ORDER BY hamming, doc_a, doc_b
       |LIMIT 20""".stripMargin) { (s, d) =>
     val sigs = simhashHexSignatures(tbl(s, d, "documents"))
-    val chunks = sigs.select(col("doc_id"), col("sig"),
+    // Pack the 16-hex-char signature into two 32-bit halves ONCE per doc
+    // (5k conv calls) so the per-PAIR Hamming is two xor+bit_count's of
+    // codegen'd integer math. The previous digit-wise form ran a 16-step
+    // higher-order lambda of locate/substring per candidate pair — at
+    // 191k LSH collision pairs on this corpus that was the query's
+    // dominant cost, and pair volume (not doc count) is what grows at
+    // 100 TB. Identical value: popcount(xor) decomposes over hex digits.
+    val chunks = sigs.select(col("doc_id"),
+      struct(
+        expr("CAST(conv(substring(sig, 1, 8), 16, 10) AS BIGINT)").as("hi"),
+        expr("CAST(conv(substring(sig, 9, 8), 16, 10) AS BIGINT)").as("lo"))
+        .as("sig"),
       posexplode(expr("transform(sequence(0, 3), c -> substring(sig, 4 * c + 1, 4))"))
         .as(Seq("c", "chunk")))
-    val hamming = expr(
-      """aggregate(sequence(1, 16), 0, (acc, j) -> acc + bit_count(
-        |  (locate(substring(sa, j, 1), '0123456789abcdef') - 1) ^
-        |  (locate(substring(sb, j, 1), '0123456789abcdef') - 1)))""".stripMargin)
+    val hamming = expr("bit_count(sa.hi ^ sb.hi) + bit_count(sa.lo ^ sb.lo)")
     bucketPairs(chunks, Seq("c", "chunk"))
       .select(col("doc_a"), col("doc_b"), hamming.cast(LongType).as("hamming"))
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
