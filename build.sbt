@@ -30,10 +30,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // Pinned heap (Xms = Xmx) + pre-touch: G1 otherwise uncommits regions
-  // after a collection and the next allocation-heavy query re-pays the
-  // page-commit cost inside its measured window — run-to-run bench noise.
+)
+// Pinned heap (Xms = Xmx) + pre-touch for the bench/verify runs only:
+// G1 otherwise uncommits regions after a collection and the next
+// allocation-heavy query re-pays the page-commit cost inside its
+// measured window — run-to-run bench noise (SCALE.md, bench variance).
+// Scoped to `run` so test forks keep a modest unpinned heap and small
+// hosts can still run `sbt test`.
+run / javaOptions ++= Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   "-XX:+AlwaysPreTouch",
 )
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"

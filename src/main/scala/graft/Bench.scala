@@ -91,9 +91,21 @@ object Bench {
       if (t1 <= OutlierSec || errors.contains(name)) name -> t1
       else {
         System.gc()
+        val errsBefore = errors.size
         val t2 = timeOne(name)
-        retried(name) = (t1, t2)
-        name -> math.min(t1, t2)
+        if (errors.size > errsBefore) {
+          // The RETRY failed (transient hiccup): the successful
+          // first-pass measurement is the official one — reporting
+          // min(t1, time-to-failure) would let a failed run masquerade
+          // as a fast time, the exact invariant the errors field exists
+          // to prevent. Drop the retry's error entry; the query DID
+          // succeed when it counted.
+          errors.remove(errsBefore, errors.size - errsBefore)
+          name -> t1
+        } else {
+          retried(name) = (t1, t2)
+          name -> math.min(t1, t2)
+        }
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
