@@ -68,6 +68,33 @@ class PlanSpec extends SparkSpec {
       s"year filter did not reach PartitionFilters:\n${p.take(1500)}")
   }
 
+  test("exact-dedup window exchange ships digests, never document text") {
+    // q_dedup_exact / cleanReasons window on md5(lower(trim(text))):
+    // the scan reads text (to hash it), but the columns crossing the
+    // window's exchange must be the 16-byte digest + survivors — at
+    // 100 TB this is the difference between shuffling digests and
+    // shuffling the corpus.
+    import org.apache.spark.sql.execution.SparkPlan
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flatten(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        flatten(q.plan)
+      case other => other.children.flatMap(flatten)
+    })
+    for (q <- Seq(Pipeline.dedupExact, Dedup.corpusClean)) {
+      val df = q.run(spark, sf)
+      df.count()
+      val wins = flatten(df.queryExecution.executedPlan).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty, s"${q.name}: expected a WindowExec")
+      val shipped = wins.flatMap(_.child.output.map(_.name))
+      assert(!shipped.contains("text"),
+        s"${q.name}: dedup window exchange carries full document text: $shipped")
+    }
+  }
+
   test("simhash signatures are per-row folds: no aggregate node, one exchange") {
     val p = Dedup.simhashSignatures(graft.api.tbl(spark, sf, "documents"))
       .queryExecution.executedPlan.toString
