@@ -19,6 +19,9 @@ case class BlockState(start: Long, end: Long, gq: Int)
 /** A site call densified against the carried block state. */
 case class FilledCall(sample: String, contig: String, pos: Long, covered: Boolean, gq: Int)
 
+/** A combined per-site row re-emitted whenever any member call changes. */
+case class CombinedSite(contig: String, pos: Long, n_samples: Int, calls: String)
+
 /** Structured Streaming surface (SURVEY §2C C8/C9/C10): the same
   * declarative expressions as the batch Pipeline windows, applied to an
   * unbounded `events` stream. The reference is batch-only; this is the
@@ -146,6 +149,44 @@ object Streaming {
           }
           cur.foreach(state.update)
           out.iterator
+      }
+  }
+
+  /** The reference's combine-at-ingest as TRUE streaming state — the
+    * streaming twin of the batch `q_combine_incremental`: densified site
+    * calls ([[carryForwardFill]] output) arrive per sample; state per
+    * (contig, pos) holds the LATEST call per sample (exactly the
+    * reference's wide-row bound: one cell per sample per position), and
+    * each micro-batch re-emits ONLY the sites it touched, with the full
+    * re-combined call list. Adding sample N+1 therefore re-emits its
+    * touched sites and never reads or writes any other site's state —
+    * the bucket-pruned incremental property, expressed as a stream.
+    *
+    * Deliberately a SEPARATE query from [[carryForwardFill]] rather
+    * than one chained pipeline: Spark disallows chained
+    * flatMapGroupsWithState stages, and the two-stage shape is the
+    * reference's own architecture — ingest densifies into the store,
+    * combine happens from the store (SURVEY §3.1/§3.2). In production
+    * the stages connect through the variant store / a log; in tests
+    * through a MemoryStream of [[FilledCall]]s. */
+  def streamingCombine(calls: Dataset[FilledCall]): Dataset[CombinedSite] = {
+    import calls.sparkSession.implicits._
+    calls.groupByKey(c => (c.contig, c.pos))
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: (String, Long), batch: Iterator[FilledCall],
+         state: GroupState[Map[String, String]]) =>
+          // last write per sample wins within a batch (arrival order):
+          // a corrected re-put overrides, matching store latest-wins
+          val upd = batch.foldLeft(state.getOption.getOrElse(Map.empty[String, String])) {
+            (m, c) =>
+              m.updated(c.sample,
+                s"${c.sample}:${if (c.covered) "0/0" else "./."}:${c.gq}")
+          }
+          state.update(upd)
+          Iterator.single(CombinedSite(key._1, key._2, upd.size,
+            upd.keys.toSeq.sorted.map(upd).mkString(";")))
       }
   }
 

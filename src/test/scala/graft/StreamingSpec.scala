@@ -160,6 +160,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingCombine re-emits only touched sites when a new sample arrives") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.FilledCall
+    val input = MemoryStream[FilledCall]
+    val q = Streaming.streamingCombine(input.toDS())
+      .writeStream.format("memory").queryName("comb_out")
+      .outputMode("append").start()
+    try {
+      val cohort = Seq(
+        FilledCall("s1", "chr1", 10L, covered = true, gq = 50),
+        FilledCall("s2", "chr1", 10L, covered = false, gq = 30),
+        FilledCall("s1", "chr1", 20L, covered = true, gq = 60),
+        FilledCall("s2", "chr1", 20L, covered = true, gq = 40),
+        FilledCall("s1", "chr2", 10L, covered = true, gq = 70))
+      input.addData(cohort: _*)
+      q.processAllAvailable()
+      val round1 = spark.table("comb_out").as[graft.ops.CombinedSite].collect()
+      // parity with an INDEPENDENT batch formulation of the same combine
+      val batch = cohort.toDS()
+        .groupByKey(c => (c.contig, c.pos))
+        .mapGroups { (k, cs) =>
+          val m = cs.map(c => c.sample ->
+            s"${c.sample}:${if (c.covered) "0/0" else "./."}:${c.gq}").toMap
+          graft.ops.CombinedSite(k._1, k._2, m.size,
+            m.keys.toSeq.sorted.map(m).mkString(";"))
+        }.collect()
+      assert(round1.toSet == batch.toSet,
+        s"streaming round-1 combine != batch combine:\n${round1.toSeq}\n${batch.toSeq}")
+      // sample s3 arrives at chr1:10 ONLY — the incremental contract:
+      // exactly that site re-emits, now with 3 samples; nothing else does
+      input.addData(FilledCall("s3", "chr1", 10L, covered = false, gq = 20))
+      q.processAllAvailable()
+      val delta = spark.table("comb_out").as[graft.ops.CombinedSite].collect()
+        .diff(round1)
+      assert(delta.toSeq == Seq(graft.ops.CombinedSite("chr1", 10L, 3,
+        "s1:0/0:50;s2:./.:30;s3:./.:20")),
+        s"expected ONE re-emitted touched site with the merged calls: ${delta.toSeq}")
+    } finally q.stop()
+  }
+
   test("left-outer stream join emits null side only after watermark close") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
