@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * metadata work, exactly like fetching the region index. */
 object VariantStore {
 
-  private def manifest(path: String): Seq[(String, Long, Long, Long)] =
+  private def manifest(path: String): Seq[ManifestEntry] =
     StoreManifest.readLines(java.nio.file.Paths.get(path)).map(StoreManifest.parse)
 
   /** Scan `[lo, hi]` by key: manifest-pruned file list + residual filter. */
@@ -30,8 +30,8 @@ object VariantStore {
       lo: Long, hi: Long): DataFrame = {
     val keyCol = schema.trim.split("\\s+")(0)
     val files = manifest(path)
-      .filter { case (_, _, mn, mx) => mx >= lo && mn <= hi }
-      .map { case (f, _, _, _) => s"$path/$f" }
+      .filter(e => e.maxKey >= lo && e.minKey <= hi)
+      .map(e => s"$path/${e.file}")
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schema))
@@ -52,15 +52,18 @@ object VariantStore {
     * Scale: one window exchange on the key — the generations are each
     * range-partitioned and sorted by key, so at 100 TB this is the
     * standard versioned-read shuffle (HBase pays the same merge across
-    * HFiles per region, just region-locally). The `ver <= asOf` filter
-    * is applied at scan, so long-dead versions never reach the window. */
+    * HFiles per region, just region-locally). The manifest carries each
+    * file's `ver` range (r9), so files whose EVERY version is newer than
+    * `asOf` are skipped before any I/O — the HFile time-range prune; a
+    * residual `ver <= asOf` scan filter keeps exactness inside
+    * partially-newer files. */
   def readAsOf(spark: SparkSession, path: String, schema: String,
       asOf: Long): DataFrame = {
     val cols = schema.trim.split(",").map(_.trim.split("\\s+")(0))
     require(cols.length >= 2 && cols(1) == "ver",
       s"versioned schema needs (key, ver, ...): got ${schema}")
     val keyCol = cols(0)
-    val files = manifest(path).map { case (f, _, _, _) => s"$path/$f" }
+    val files = asOfFiles(path, asOf)
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schema))
@@ -73,13 +76,19 @@ object VariantStore {
       .drop("__rn")
   }
 
+  /** The file list an as-of-`t` read touches: manifest entries whose
+    * `ver` range starts at or before `t`. Package-visible so the spec
+    * can assert the time-range prune without scanning anything. */
+  private[graft] def asOfFiles(path: String, asOf: Long): Seq[String] =
+    manifest(path).filter(_.minVer <= asOf).map(e => s"$path/${e.file}")
+
   /** Rewrite every live generation as one sorted bulk generation. The
     * input file list comes from the manifest (never a directory listing),
     * so orphans from failed tasks are excluded by construction. */
   def compact(spark: SparkSession, path: String, schema: String,
       numRanges: Int = 8): Unit = {
     val keyCol = schema.trim.split("\\s+")(0)
-    val files = manifest(path).map { case (f, _, _, _) => s"$path/$f" }
+    val files = manifest(path).map(e => s"$path/${e.file}")
     require(files.nonEmpty, s"nothing to compact: no manifest at $path")
     spark.read.schema(schema).csv(files: _*)
       .repartitionByRange(numRanges, col(keyCol))

@@ -80,7 +80,19 @@ private[sources] class StoreWriteBuilder(path: String, schema: StructType)
 }
 
 private[sources] case class StoreCommit(
-    file: String, rows: Long, minKey: Long, maxKey: Long) extends WriterCommitMessage
+    file: String, rows: Long, minKey: Long, maxKey: Long,
+    // Per-file range of the `ver` column when the schema declares one
+    // (second field, LONG) — the HBase HFile time-range analog, letting
+    // `readAsOf` skip whole files whose every version is newer than the
+    // asked-for timestamp. Writers without a ver column use the
+    // unbounded sentinel range, which no prune ever excludes.
+    minVer: Long = Long.MinValue, maxVer: Long = Long.MaxValue)
+  extends WriterCommitMessage
+
+/** One parsed `_MANIFEST` line. */
+private[graft] case class ManifestEntry(
+    file: String, rows: Long, minKey: Long, maxKey: Long,
+    minVer: Long, maxVer: Long)
 
 /** THE manifest format — one render/parse/read/write implementation
   * shared by the batch commit, the streaming commit, and the read path
@@ -91,11 +103,17 @@ private[sources] case class StoreCommit(
 private[sources] object StoreManifest {
   val FileName = "_MANIFEST"
 
-  def render(c: StoreCommit): String = s"${c.file},${c.rows},${c.minKey},${c.maxKey}"
+  def render(c: StoreCommit): String =
+    s"${c.file},${c.rows},${c.minKey},${c.maxKey},${c.minVer},${c.maxVer}"
 
-  def parse(line: String): (String, Long, Long, Long) = {
-    val Array(f, rows, mn, mx) = line.split(",", 4)
-    (f, rows.toLong, mn.toLong, mx.toLong)
+  /** Accepts both the 4-field pre-r9 format (ver range unknown →
+    * unbounded sentinels, never pruned) and the 6-field format. */
+  def parse(line: String): ManifestEntry = line.split(",", 6) match {
+    case Array(f, rows, mn, mx) =>
+      ManifestEntry(f, rows.toLong, mn.toLong, mx.toLong, Long.MinValue, Long.MaxValue)
+    case Array(f, rows, mn, mx, vmn, vmx) =>
+      ManifestEntry(f, rows.toLong, mn.toLong, mx.toLong, vmn.toLong, vmx.toLong)
+    case _ => throw new IllegalArgumentException(s"bad manifest line: $line")
   }
 
   /** Raw manifest lines (empty if absent). Files.readAllLines — no
@@ -196,6 +214,9 @@ private[sources] class StoreDataWriter(
   private var rows = 0L
   private var minKey = Long.MaxValue
   private var maxKey = Long.MinValue
+  private val verAt = StoreRender.verIdx(schema)
+  private var minVer = Long.MaxValue
+  private var maxVer = Long.MinValue
 
   private def render(row: InternalRow, i: Int): String =
     StoreRender.render(schema, row, i)
@@ -207,17 +228,33 @@ private[sources] class StoreDataWriter(
         s"bulk-load contract violated: key $key after $maxKey in partition $partitionId " +
           "(repartitionByRange + sortWithinPartitions the input)")
     minKey = math.min(minKey, key); maxKey = math.max(maxKey, key)
+    verAt.foreach { i =>
+      val v = row.getLong(i)
+      minVer = math.min(minVer, v); maxVer = math.max(maxVer, v)
+    }
     out.write((0 until schema.length).map(render(row, _)).mkString(","))
     out.write("\n")
     rows += 1
   }
 
-  override def commit(): WriterCommitMessage = { out.close(); StoreCommit(file, rows, minKey, maxKey) }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    if (verAt.isDefined && rows > 0) StoreCommit(file, rows, minKey, maxKey, minVer, maxVer)
+    else StoreCommit(file, rows, minKey, maxKey)
+  }
   override def abort(): Unit = { out.close(); java.nio.file.Files.deleteIfExists(tmp) }
   override def close(): Unit = out.close()
 }
 
 private[sources] object StoreRender {
+  /** Index of the versioned-store `ver` column when the schema declares
+    * one: second field, named `ver`, LONG — the contract `readAsOf`
+    * requires. Writers track its per-file range for the manifest. */
+  def verIdx(schema: StructType): Option[Int] =
+    if (schema.length >= 2 && schema(1).name == "ver" && schema(1).dataType == LongType)
+      Some(1)
+    else None
+
   def render(schema: StructType, row: InternalRow, i: Int): String =
     schema(i).dataType match {
       case LongType => row.getLong(i).toString
@@ -262,7 +299,7 @@ private[sources] class StoreStreamingWrite(path: String, schema: StructType)
     // idempotent epoch re-commit: drop exactly this epoch's previous
     // records (parsed file field, not raw-string prefix) and re-add
     val existing = StoreManifest.readLines(dir)
-      .filterNot(l => StoreManifest.parse(l)._1.startsWith(prefix))
+      .filterNot(l => StoreManifest.parse(l).file.startsWith(prefix))
     val added = commits.map(StoreManifest.render)
     StoreManifest.writeLines(dir, (existing ++ added).sorted)
   }
@@ -292,12 +329,13 @@ private[sources] class StoreMemstoreWriter(
 
   private val file =
     f"gen-$epochId%09d-part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.csv"
-  private val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, (Long, String))]
 
   override def write(row: InternalRow): Unit = {
     val key = row.getLong(0)
+    val ver = StoreRender.verIdx(schema).map(row.getLong).getOrElse(0L)
     buf += key ->
-      (0 until schema.length).map(StoreRender.render(schema, row, _)).mkString(",")
+      (ver, (0 until schema.length).map(StoreRender.render(schema, row, _)).mkString(","))
   }
 
   override def commit(): WriterCommitMessage = {
@@ -307,9 +345,12 @@ private[sources] class StoreMemstoreWriter(
       val tmp = java.nio.file.Paths.get(path, file)
       java.nio.file.Files.createDirectories(tmp.getParent)
       val out = java.nio.file.Files.newBufferedWriter(tmp)
-      sorted.foreach { case (_, line) => out.write(line); out.write("\n") }
+      sorted.foreach { case (_, t) => out.write(t._2); out.write("\n") }
       out.close()
-      StoreCommit(file, sorted.length.toLong, sorted.head._1, sorted.last._1)
+      val vs = if (StoreRender.verIdx(schema).isDefined) sorted.map(_._2._1) else Seq.empty
+      if (vs.nonEmpty)
+        StoreCommit(file, sorted.length.toLong, sorted.head._1, sorted.last._1, vs.min, vs.max)
+      else StoreCommit(file, sorted.length.toLong, sorted.head._1, sorted.last._1)
     }
   }
 

@@ -145,6 +145,16 @@ class SourceSpec extends SparkSpec {
     assert(snap(25L) == Map(1L -> "v1a", 2L -> "v2b", 3L -> "v1c"))
     // t=30: v3 wins, key 4 appears
     assert(snap(30L) == Map(1L -> "v1a", 2L -> "v3b", 3L -> "v1c", 4L -> "v3d"))
+    // time-range file prune (HFile timerange analog): the manifest
+    // carries each file's ver range, so an as-of-25 read must hand
+    // Spark ONLY generations 10 and 20 — generation 30's file is
+    // skipped before any I/O, not filtered row-wise after
+    val all = graft.sources.VariantStore.asOfFiles(dir, Long.MaxValue)
+    assert(all.size == 3)
+    assert(graft.sources.VariantStore.asOfFiles(dir, 25L).size == 2,
+      "as-of-25 read did not skip the ver=30 generation file")
+    assert(graft.sources.VariantStore.asOfFiles(dir, 5L).isEmpty,
+      "pre-history read must touch no files")
   }
 
   test("VariantStore.readRange prunes to manifest-overlapping files (HBase-scan analog)") {

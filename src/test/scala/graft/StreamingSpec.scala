@@ -390,7 +390,7 @@ class StreamingSpec extends SparkSpec {
     // every referenced file exists, is sorted by key, and the manifest's
     // (rows, min, max) match its contents
     val all = manifest.flatMap { line =>
-      val Array(f, rows, mn, mx) = line.split(",", 4).take(4)
+      val Array(f, rows, mn, mx) = line.split(",").take(4)
       val keys = scala.io.Source.fromFile(s"$dir/store/$f").getLines()
         .map(_.split(",")(0).toLong).toSeq
       assert(keys == keys.sorted, s"$f not sorted: $keys")
