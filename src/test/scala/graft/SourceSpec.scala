@@ -155,6 +155,16 @@ class SourceSpec extends SparkSpec {
       "as-of-25 read did not skip the ver=30 generation file")
     assert(graft.sources.VariantStore.asOfFiles(dir, 5L).isEmpty,
       "pre-history read must touch no files")
+    // major compaction keeps versions (HBase maxVersions semantics):
+    // folding the three generations into one sorted generation must
+    // leave every historical snapshot reconstructable
+    graft.sources.VariantStore.compact(spark, dir, schema, numRanges = 2)
+    assert(snap(20L) == Map(1L -> "v1a", 2L -> "v2b", 3L -> "v1c"),
+      "as-of snapshot changed across compaction")
+    assert(snap(30L) == Map(1L -> "v1a", 2L -> "v3b", 3L -> "v1c", 4L -> "v3d"))
+    // post-compaction files span the full ver range, so the time-range
+    // prune keeps them for any t >= the store's oldest version
+    assert(graft.sources.VariantStore.asOfFiles(dir, 10L).nonEmpty)
   }
 
   test("VariantStore.readRange prunes to manifest-overlapping files (HBase-scan analog)") {
