@@ -87,25 +87,28 @@ object Bench {
     // times are preserved in BENCH_full.json ("retried") for audit.
     val OutlierSec = 2.0
     val retried = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val retryFailed = scala.collection.mutable.ListBuffer[String]()
     val results = firstPass.map { case (name, t1) =>
       if (t1 <= OutlierSec || errors.contains(name)) name -> t1
       else {
         System.gc()
         val errsBefore = errors.size
         val t2 = timeOne(name)
+        retried(name) = (t1, t2)
         if (errors.size > errsBefore) {
           // The RETRY failed (transient hiccup): the successful
           // first-pass measurement is the official one — reporting
           // min(t1, time-to-failure) would let a failed run masquerade
           // as a fast time, the exact invariant the errors field exists
-          // to prevent. Drop the retry's error entry; the query DID
-          // succeed when it counted.
+          // to prevent. The query DID succeed when it counted, so it
+          // leaves the errors field — but the failed attempt stays in
+          // the audit trail ("retried" keeps both raw times and
+          // "retry_failed" names it), so a persistently flaky query is
+          // visible in the artifact, not only on stderr.
           errors.remove(errsBefore, errors.size - errsBefore)
+          retryFailed += name
           name -> t1
-        } else {
-          retried(name) = (t1, t2)
-          name -> math.min(t1, t2)
-        }
+        } else name -> math.min(t1, t2)
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
@@ -113,9 +116,10 @@ object Bench {
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retr = retried.map { case (k, (t1, t2)) =>
       "\"" + k + "\":[" + f3(t1) + "," + f3(t2) + "]" }.mkString("{", ",", "}")
+    val rfail = retryFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = f3(results.map(_._2).sum)
     val full =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errs,"retried":$retr,"queries":$qs,"value":$total}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errs,"retried":$retr,"retry_failed":$rfail,"queries":$qs,"value":$total}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
       full.getBytes("UTF-8"))
     // The driver tail-captures only the last ~2000 chars of stdout, and

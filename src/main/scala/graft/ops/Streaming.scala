@@ -177,13 +177,20 @@ object Streaming {
         GroupStateTimeout.NoTimeout()) {
         (key: (String, Long), batch: Iterator[FilledCall],
          state: GroupState[Map[String, String]]) =>
-          // last write per sample wins within a batch (arrival order):
-          // a corrected re-put overrides, matching store latest-wins
-          val upd = batch.foldLeft(state.getOption.getOrElse(Map.empty[String, String])) {
-            (m, c) =>
-              m.updated(c.sample,
-                s"${c.sample}:${if (c.covered) "0/0" else "./."}:${c.gq}")
-          }
+          // Latest-wins applies ACROSS micro-batches (well-ordered:
+          // later batches override state). WITHIN a batch the group
+          // iterator's order is not guaranteed, so two same-sample calls
+          // in one batch resolve by a TOTAL order — (covered, gq), then
+          // the rendered call — never by arrival position; the emitted
+          // row and persisted state are deterministic across runs.
+          val best = batch.toSeq
+            .groupBy(_.sample)
+            .map { case (smp, cs) =>
+              val c = cs.maxBy(c => (c.covered, c.gq,
+                s"${c.sample}:${if (c.covered) "0/0" else "./."}:${c.gq}"))
+              smp -> s"${c.sample}:${if (c.covered) "0/0" else "./."}:${c.gq}"
+            }
+          val upd = state.getOption.getOrElse(Map.empty[String, String]) ++ best
           state.update(upd)
           Iterator.single(CombinedSite(key._1, key._2, upd.size,
             upd.keys.toSeq.sorted.map(upd).mkString(";")))

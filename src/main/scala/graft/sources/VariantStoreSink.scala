@@ -330,10 +330,11 @@ private[sources] class StoreMemstoreWriter(
   private val file =
     f"gen-$epochId%09d-part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.csv"
   private val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, (Long, String))]
+  private val verAt = StoreRender.verIdx(schema)
 
   override def write(row: InternalRow): Unit = {
     val key = row.getLong(0)
-    val ver = StoreRender.verIdx(schema).map(row.getLong).getOrElse(0L)
+    val ver = verAt.map(row.getLong).getOrElse(0L)
     buf += key ->
       (ver, (0 until schema.length).map(StoreRender.render(schema, row, _)).mkString(","))
   }
@@ -347,7 +348,7 @@ private[sources] class StoreMemstoreWriter(
       val out = java.nio.file.Files.newBufferedWriter(tmp)
       sorted.foreach { case (_, t) => out.write(t._2); out.write("\n") }
       out.close()
-      val vs = if (StoreRender.verIdx(schema).isDefined) sorted.map(_._2._1) else Seq.empty
+      val vs = if (verAt.isDefined) sorted.map(_._2._1) else Seq.empty
       if (vs.nonEmpty)
         StoreCommit(file, sorted.length.toLong, sorted.head._1, sorted.last._1, vs.min, vs.max)
       else StoreCommit(file, sorted.length.toLong, sorted.head._1, sorted.last._1)

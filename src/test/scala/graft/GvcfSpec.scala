@@ -353,18 +353,9 @@ class GvcfSpec extends SparkSpec {
       "bucket=(\\d+)".r.findFirstMatchIn(f).get.group(1).toLong
     // df.inputFiles lists the whole FileIndex (pruning-unaware) — read
     // the files each scan ACTUALLY selected off the executed plan
-    import org.apache.spark.sql.execution.SparkPlan
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        flatten(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        flatten(q.plan)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-        flatten(r.child)
-      case other => other.children.flatMap(flatten)
-    })
+    // (flattenPlan descends the AQE wrappers; shared on SparkSpec)
     val scans: Seq[(String, Seq[String])] =
-      flatten(df.queryExecution.executedPlan).collect {
+      flattenPlan(df.queryExecution.executedPlan).collect {
         case s: org.apache.spark.sql.execution.FileSourceScanExec =>
           (s.relation.location.rootPaths.mkString,
             s.selectedPartitions.toPartitionArray.map(_.urlEncodedPath).toSeq)
@@ -380,7 +371,7 @@ class GvcfSpec extends SparkSpec {
     val rawRead = spark.read.parquet(Gvcf.incDir(d, "raw", Gvcf.cohortN(spark, d)))
       .filter(col("bucket").isin(touched.toSeq: _*))
     rawRead.count()
-    val rawFiles = flatten(rawRead.queryExecution.executedPlan).collect {
+    val rawFiles = flattenPlan(rawRead.queryExecution.executedPlan).collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec =>
         s.selectedPartitions.toPartitionArray.map(_.urlEncodedPath).toSeq
     }.flatten

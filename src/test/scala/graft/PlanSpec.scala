@@ -74,18 +74,10 @@ class PlanSpec extends SparkSpec {
     // window's exchange must be the 16-byte digest + survivors — at
     // 100 TB this is the difference between shuffling digests and
     // shuffling the corpus.
-    import org.apache.spark.sql.execution.SparkPlan
-    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        flatten(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        flatten(q.plan)
-      case other => other.children.flatMap(flatten)
-    })
     for (q <- Seq(Pipeline.dedupExact, Dedup.corpusClean)) {
       val df = q.run(spark, sf)
       df.count()
-      val wins = flatten(df.queryExecution.executedPlan).collect {
+      val wins = flattenPlan(df.queryExecution.executedPlan).collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }
       assert(wins.nonEmpty, s"${q.name}: expected a WindowExec")

@@ -17,4 +17,20 @@ object TestSpark {
 abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = TestSpark.spark
   override def beforeAll(): Unit = { spark.sparkContext.setLogLevel("ERROR"); super.beforeAll() }
+
+  /** Physical-plan traversal that descends through the AQE wrappers
+    * (AdaptiveSparkPlanExec / QueryStageExec / ReusedExchangeExec),
+    * which hide their inner plans from plain `children`. Shared by every
+    * plan-shape assertion so a Spark upgrade that adds a wrapper node
+    * has exactly one place to teach. */
+  def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      flattenPlan(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      flattenPlan(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      flattenPlan(r.child)
+    case other => other.children.flatMap(flattenPlan)
+  })
 }
