@@ -193,11 +193,22 @@ class StreamingSpec extends SparkSpec {
       // exactly that site re-emits, now with 3 samples; nothing else does
       input.addData(FilledCall("s3", "chr1", 10L, covered = false, gq = 20))
       q.processAllAvailable()
-      val delta = spark.table("comb_out").as[graft.ops.CombinedSite].collect()
-        .diff(round1)
+      val round2 = spark.table("comb_out").as[graft.ops.CombinedSite].collect()
+      val delta = round2.diff(round1)
       assert(delta.toSeq == Seq(graft.ops.CombinedSite("chr1", 10L, 3,
         "s1:0/0:50;s2:./.:30;s3:./.:20")),
         s"expected ONE re-emitted touched site with the merged calls: ${delta.toSeq}")
+      // two same-sample calls for one site in ONE batch: the group
+      // iterator's order is not guaranteed, so the winner must come from
+      // the total order on (covered, gq), not arrival position
+      input.addData(
+        FilledCall("s2", "chr2", 5L, covered = false, gq = 10),
+        FilledCall("s2", "chr2", 5L, covered = true, gq = 45))
+      q.processAllAvailable()
+      val round3 = spark.table("comb_out").as[graft.ops.CombinedSite].collect()
+        .diff(round2)
+      assert(round3.toSeq == Seq(graft.ops.CombinedSite("chr2", 5L, 1, "s2:0/0:45")),
+        s"within-batch conflict must resolve by the total order: ${round3.toSeq}")
     } finally q.stop()
   }
 
