@@ -212,6 +212,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingCombine is arrival-order invariant (randomized batching)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.{FilledCall, CombinedSite}
+    // Fixed corpus of calls incl. same-sample duplicates at one site;
+    // shuffle arrival order and batch boundaries per seed — the FINAL
+    // combined row per site must always equal the deterministic batch
+    // reference (latest batch wins per sample, within-batch conflicts
+    // by the (covered, gq) total order).
+    val calls = Seq(
+      FilledCall("s1", "chr1", 10L, covered = true, gq = 50),
+      FilledCall("s2", "chr1", 10L, covered = false, gq = 30),
+      FilledCall("s2", "chr1", 10L, covered = true, gq = 45), // dup sample
+      FilledCall("s1", "chr1", 20L, covered = true, gq = 60),
+      FilledCall("s3", "chr2", 5L, covered = false, gq = 15))
+    def render(c: FilledCall) =
+      s"${c.sample}:${if (c.covered) "0/0" else "./."}:${c.gq}"
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val order = rnd.shuffle(calls)
+      val batches = // 1-3 random cut points
+        order.grouped(1 + rnd.nextInt(3)).toSeq
+      val input = MemoryStream[FilledCall]
+      val name = s"comb_perm_$seed"
+      val q = Streaming.streamingCombine(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        // last emission per site = current combined state
+        val finalPerSite = spark.table(name).as[CombinedSite].collect()
+          .zipWithIndex.groupBy(r => (r._1.contig, r._1.pos))
+          .map { case (k, rs) => k -> rs.maxBy(_._2)._1.calls }
+        // reference: per (site, sample) the winner is the call of the
+        // LAST batch containing that sample — resolved inside a batch
+        // by the (covered, gq, rendered) total order
+        val expected = calls.groupBy(c => (c.contig, c.pos)).map { case (k, cs) =>
+          val bySample = cs.groupBy(_.sample).map { case (smp, dups) =>
+            val lastBatch = batches.lastIndexWhere(_.exists(c =>
+              c.sample == smp && c.contig == k._1 && c.pos == k._2))
+            val inLast = batches(lastBatch).filter(c =>
+              c.sample == smp && c.contig == k._1 && c.pos == k._2)
+            smp -> render(inLast.maxBy(c => (c.covered, c.gq, render(c))))
+          }
+          k -> bySample.keys.toSeq.sorted.map(bySample).mkString(";")
+        }
+        assert(finalPerSite == expected,
+          s"seed $seed: arrival order changed the combine:\n$finalPerSite\n$expected")
+      } finally q.stop()
+    }
+  }
+
   test("left-outer stream join emits null side only after watermark close") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
