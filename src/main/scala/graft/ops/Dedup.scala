@@ -60,6 +60,31 @@ object Dedup {
   val NumPerms = 32 // MinHash signature length
   val BandRows = 2  // rows per LSH band → 16 bands
 
+  /** THE oracle-side signature pipeline, shared verbatim by the
+    * q_dedup_near and q_dedup_ngram oracles: corpus → word-3-gram
+    * shingles → 48-bit md5 hash values (`vals.v`, the same leaf the
+    * engine's [[minhashSignatures]] uses) → MinHash permutation minima →
+    * per-doc signature list. One definition, so the shingle rule, the
+    * hex polynomial, and the permutation constants (12289/9973/2³¹−1,
+    * mirroring [[minhashA]]/[[minhashB]]/[[MinhashP]]) cannot drift
+    * between the two dedup oracles. */
+  private def duckSigCtes: String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, substring(md5(unnest(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+      |    ELSE [array_to_string(t, ' ')] END)), 1, 12) AS hx
+      |  FROM toks),
+      |vals AS (
+      |  SELECT doc_id, CAST(list_sum(list_transform(range(1, 13), j ->
+      |    CAST(strpos('0123456789abcdef', substring(hx, j, 1)) - 1 AS BIGINT)
+      |      << (4 * (12 - j)))) AS BIGINT) AS v
+      |  FROM sh),
+      |perm AS (
+      |  SELECT doc_id, i, min((v * (12289 + 2 * i) + (9973 * i + 7)) % 2147483647) AS m
+      |  FROM vals, range($NumPerms) r(i) GROUP BY doc_id, i),
+      |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM perm GROUP BY doc_id)""".stripMargin
+
   /** Word 3-gram shingles from a token-array column. IMPORTANT: pass a
     * MATERIALIZED attribute (a column that crossed an exchange), not an
     * inline `split(...)` expression — Catalyst inlines expressions into
@@ -125,21 +150,7 @@ object Dedup {
     * xxhash64). */
   val dedupNear = Query(
     "q_dedup_near",
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (
-      |  SELECT doc_id, substring(md5(unnest(CASE WHEN len(t) >= 3
-      |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-      |    ELSE [array_to_string(t, ' ')] END)), 1, 12) AS hx
-      |  FROM toks),
-      |vals AS (
-      |  SELECT doc_id, CAST(list_sum(list_transform(range(1, 13), j ->
-      |    CAST(strpos('0123456789abcdef', substring(hx, j, 1)) - 1 AS BIGINT)
-      |      << (4 * (12 - j)))) AS BIGINT) AS v
-      |  FROM sh),
-      |perm AS (
-      |  SELECT doc_id, i, min((v * (12289 + 2 * i) + (9973 * i + 7)) % 2147483647) AS m
-      |  FROM vals, range($NumPerms) r(i) GROUP BY doc_id, i),
-      |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM perm GROUP BY doc_id),
+    s"""WITH $duckSigCtes,
       |bands AS (
       |  SELECT doc_id, sig, b,
       |    array_to_string(list_transform(range(1, $BandRows + 1),
@@ -348,22 +359,8 @@ object Dedup {
     * identically in both engines — see [[minhashSignatures]]). */
   val dedupNgram = Query(
     "q_dedup_ngram",
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (
-      |  SELECT doc_id, substring(md5(unnest(CASE WHEN len(t) >= 3
-      |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
-      |    ELSE [array_to_string(t, ' ')] END)), 1, 12) AS hx
-      |  FROM toks),
-      |vals AS (
-      |  SELECT doc_id, CAST(list_sum(list_transform(range(1, 13), j ->
-      |    CAST(strpos('0123456789abcdef', substring(hx, j, 1)) - 1 AS BIGINT)
-      |      << (4 * (12 - j)))) AS BIGINT) AS v
-      |  FROM sh),
+    s"""WITH $duckSigCtes,
       |shset AS (SELECT doc_id, list_distinct(list(v)) AS s FROM vals GROUP BY doc_id),
-      |perm AS (
-      |  SELECT doc_id, i, min((v * (12289 + 2 * i) + (9973 * i + 7)) % 2147483647) AS m
-      |  FROM vals, range($NumPerms) r(i) GROUP BY doc_id, i),
-      |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM perm GROUP BY doc_id),
       |bands AS (
       |  SELECT doc_id, b,
       |    array_to_string(list_transform(range(1, $BandRows + 1),

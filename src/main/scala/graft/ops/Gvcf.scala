@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -165,20 +165,26 @@ object Gvcf {
       .withColumn("gtm", remapped)
   }
 
+  /** THE per-site merged-header aggregate, shared by every rollup of
+    * [[combinedCalls]]-shaped rows (combineSites, genotypeGvcf's final
+    * aggregate, exportLines): group by (contig, pos), carry the
+    * group-constant merged ref and comma-joined alt list — max(), NOT
+    * first(): first() is flagged non-deterministic, which poisons plan
+    * canonicalization / exchange reuse — plus the covered-sample count.
+    * Caller-specific aggregates ride along, so the determinism rule
+    * lives in exactly one place. */
+  private def mergedSiteAgg(df: DataFrame, extra: Column*): DataFrame =
+    df.groupBy("contig", "pos")
+      .agg(max(col("ref")).as("ref"),
+        (array_join(max(col("alts")), ",").as("alt") +:
+          count(lit(1)).as("n_samples") +: extra): _*)
+
   def combineSites(variants: DataFrame, bucketWidth: Long = 64): DataFrame =
-    combinedCalls(variants, bucketWidth)
-      .groupBy("contig", "pos")
-      .agg(
-        // max(), not first(): ref/alts are constant per (contig,pos) here,
-        // and first() is flagged non-deterministic, which poisons plan
-        // canonicalization / exchange reuse.
-        max(col("ref")).as("ref"),
-        array_join(max(col("alts")), ",").as("alt"),
-        count(lit(1)).as("n_samples"),
-        expr("transform(sort_array(collect_list(struct(sample_idx AS i, " +
-          "concat(sample, ':', coalesce(gtm, './.'), ':', " +
-          "coalesce(CAST(gq AS STRING), '.')) AS c))), s -> s.c)")
-          .as("calls"))
+    mergedSiteAgg(combinedCalls(variants, bucketWidth),
+      expr("transform(sort_array(collect_list(struct(sample_idx AS i, " +
+        "concat(sample, ':', coalesce(gtm, './.'), ':', " +
+        "coalesce(CAST(gq AS STRING), '.')) AS c))), s -> s.c)")
+        .as("calls"))
       .orderBy("contig", "pos")
 
   /** The GenotypeGVCFs step — the computation the reference's store
@@ -248,19 +254,11 @@ object Gvcf {
       .withColumn("gt_new", expr("concat(pairs[g][0], '/', pairs[g][1])"))
       .withColumn("spl", array_sort(col("mpl")))
       .withColumn("gq_new", expr("least(try_element_at(spl, 2) - try_element_at(spl, 1), 99)"))
-    re.join(broadcast(sampleNameIndex(variants)), "sample")
-      .groupBy("contig", "pos")
-      .agg(
-        // max(), not first(): ref/alts are constant per (contig,pos) here,
-        // and first() is flagged non-deterministic, which poisons plan
-        // canonicalization / exchange reuse.
-        max(col("ref")).as("ref"),
-        array_join(max(col("alts")), ",").as("alt"),
-        count(lit(1)).as("n_samples"),
-        sum(col("dp")).cast(LongType).as("sum_dp"),
-        expr("array_join(transform(sort_array(collect_list(struct(sample_idx AS i, " +
-          "concat(sample, ':', gt_new, ':', gq_new) AS c))), s -> s.c), ';')")
-          .as("calls"))
+    mergedSiteAgg(re.join(broadcast(sampleNameIndex(variants)), "sample"),
+      sum(col("dp")).cast(LongType).as("sum_dp"),
+      expr("array_join(transform(sort_array(collect_list(struct(sample_idx AS i, " +
+        "concat(sample, ':', gt_new, ':', gq_new) AS c))), s -> s.c), ';')")
+        .as("calls"))
       .orderBy("contig", "pos")
   }
 
@@ -602,14 +600,10 @@ object Gvcf {
     // sample → "gt:gq" map per site, so assembling combineSites' ordered
     // call strings (plus its global sort) only to split them apart again
     // would be wasted work — build the map entries directly.
-    combinedCalls(variants, bucketWidth)
-      .groupBy("contig", "pos")
-      .agg(max(col("ref")).as("ref"),
-        array_join(max(col("alts")), ",").as("alt"),
-        count(lit(1)).as("n_samples"),
-        map_from_entries(collect_list(struct(col("sample").as("k"),
-          concat(coalesce(col("gtm"), lit("./.")), lit(":"),
-            coalesce(col("gq").cast(StringType), lit("."))).as("v")))).as("m"))
+    mergedSiteAgg(combinedCalls(variants, bucketWidth),
+      map_from_entries(collect_list(struct(col("sample").as("k"),
+        concat(coalesce(col("gtm"), lit("./.")), lit(":"),
+          coalesce(col("gq").cast(StringType), lit("."))).as("v")))).as("m"))
       .crossJoin(broadcast(samplesArr))
       .select(col("contig"), col("pos"),
         concat_ws("\t",

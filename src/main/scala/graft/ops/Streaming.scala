@@ -186,8 +186,10 @@ object Streaming {
           val best = batch.toSeq
             .groupBy(_.sample)
             .map { case (smp, cs) =>
-              val c = cs.maxBy(c => (c.covered, c.gq,
-                s"${c.sample}:${if (c.covered) "0/0" else "./."}:${c.gq}"))
+              // (covered, gq) is a total order here: the rendered call
+              // is a function of exactly those two fields, so ties
+              // render identically and no further tiebreak can matter
+              val c = cs.maxBy(c => (c.covered, c.gq))
               smp -> s"${c.sample}:${if (c.covered) "0/0" else "./."}:${c.gq}"
             }
           val upd = state.getOption.getOrElse(Map.empty[String, String]) ++ best

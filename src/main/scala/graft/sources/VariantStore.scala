@@ -67,8 +67,14 @@ object VariantStore {
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schema))
+    // ver desc + every remaining column desc: duplicate (key, ver) rows
+    // are legal (neither writer rejects an equal-key re-put), and a
+    // ver-only ordering would let partition/scan order pick the winner —
+    // the nondeterminism this repo bans everywhere else. The full-row
+    // order makes the resolved snapshot a pure function of store CONTENT.
+    val tiebreak = cols.drop(2).map(col(_).desc)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCol).orderBy(col("ver").desc)
+      .partitionBy(keyCol).orderBy(col("ver").desc +: tiebreak: _*)
     spark.read.schema(schema).csv(files: _*)
       .filter(col("ver") <= asOf)
       .withColumn("__rn", row_number().over(w))

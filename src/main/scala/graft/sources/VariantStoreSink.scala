@@ -127,6 +127,22 @@ private[sources] object StoreManifest {
     }
   }
 
+  /** Serialize manifest read-modify-write cycles (append mode, streaming
+    * epoch commits) across PROCESSES via an exclusive lock on a sidecar
+    * file: two concurrent appenders would otherwise both read the same
+    * base manifest and the second `writeLines` would silently drop the
+    * first one's committed generation. Overwrite-mode commits don't need
+    * this (last manifest wins wholesale, by design) but take it anyway —
+    * it is uncontended and makes every manifest transition serialized.
+    * The HBase analog is the master serializing region metadata updates. */
+  def withManifestLock[T](dir: java.nio.file.Path)(body: => T): T = {
+    java.nio.file.Files.createDirectories(dir)
+    val ch = java.nio.channels.FileChannel.open(dir.resolve(FileName + ".lck"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    try { val lock = ch.lock(); try body finally lock.release() }
+    finally ch.close()
+  }
+
   def writeLines(dir: java.nio.file.Path, lines: Seq[String]): Unit = {
     val tmp = java.nio.file.Files.createTempFile(dir, FileName, ".tmp")
     java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
@@ -149,24 +165,31 @@ private[sources] class StoreBatchWrite(
 
   /** Driver-side commit: publish the manifest (region index). Task
     * files are written under names unique across applications (UUID
-    * component), so a failed/retried task — or a concurrent writer —
-    * leaves only orphans no manifest ever references. ORDER MATTERS:
-    * the new manifest lands (atomically) BEFORE the old generation's
-    * files are deleted, so a crash in between leaves a fully readable
-    * store plus orphans, never a manifest pointing at deleted files.
-    * Append mode keeps the old generations: the new manifest is
-    * old lines + this write's, and no files are reaped. */
+    * component), so a failed/retried task leaves only orphans no
+    * manifest ever references. ORDER MATTERS: the new manifest lands
+    * (atomically) BEFORE the old generation's files are deleted, so a
+    * crash in between leaves a fully readable store plus orphans, never
+    * a manifest pointing at deleted files. Append mode keeps the old
+    * generations — the new manifest is old lines + this write's, and no
+    * files are reaped — and its read-modify-write runs under
+    * [[StoreManifest.withManifestLock]] so a CONCURRENT appender (two
+    * incremental loads, or a streaming epoch landing beside a batch
+    * put) can never make the other's committed generation vanish. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
     java.nio.file.Files.createDirectories(dir)
     val commits = messages.collect { case m: StoreCommit if m.rows > 0 => m }
     val t0 = System.currentTimeMillis()
     if (!truncate) {
-      StoreManifest.writeLines(dir,
-        (StoreManifest.readLines(dir) ++ commits.map(StoreManifest.render)).sorted)
+      StoreManifest.withManifestLock(dir) {
+        StoreManifest.writeLines(dir,
+          (StoreManifest.readLines(dir) ++ commits.map(StoreManifest.render)).sorted)
+      }
       return
     }
-    StoreManifest.writeLines(dir, commits.map(StoreManifest.render).sorted)
+    StoreManifest.withManifestLock(dir) {
+      StoreManifest.writeLines(dir, commits.map(StoreManifest.render).sorted)
+    }
     // truncate semantics: drop files of previous generations — only
     // AFTER the new manifest is live. `.tmp` files are in-flight
     // manifest temps: preserve any from a CONCURRENT write, but reap
@@ -176,7 +199,8 @@ private[sources] class StoreBatchWrite(
     // milliseconds between create and move, so an hour of slack costs
     // only slower orphan cleanup, while a short grace could delete a
     // GC-paused writer's temp out from under its move.
-    val keep = commits.map(_.file).toSet + StoreManifest.FileName
+    val keep = commits.map(_.file).toSet +
+      StoreManifest.FileName + (StoreManifest.FileName + ".lck")
     val old = dir.toFile.listFiles()
     if (old != null)
       old.filterNot(f => keep(f.getName))
@@ -297,11 +321,15 @@ private[sources] class StoreStreamingWrite(path: String, schema: StructType)
     val commits = messages.collect { case m: StoreCommit if m.rows > 0 => m }
     val prefix = f"gen-$epochId%09d-"
     // idempotent epoch re-commit: drop exactly this epoch's previous
-    // records (parsed file field, not raw-string prefix) and re-add
-    val existing = StoreManifest.readLines(dir)
-      .filterNot(l => StoreManifest.parse(l).file.startsWith(prefix))
-    val added = commits.map(StoreManifest.render)
-    StoreManifest.writeLines(dir, (existing ++ added).sorted)
+    // records (parsed file field, not raw-string prefix) and re-add.
+    // Locked: this is a read-modify-write against manifests a batch
+    // appender may be updating concurrently.
+    StoreManifest.withManifestLock(dir) {
+      val existing = StoreManifest.readLines(dir)
+        .filterNot(l => StoreManifest.parse(l).file.startsWith(prefix))
+      val added = commits.map(StoreManifest.render)
+      StoreManifest.writeLines(dir, (existing ++ added).sorted)
+    }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
