@@ -118,8 +118,14 @@ object Bench {
       "\"" + k + "\":[" + f3(t1) + "," + f3(t2) + "]" }.mkString("{", ",", "}")
     val rfail = retryFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = f3(results.map(_._2).sum)
+    // Measurement-methodology version, so round-over-round comparisons
+    // can tell harness changes from engine changes: v1 = cold single-shot
+    // per query (r1–r8); v2 = shared base-table cache + >2 s outlier
+    // re-measure reporting min (r9+). Bump whenever what "value" measures
+    // changes, not for engine or query-set changes.
+    val harnessVersion = 2
     val full =
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","errors":$errs,"retried":$retr,"retry_failed":$rfail,"queries":$qs,"value":$total}"""
+      s"""{"metric":"total","unit":"sec","harness_version":$harnessVersion,"sf":"$sfDir","errors":$errs,"retried":$retr,"retry_failed":$rfail,"queries":$qs,"value":$total}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
       full.getBytes("UTF-8"))
     // The driver tail-captures only the last ~2000 chars of stdout, and
@@ -127,7 +133,7 @@ object Bench {
     // line hard-capped at 1750 chars: all scalar fields plus the slowest
     // queries greedily (those are what a perf audit reads); the complete
     // map is in the committed BENCH_full.json.
-    val prefix = s"""{"metric":"total","unit":"sec","sf":"$sfDir",""" +
+    val prefix = s"""{"metric":"total","unit":"sec","harness_version":$harnessVersion,"sf":"$sfDir",""" +
       s""""n_queries":${results.size},"errors":$errs,"queries_full":"BENCH_full.json","queries":{"""
     val suffix = s"""},"value":$total}"""
     // An oversized sfDir path could push the budget negative; the line

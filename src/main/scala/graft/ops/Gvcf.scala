@@ -59,7 +59,10 @@ object Gvcf {
       .withColumn("grp", sum(newGrp).over(run))
       .groupBy(col("sample"), col("contig"), col("grp"), col("band"))
       .agg(min(col("start")).as("start"), max(col("end")).as("end"),
-        first(col("alleles")).as("alleles"), min(col("gq")).as("gq"))
+        // group-constant (blocks all carry the ref-block alleles); max()
+        // not first() — first() is flagged non-deterministic and poisons
+        // plan canonicalization / exchange reuse (see mergedSiteAgg doc).
+        max(col("alleles")).as("alleles"), min(col("gq")).as("gq"))
       .withColumn("kind", lit("block"))
       .select("sample", "contig", "start", "end", "kind", "alleles", "gq")
     merged.unionByName(variants.filter(col("kind") === "site"))
@@ -601,15 +604,28 @@ object Gvcf {
     // call strings (plus its global sort) only to split them apart again
     // would be wasted work — build the map entries directly.
     mergedSiteAgg(combinedCalls(variants, bucketWidth),
-      map_from_entries(collect_list(struct(col("sample").as("k"),
+      sort_array(collect_list(struct(col("sample").as("k"),
+        coalesce(col("gq"), lit(Int.MinValue)).as("g"),
         concat(coalesce(col("gtm"), lit("./.")), lit(":"),
-          coalesce(col("gq").cast(StringType), lit("."))).as("v")))).as("m"))
+          coalesce(col("gq").cast(StringType), lit("."))).as("call")))).as("es"))
+      // ONE row per (site, sample) before the map build: a sample with
+      // two records covering the same site (overlapping gVCF blocks in
+      // messy real input) would otherwise abort the whole export with a
+      // duplicate-map-key error under the default
+      // spark.sql.mapKeyDedupPolicy=EXCEPTION. The sorted entry list
+      // keeps each sample's max-(gq, call) record — deterministic, pure
+      // post-aggregation array work, no extra shuffle. NS= counts the
+      // DEDUPED map for the same reason.
+      .withColumn("m", expr(
+        "map_from_entries(transform(" +
+          "filter(es, (x, i) -> i = size(es) - 1 OR es[i + 1].k != x.k), " +
+          "x -> struct(x.k AS k, x.call AS v)))"))
       .crossJoin(broadcast(samplesArr))
       .select(col("contig"), col("pos"),
         concat_ws("\t",
           col("contig"), col("pos").cast(StringType), lit("."), col("ref"), col("alt"),
           lit("."), lit("PASS"),
-          concat(lit("NS="), col("n_samples").cast(StringType)), lit("GT:GQ"),
+          concat(lit("NS="), size(col("m")).cast(StringType)), lit("GT:GQ"),
           array_join(transform(col("samples"),
             n => coalesce(element_at(col("m"), n), lit("./.:."))), "\t")).as("line"))
   }

@@ -297,7 +297,9 @@ object Relational {
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, d) =>
     tbl(s, d, "orders")
-      .join(broadcast(tbl(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      // customer scales linearly with sf — unhinted, AQE decides (a forced
+      // broadcast OOMs at 100×); fixed-cardinality nation/region keep hints.
+      .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(tbl(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(tbl(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
       .select(col("r_name"), col("n_name"), col("o_totalprice"))
@@ -632,7 +634,9 @@ object Relational {
       .select(col("l_orderkey"), col("qty_raw").cast(LongType).as("sum_qty"))
     big
       .join(tbl(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(tbl(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      // customer scales linearly with sf — unhinted, AQE decides (forced
+      // broadcast of a linear table OOMs at 100×).
+      .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         dec("o_totalprice").cast(DoubleType).as("o_totalprice"), col("sum_qty"))
       .orderBy(desc("o_totalprice"), col("o_orderkey"))
@@ -779,7 +783,9 @@ object Relational {
     tbl(s, d, "lineitem")
       .filter(col("l_shipdate") >= ts("1997-06-01") &&
         col("l_shipdate") < ts("1997-09-01"))
-      .join(broadcast(tbl(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      // part scales linearly with sf — unhinted, AQE decides (forced
+      // broadcast of a linear table OOMs at 100×).
+      .join(tbl(s, d, "part"), col("l_partkey") === col("p_partkey"))
       .agg(
         sum(when(col("p_type") === "PROMO", disc)
           .otherwise(lit(0).cast(DecimalType(18, 4)))).as("promo"),
@@ -812,7 +818,9 @@ object Relational {
       col("p_brand") === brand && col("p_size").between(1, szHi) &&
         col("l_quantity") >= qLo && col("l_quantity") <= qHi
     tbl(s, d, "lineitem")
-      .join(broadcast(tbl(s, d, "part")), col("p_partkey") === col("l_partkey"))
+      // part scales linearly with sf — unhinted, AQE decides (forced
+      // broadcast of a linear table OOMs at 100×).
+      .join(tbl(s, d, "part"), col("p_partkey") === col("l_partkey"))
       .filter(arm("Brand#12", 15, 1, 11) || arm("Brand#23", 25, 10, 20) ||
         arm("Brand#34", 35, 20, 30))
       .agg(sum(dec("l_extendedprice") * (oneDec - dec("l_discount")))

@@ -16,8 +16,15 @@ case class VarEvent(sample: String, contig: String, start: Long, end: Long, kind
 /** The carried per-(sample, contig) spanning block. */
 case class BlockState(start: Long, end: Long, gq: Int)
 
-/** A site call densified against the carried block state. */
-case class FilledCall(sample: String, contig: String, pos: Long, covered: Boolean, gq: Int)
+/** A site call densified against the carried block state. `seq` is the
+  * producer's event order (source offset / event timestamp): when the
+  * same sample re-delivers a call for one site, the HIGHEST seq wins in
+  * [[Streaming.streamingCombine]] regardless of which micro-batch each
+  * copy lands in. Producers without an order leave the default 0 and
+  * get latest-batch-wins (ties resolve by the (covered, gq) total
+  * order within a batch, by batch recency across batches). */
+case class FilledCall(sample: String, contig: String, pos: Long, covered: Boolean, gq: Int,
+    seq: Long = 0L)
 
 /** A combined per-site row re-emitted whenever any member call changes. */
 case class CombinedSite(contig: String, pos: Long, n_samples: Int, calls: String)
@@ -176,26 +183,36 @@ object Streaming {
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {
         (key: (String, Long), batch: Iterator[FilledCall],
-         state: GroupState[Map[String, String]]) =>
-          // Latest-wins applies ACROSS micro-batches (well-ordered:
-          // later batches override state). WITHIN a batch the group
-          // iterator's order is not guaranteed, so two same-sample calls
-          // in one batch resolve by a TOTAL order — (covered, gq), then
-          // the rendered call — never by arrival position; the emitted
-          // row and persisted state are deterministic across runs.
+         state: GroupState[Map[String, (Long, String)]]) =>
+          // The winner criterion is the SAME within and across batches —
+          // highest `seq` first — so where a micro-batch boundary falls
+          // cannot change the persisted state (a covered→uncovered
+          // transition split across batches resolves identically to the
+          // two events sharing one batch). Producers without a seq
+          // (all-zero default) degrade to the previous semantics:
+          // within a batch the (covered, gq) total order (the group
+          // iterator's order is NOT guaranteed — never use arrival
+          // position), across batches latest-batch-wins (seq ties let
+          // the incoming batch replace stored state).
           val best = batch.toSeq
             .groupBy(_.sample)
             .map { case (smp, cs) =>
-              // (covered, gq) is a total order here: the rendered call
-              // is a function of exactly those two fields, so ties
-              // render identically and no further tiebreak can matter
-              val c = cs.maxBy(c => (c.covered, c.gq))
-              smp -> s"${c.sample}:${if (c.covered) "0/0" else "./."}:${c.gq}"
+              // (seq, covered, gq) is a total order here: the rendered
+              // call is a function of (covered, gq) alone, so any
+              // remaining ties render identically
+              val c = cs.maxBy(c => (c.seq, c.covered, c.gq))
+              smp -> (c.seq, s"${c.sample}:${if (c.covered) "0/0" else "./."}:${c.gq}")
             }
-          val upd = state.getOption.getOrElse(Map.empty[String, String]) ++ best
+          val prev = state.getOption.getOrElse(Map.empty[String, (Long, String)])
+          val upd = best.foldLeft(prev) { case (acc, (smp, cand)) =>
+            acc.get(smp) match {
+              case Some((storedSeq, _)) if storedSeq > cand._1 => acc // stored is newer
+              case _ => acc + (smp -> cand) // newer seq, or tie → latest batch wins
+            }
+          }
           state.update(upd)
           Iterator.single(CombinedSite(key._1, key._2, upd.size,
-            upd.keys.toSeq.sorted.map(upd).mkString(";")))
+            upd.keys.toSeq.sorted.map(k => upd(k)._2).mkString(";")))
       }
   }
 

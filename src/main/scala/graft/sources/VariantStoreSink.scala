@@ -134,13 +134,27 @@ private[sources] object StoreManifest {
     * first one's committed generation. Overwrite-mode commits don't need
     * this (last manifest wins wholesale, by design) but take it anyway —
     * it is uncontended and makes every manifest transition serialized.
-    * The HBase analog is the master serializing region metadata updates. */
+    * The HBase analog is the master serializing region metadata updates.
+    *
+    * TWO layers, both required: `FileChannel.lock()` arbitrates across
+    * PROCESSES but throws `OverlappingFileLockException` (it does not
+    * block) when another thread of the SAME JVM holds the lock — and the
+    * motivating scenario (a streaming epoch commit landing beside a batch
+    * append in one Spark application) runs both commits in one driver
+    * JVM. A per-path monitor queues in-process committers so the file
+    * lock only ever sees one acquirer per JVM. */
+  private val jvmLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def withManifestLock[T](dir: java.nio.file.Path)(body: => T): T = {
     java.nio.file.Files.createDirectories(dir)
-    val ch = java.nio.channels.FileChannel.open(dir.resolve(FileName + ".lck"),
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
-    try { val lock = ch.lock(); try body finally lock.release() }
-    finally ch.close()
+    val monitor = jvmLocks.computeIfAbsent(
+      dir.toAbsolutePath.normalize.toString, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(dir.resolve(FileName + ".lck"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+      try { val lock = ch.lock(); try body finally lock.release() }
+      finally ch.close()
+    }
   }
 
   def writeLines(dir: java.nio.file.Path, lines: Seq[String]): Unit = {
@@ -187,24 +201,33 @@ private[sources] class StoreBatchWrite(
       }
       return
     }
+    val keep = commits.map(_.file).toSet
     StoreManifest.withManifestLock(dir) {
+      // truncate semantics: the delete set is the PRE-overwrite
+      // manifest's files, computed and reaped UNDER the same lock that
+      // publishes the new manifest. Two reasons this is the only safe
+      // shape: (a) an appender committing between publish and an
+      // unlocked reap would merge into the new manifest while the reap
+      // deletes nothing it references (old-manifest files cannot be
+      // re-referenced once replaced); (b) a concurrent writer's TASK
+      // files exist on disk before its (lock-blocked) driver commit, so
+      // a directory-listing reap could delete data a manifest is about
+      // to reference — the manifest-derived set never can.
+      val previous = StoreManifest.readLines(dir).map(StoreManifest.parse(_).file)
       StoreManifest.writeLines(dir, commits.map(StoreManifest.render).sorted)
+      previous.filterNot(keep).foreach(f => java.nio.file.Files.deleteIfExists(dir.resolve(f)))
     }
-    // truncate semantics: drop files of previous generations — only
-    // AFTER the new manifest is live. `.tmp` files are in-flight
-    // manifest temps: preserve any from a CONCURRENT write, but reap
-    // stale ones — a crash between createTempFile and the atomic move
-    // would otherwise leave an orphan `_MANIFEST*.tmp` forever. The
-    // 1-hour grace is deliberate: a concurrent writer's temp lives
-    // milliseconds between create and move, so an hour of slack costs
-    // only slower orphan cleanup, while a short grace could delete a
-    // GC-paused writer's temp out from under its move.
-    val keep = commits.map(_.file).toSet +
-      StoreManifest.FileName + (StoreManifest.FileName + ".lck")
+    // Aged orphan sweep, OUTSIDE the lock: crashed-application leftovers
+    // (task files no manifest ever referenced, `_MANIFEST*.tmp` from a
+    // crash between createTempFile and the atomic move). The 1-hour
+    // grace protects in-flight concurrent writers — their files are
+    // seconds old between task write and driver commit, while a
+    // GC-paused writer's manifest temp lives milliseconds.
+    val keepMeta = keep + StoreManifest.FileName + (StoreManifest.FileName + ".lck")
     val old = dir.toFile.listFiles()
     if (old != null)
-      old.filterNot(f => keep(f.getName))
-        .filter(f => !f.getName.endsWith(".tmp") || f.lastModified < t0 - 3600000)
+      old.filterNot(f => keepMeta(f.getName))
+        .filter(f => f.lastModified < t0 - 3600000)
         .foreach(_.delete())
   }
 
