@@ -372,7 +372,72 @@ object Sources {
     snap(2L).unionAll(snap(3L)).orderBy("as_of", "payload")
   }
 
+  /** Delete/tombstone semantics — the HBase `Delete` analog
+    * (`GVCFHBaseTest.java:~40 (unverified)`, reconstructed per SURVEY
+    * §0): a versioned store deletes a key by appending a generation
+    * whose row carries the reserved [[graft.sources.VariantStore.Tombstone]]
+    * payload. Three generations: a v1 bulk load of the 10% order-key
+    * slice, a v2 tombstone generation revoking keys ≡0 (mod 3) — the
+    * genomics consent-withdrawal case — and a v3 re-put resurrecting
+    * the ≡0 (mod 6) half of them. Four reads prove the full lifecycle:
+    * as-of 1 (pre-delete, all keys), as-of 2 (revoked keys GONE),
+    * as-of 3 (re-put keys back with the new payload, the rest still
+    * gone — put-after-delete resurrection), and the live
+    * `readRange` view (≡ as-of 3, labeled 99), which must hide
+    * tombstoned keys exactly like the timestamped read. The oracle
+    * reconstructs all four snapshots from `orders` directly. */
+  val storeDelete = Query(
+    "q_store_delete",
+    """WITH base AS (
+      |  SELECT o_orderkey AS key, o_orderpriority AS prio
+      |  FROM orders WHERE o_orderkey % 10 = 0),
+      |v1 AS (SELECT key, prio AS payload FROM base),
+      |v2 AS (SELECT key, prio AS payload FROM base WHERE key % 3 <> 0),
+      |v3 AS (SELECT key,
+      |         CASE WHEN key % 6 = 0 THEN 'R3-' || prio ELSE prio END AS payload
+      |       FROM base WHERE key % 3 <> 0 OR key % 6 = 0)
+      |SELECT CAST(1 AS BIGINT) AS as_of, payload,
+      |  CAST(count(*) AS BIGINT) AS n, CAST(sum(key) AS BIGINT) AS sum_key
+      |FROM v1 GROUP BY payload
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), payload,
+      |  CAST(count(*) AS BIGINT), CAST(sum(key) AS BIGINT)
+      |FROM v2 GROUP BY payload
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), payload,
+      |  CAST(count(*) AS BIGINT), CAST(sum(key) AS BIGINT)
+      |FROM v3 GROUP BY payload
+      |UNION ALL
+      |SELECT CAST(99 AS BIGINT), payload,
+      |  CAST(count(*) AS BIGINT), CAST(sum(key) AS BIGINT)
+      |FROM v3 GROUP BY payload
+      |ORDER BY as_of, payload""".stripMargin) { (s, d) =>
+    val dir = outDir(s, d, "store_delete")
+    val schema = "key LONG, ver LONG, payload STRING"
+    val base = tbl(s, d, "orders").filter(col("o_orderkey") % 10 === 0)
+    def gen(ver: Long, filter: Column, payload: Column): Unit =
+      base.filter(filter)
+        .select(col("o_orderkey").as("key"), lit(ver).as("ver"), payload.as("payload"))
+        .repartitionByRange(8, col("key")).sortWithinPartitions("key")
+        .write.format("graft.sources.VariantStoreSink")
+        .option("path", dir).mode(if (ver == 1L) "overwrite" else "append").save()
+    gen(1L, lit(true), col("o_orderpriority"))
+    gen(2L, col("o_orderkey") % 3 === 0, lit(graft.sources.VariantStore.Tombstone))
+    gen(3L, col("o_orderkey") % 6 === 0, concat(lit("R3-"), col("o_orderpriority")))
+    def agg(df: DataFrame, label: Long): DataFrame =
+      df.groupBy("payload")
+        .agg(count(lit(1)).as("n"), sum(col("key")).cast(LongType).as("sum_key"))
+        .select(lit(label).as("as_of"), col("payload"), col("n"), col("sum_key"))
+    agg(graft.sources.VariantStore.readAsOf(s, dir, schema, 1L), 1L)
+      .unionAll(agg(graft.sources.VariantStore.readAsOf(s, dir, schema, 2L), 2L))
+      .unionAll(agg(graft.sources.VariantStore.readAsOf(s, dir, schema, 3L), 3L))
+      .unionAll(agg(graft.sources.VariantStore.readRange(
+        s, dir, schema, Long.MinValue, Long.MaxValue), 99L))
+      .orderBy("as_of", "payload")
+  }
+
   val queries: Seq[Query] =
     Seq(sourceCsv, sourceJson, sourceOrc, partitionPrune, sourceCustom, bucketedJoin,
-      sinkStore, sourceBinary, storeScan, schemaEvolution, sourceXml, storeAsOf)
+      sinkStore, sourceBinary, storeScan, schemaEvolution, sourceXml, storeAsOf,
+      storeDelete)
 }

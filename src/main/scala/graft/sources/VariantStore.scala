@@ -22,21 +22,66 @@ import org.apache.spark.sql.functions._
   * metadata work, exactly like fetching the region index. */
 object VariantStore {
 
+  /** The delete-marker payload — HBase `Delete` analog. A VERSIONED
+    * store deletes a key by appending a generation whose row for that
+    * key carries this sentinel in the FIRST payload column (third
+    * schema field): reads as of t ≥ the tombstone's `ver` see the key
+    * gone (a later re-put resurrects it, exactly like HBase
+    * put-after-delete), and [[compact]] with a horizon purges the
+    * marker plus everything it masks. The sentinel is reserved — like
+    * HBase's cell-type byte, user payloads must not use it. */
+  val Tombstone = "__TOMBSTONE__"
+
   private def manifest(path: String): Seq[ManifestEntry] =
     StoreManifest.readLines(java.nio.file.Paths.get(path)).map(StoreManifest.parse)
 
-  /** Scan `[lo, hi]` by key: manifest-pruned file list + residual filter. */
+  private def colNames(schema: String): Array[String] =
+    schema.trim.split(",").map(_.trim.split("\\s+")(0))
+
+  private def isVersioned(cols: Array[String]): Boolean =
+    cols.length >= 2 && cols(1) == "ver"
+
+  /** Latest-version-per-key resolution: ver desc + every remaining
+    * column desc. Duplicate (key, ver) rows are legal (neither writer
+    * rejects an equal-key re-put), and a ver-only ordering would let
+    * partition/scan order pick the winner — the nondeterminism this
+    * repo bans everywhere else. The full-row order makes the resolved
+    * snapshot a pure function of store CONTENT. */
+  private def latestPerKey(df: DataFrame, cols: Array[String]): DataFrame = {
+    val tiebreak = cols.drop(2).map(col(_).desc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(cols(0)).orderBy(col("ver").desc +: tiebreak: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Drop rows whose winning version is a delete marker (null-safe: a
+    * null payload is data, not a tombstone). No-op for schemas with no
+    * payload column to carry the marker. */
+  private def dropTombstones(df: DataFrame, cols: Array[String]): DataFrame =
+    if (cols.length >= 3) df.filter(!(col(cols(2)) <=> lit(Tombstone))) else df
+
+  /** Scan `[lo, hi]` by key: manifest-pruned file list + residual filter.
+    * On a VERSIONED store (second field `ver` LONG) this is the LIVE
+    * view — HBase Scan's default `maxVersions=1`: latest version per
+    * key, tombstoned keys hidden. Unversioned stores return rows as
+    * written (no resolution to do). */
   def readRange(spark: SparkSession, path: String, schema: String,
       lo: Long, hi: Long): DataFrame = {
-    val keyCol = schema.trim.split("\\s+")(0)
+    val cols = colNames(schema)
+    val keyCol = cols(0)
     val files = manifest(path)
       .filter(e => e.maxKey >= lo && e.minKey <= hi)
       .map(e => s"$path/${e.file}")
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schema))
-    else spark.read.schema(schema).csv(files: _*)
-      .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+    else {
+      val raw = spark.read.schema(schema).csv(files: _*)
+        .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+      if (isVersioned(cols)) dropTombstones(latestPerKey(raw, cols), cols) else raw
+    }
   }
 
   /** As-of-timestamp read — the HBase versioned-cell analog
@@ -59,27 +104,20 @@ object VariantStore {
     * partially-newer files. */
   def readAsOf(spark: SparkSession, path: String, schema: String,
       asOf: Long): DataFrame = {
-    val cols = schema.trim.split(",").map(_.trim.split("\\s+")(0))
-    require(cols.length >= 2 && cols(1) == "ver",
+    val cols = colNames(schema)
+    require(isVersioned(cols),
       s"versioned schema needs (key, ver, ...): got ${schema}")
-    val keyCol = cols(0)
     val files = asOfFiles(path, asOf)
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schema))
-    // ver desc + every remaining column desc: duplicate (key, ver) rows
-    // are legal (neither writer rejects an equal-key re-put), and a
-    // ver-only ordering would let partition/scan order pick the winner —
-    // the nondeterminism this repo bans everywhere else. The full-row
-    // order makes the resolved snapshot a pure function of store CONTENT.
-    val tiebreak = cols.drop(2).map(col(_).desc)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCol).orderBy(col("ver").desc +: tiebreak: _*)
-    spark.read.schema(schema).csv(files: _*)
-      .filter(col("ver") <= asOf)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    // Latest-version resolution, then tombstone hiding: a key whose
+    // winning version at t is a delete marker is absent from the
+    // snapshot (HBase Delete semantics) — and a re-put AFTER the
+    // tombstone resurrects it at later timestamps.
+    dropTombstones(
+      latestPerKey(spark.read.schema(schema).csv(files: _*).filter(col("ver") <= asOf), cols),
+      cols)
   }
 
   /** The file list an as-of-`t` read touches: manifest entries whose
@@ -90,13 +128,33 @@ object VariantStore {
 
   /** Rewrite every live generation as one sorted bulk generation. The
     * input file list comes from the manifest (never a directory listing),
-    * so orphans from failed tasks are excluded by construction. */
+    * so orphans from failed tasks are excluded by construction.
+    *
+    * `horizon` is the MAJOR-compaction purge bound (HBase major
+    * compaction + TTL analog) for versioned stores: history at or below
+    * it collapses to what an as-of-`horizon` read needs. Per key the
+    * rewrite keeps every version ABOVE the horizon plus the single
+    * winning version at the horizon — unless that winner is a
+    * [[Tombstone]], in which case the marker AND everything it masks
+    * are physically removed (the GDPR/consent-revocation case: the
+    * deleted rows leave disk, not just the read path). INVARIANT:
+    * `readAsOf(t)` for any `t >= horizon` is unchanged by compaction;
+    * reads below the horizon are no longer supported (their history is
+    * gone — the same contract HBase major compaction gives a timerange
+    * scan below the purge bound). The default `Long.MinValue` horizon
+    * purges nothing, preserving every historical snapshot. */
   def compact(spark: SparkSession, path: String, schema: String,
-      numRanges: Int = 8): Unit = {
-    val keyCol = schema.trim.split("\\s+")(0)
+      numRanges: Int = 8, horizon: Long = Long.MinValue): Unit = {
+    val cols = colNames(schema)
+    val keyCol = cols(0)
     val files = manifest(path).map(e => s"$path/${e.file}")
     require(files.nonEmpty, s"nothing to compact: no manifest at $path")
-    spark.read.schema(schema).csv(files: _*)
+    val raw = spark.read.schema(schema).csv(files: _*)
+    val kept =
+      if (!isVersioned(cols) || horizon == Long.MinValue) raw
+      else raw.filter(col("ver") > horizon).unionByName(
+        dropTombstones(latestPerKey(raw.filter(col("ver") <= horizon), cols), cols))
+    kept
       .repartitionByRange(numRanges, col(keyCol))
       .sortWithinPartitions(keyCol)
       .write.format("graft.sources.VariantStoreSink")

@@ -167,6 +167,45 @@ class SourceSpec extends SparkSpec {
     assert(graft.sources.VariantStore.asOfFiles(dir, 10L).nonEmpty)
   }
 
+  test("tombstones hide keys; horizon compaction physically purges them") {
+    val dir = sinkDir("tomb")
+    val schema = "key LONG, ver LONG, payload STRING"
+    val Tomb = graft.sources.VariantStore.Tombstone
+    def gen(ver: Long, rows: Seq[(Long, String)], mode: String): Unit =
+      rows.toDF("key", "payload")
+        .select($"key", lit(ver).as("ver"), $"payload")
+        .coalesce(1).sortWithinPartitions("key")
+        .write.format("graft.sources.VariantStoreSink")
+        .option("path", dir).mode(mode).save()
+    // v10: keys 1..4 live; v20: delete 2 and 3; v30: re-put 3 (resurrect)
+    gen(10L, Seq((1L, "a1"), (2L, "b1"), (3L, "c1"), (4L, "d1")), "overwrite")
+    gen(20L, Seq((2L, Tomb), (3L, Tomb)), "append")
+    gen(30L, Seq((3L, "c3")), "append")
+    def snap(t: Long): Map[Long, String] =
+      graft.sources.VariantStore.readAsOf(spark, dir, schema, t)
+        .select("key", "payload").as[(Long, String)].collect().toMap
+    assert(snap(10L) == Map(1L -> "a1", 2L -> "b1", 3L -> "c1", 4L -> "d1"))
+    assert(snap(20L) == Map(1L -> "a1", 4L -> "d1"), "tombstoned keys visible at t=20")
+    assert(snap(30L) == Map(1L -> "a1", 3L -> "c3", 4L -> "d1"),
+      "put-after-delete must resurrect key 3 and only key 3")
+    // live readRange view on a versioned store = latest minus tombstones
+    assert(graft.sources.VariantStore
+      .readRange(spark, dir, schema, Long.MinValue, Long.MaxValue)
+      .select("key", "payload").as[(Long, String)].collect().toMap == snap(30L))
+    // horizon compaction: history <= 20 collapses; key 2's tombstone AND
+    // the b1 row it masks leave DISK (consent revocation), key 3's
+    // masked history is purged but its live re-put survives
+    graft.sources.VariantStore.compact(spark, dir, schema, numRanges = 2, horizon = 20L)
+    assert(snap(20L) == Map(1L -> "a1", 4L -> "d1"), "as-of horizon changed by compaction")
+    assert(snap(30L) == Map(1L -> "a1", 3L -> "c3", 4L -> "d1"),
+      "post-horizon snapshot changed by compaction")
+    val rawAfter = spark.read.schema(schema)
+      .csv(graft.sources.VariantStore.asOfFiles(dir, Long.MaxValue): _*)
+      .select("key", "ver", "payload").as[(Long, Long, String)].collect().toSet
+    assert(rawAfter == Set((1L, 10L, "a1"), (4L, 10L, "d1"), (3L, 30L, "c3")),
+      s"purge left shadowed/tombstone rows on disk: $rawAfter")
+  }
+
   test("VariantStore.readRange prunes to manifest-overlapping files (HBase-scan analog)") {
     val dir = sinkDir("readrange")
     (0L until 1000L).map(i => (i, s"p$i")).toDF("key", "payload")
