@@ -303,6 +303,44 @@ object Gvcf {
           |         THEN 0 ELSE (j + 1) * 10 + start % 7 END AS INT))
           |END""".stripMargin))
 
+  /** WIDE cohort — the SAMPLE axis scales with sf while the position
+    * axis stays fixed (the dense-vector / HBase wide-row bound the
+    * reference lives with, `GVCFHBase.java:~110 (unverified)`): every
+    * one of `nSamples` samples has a record at every one of
+    * `nPositions` positions (site or spanning block by the same
+    * (j + k) % 3 scheme as [[syntheticVariants]]). Sample names are
+    * zero-padded so lexicographic sample order == numeric order on
+    * both engines. Alt index (j + 1 + k % 3) % 4 never collides with
+    * the ref (j % 4), keeping ≤3 distinct alts per site. */
+  def syntheticVariantsWide(s: SparkSession, nSamples: Long,
+      nPositions: Long = WidePositions): DataFrame =
+    s.range(0, nSamples).selectExpr("id AS k")
+      .crossJoin(s.range(0, nPositions).selectExpr("id AS j"))
+      .selectExpr(
+        "format_string('s%05d', k) AS sample",
+        "concat('chr', 1 + j % 2) AS contig",
+        "j * 10 + 1 AS start",
+        "CASE WHEN (j + k) % 3 < 2 THEN j * 10 + 1 ELSE j * 10 + 10 END AS end",
+        "CASE WHEN (j + k) % 3 < 2 THEN 'site' ELSE 'block' END AS kind",
+        "CASE WHEN (j + k) % 3 < 2 " +
+          "THEN array(substr('ACGT', CAST(j % 4 AS INT) + 1, 1), " +
+          "           substr('ACGT', CAST((j + 1 + k % 3) % 4 AS INT) + 1, 1)) " +
+          "ELSE array(substr('ACGT', CAST(j % 4 AS INT) + 1, 1)) END AS alleles",
+        "CAST((j * 7 + k * 13) % 90 + 10 AS INT) AS gq",
+        "CASE WHEN (j + k) % 3 >= 2 THEN '0/0' " +
+          "WHEN (j + k) % 2 = 0 THEN '0/1' ELSE '1/1' END AS gt")
+
+  /** Fixed position count for the wide cohort: the point is per-site
+    * WIDTH, so positions don't scale. 120 positions → 60 sites/contig. */
+  val WidePositions = 120L
+
+  /** Wide-cohort sample count: |orders| / 50 = 30 / 300 / 3,000 samples
+    * at sf0.001 / 0.01 / 0.1 — realistic cohort widths, vs the 3+1 the
+    * rest of the gVCF family uses. Memoized per dir (metadata read). */
+  private val wideSizes = scala.collection.concurrent.TrieMap.empty[String, Long]
+  def wideN(s: SparkSession, d: String): Long =
+    wideSizes.getOrElseUpdate(d, math.max(3L, tbl(s, d, "orders").count() / 50))
+
   /** Cohort size derived from the scale factor so the gVCF family is
     * bench-visible as data grows (r8 verdict: a fixed 3,000-record cohort
     * made dual-scale vacuous for the genomics core): n = |orders| / 5 =
@@ -378,6 +416,65 @@ object Gvcf {
        |ORDER BY r.contig, r.pos""".stripMargin) { (s, d) =>
     combineSites(syntheticVariants(s, cohortN(s, d)))
       .withColumn("calls", array_join(col("calls"), ";"))
+  }
+
+  /** Sample-axis scale evidence (r9 verdict item 3): the SAME combine as
+    * [[combineMerge]], but over the WIDE cohort — per-site sample count
+    * = |orders|/50 (30 / 300 / 3,000 at sf0.001/0.01/0.1) with the
+    * position axis fixed, so the measured cost is the per-site
+    * `collect_list` at realistic cohort widths (the reference's HBase
+    * wide-row bound: one cell per sample per position). The combined
+    * calls string is md5'd on BOTH engines — a 3,000-sample calls cell
+    * is ~40 KB and the digest proves it value-exact without shipping
+    * megabytes through the compare. Plan shape is [[combineSites]]
+    * verbatim: bucketed coverage equi-join, one site aggregate — width
+    * changes the aggregate's fan-in, never the shuffle count. */
+  val combineWide = Query(
+    "q_combine_wide",
+    """WITH ns AS (SELECT count(*) // 50 AS n FROM orders),
+      |ss AS (SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS k FROM orders
+      |       QUALIFY row_number() OVER (ORDER BY o_orderkey) <=
+      |         greatest((SELECT n FROM ns), 3)),
+      |ps AS (SELECT range AS j FROM range(0, 120)),
+      |v AS (
+      |  SELECT 's' || lpad(CAST(k AS VARCHAR), 5, '0') AS sample,
+      |    'chr' || CAST(1 + j % 2 AS VARCHAR) AS contig,
+      |    j * 10 + 1 AS vstart,
+      |    CASE WHEN (j + k) % 3 < 2 THEN j * 10 + 1 ELSE j * 10 + 10 END AS vend,
+      |    CASE WHEN (j + k) % 3 < 2 THEN 'site' ELSE 'block' END AS kind,
+      |    substr('ACGT', CAST(j % 4 AS INT) + 1, 1) AS ref,
+      |    substr('ACGT', CAST((j + 1 + k % 3) % 4 AS INT) + 1, 1) AS alt,
+      |    CAST((j * 7 + k * 13) % 90 + 10 AS INT) AS gq,
+      |    CASE WHEN (j + k) % 3 >= 2 THEN '0/0'
+      |         WHEN (j + k) % 2 = 0 THEN '0/1' ELSE '1/1' END AS gt
+      |  FROM ss, ps),
+      |sites AS (SELECT DISTINCT contig, vstart AS pos FROM v WHERE kind = 'site'),
+      |cov AS (
+      |  SELECT s.contig, s.pos, v.sample, v.kind, v.ref, v.alt, v.gt, v.gq
+      |  FROM sites s JOIN v ON v.contig = s.contig AND s.pos BETWEEN v.vstart AND v.vend),
+      |merged AS (
+      |  SELECT contig, pos, min(ref) AS mref,
+      |    list_sort(list_distinct(list(alt))) AS calts
+      |  FROM cov WHERE kind = 'site' GROUP BY contig, pos),
+      |remap AS (
+      |  SELECT c.contig, c.pos, c.sample,
+      |    CASE WHEN c.kind = 'block' THEN c.gt
+      |         ELSE array_to_string(list_transform(string_split(c.gt, '/'), g ->
+      |           CASE WHEN g = '0' THEN '0'
+      |                ELSE CAST(list_position(m.calts, c.alt) AS VARCHAR) END), '/')
+      |    END AS gtm, c.gq
+      |  FROM cov c JOIN merged m ON c.contig = m.contig AND c.pos = m.pos)
+      |SELECT r.contig, r.pos, m.mref AS ref,
+      |  array_to_string(m.calts, ',') || ',<NON_REF>' AS alt,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  md5(array_to_string(list(r.sample || ':' || r.gtm || ':' || CAST(r.gq AS VARCHAR)
+      |    ORDER BY r.sample), ';')) AS calls_md5
+      |FROM remap r JOIN merged m ON r.contig = m.contig AND r.pos = m.pos
+      |GROUP BY r.contig, r.pos, m.mref, m.calts
+      |ORDER BY r.contig, r.pos""".stripMargin) { (s, d) =>
+    combineSites(syntheticVariantsWide(s, wideN(s, d)))
+      .withColumn("calls_md5", md5(array_join(col("calls"), ";").cast(BinaryType)))
+      .drop("calls")
   }
 
   /** Delta sample for the incremental combine: 's3' contributes a het
@@ -1282,5 +1379,5 @@ object Gvcf {
     Seq(combineMerge, sampleIndexQuery, gvcfExport, siteStats, mergeBands,
       coverageHist, tiTv, breadth, mendel, concordance, covGaps,
       intervalOverlap, genotypeGvcfQuery, gvcfHeader, rebandMergedQuery,
-      combineIncremental)
+      combineIncremental, combineWide)
 }
