@@ -26,8 +26,16 @@ case class BlockState(start: Long, end: Long, gq: Int)
 case class FilledCall(sample: String, contig: String, pos: Long, covered: Boolean, gq: Int,
     seq: Long = 0L)
 
-/** A combined per-site row re-emitted whenever any member call changes. */
-case class CombinedSite(contig: String, pos: Long, n_samples: Int, calls: String)
+/** A combined per-site row re-emitted whenever any member call changes.
+  * `ver` is the highest contributing [[FilledCall.seq]] in the site's
+  * state — a data-carried version that makes each emission a VERSIONED
+  * store record: land emissions in a [[graft.sources.VariantStoreSink]]
+  * (`key, ver, payload` layout) and `VariantStore.readAsOf(t)` replays
+  * the combined cohort exactly as it stood after the producer's seq-t
+  * events (StreamingSpec pins this end to end). Zero-seq producers get
+  * ver 0 on every emission — latest-wins resolution unchanged. */
+case class CombinedSite(contig: String, pos: Long, n_samples: Int, calls: String,
+    ver: Long = 0L)
 
 /** Structured Streaming surface (SURVEY §2C C8/C9/C10): the same
   * declarative expressions as the batch Pipeline windows, applied to an
@@ -212,7 +220,8 @@ object Streaming {
           }
           state.update(upd)
           Iterator.single(CombinedSite(key._1, key._2, upd.size,
-            upd.keys.toSeq.sorted.map(k => upd(k)._2).mkString(";")))
+            upd.keys.toSeq.sorted.map(k => upd(k)._2).mkString(";"),
+            upd.values.map(_._1).max))
       }
   }
 

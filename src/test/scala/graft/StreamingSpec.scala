@@ -478,6 +478,54 @@ class StreamingSpec extends SparkSpec {
       s"compacted ranges overlap: $ranges")
   }
 
+  test("streamingCombine -> store sink -> readAsOf closes the reference's online loop") {
+    // The full ingest architecture end to end: densified calls stream
+    // through the combine, every touched site's emission lands in the
+    // versioned store as (key=pos, ver=max contributing seq, payload=
+    // calls), and readAsOf at each producer-seq boundary reconstructs
+    // the combined cohort EXACTLY as a batch combine of the prefix —
+    // the store is the stream's history, not just its latest state.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.FilledCall
+    val dir = java.nio.file.Files.createTempDirectory("graft_e2e_loop").toString
+    val input = MemoryStream[FilledCall]
+    val q = Streaming.streamingCombine(input.toDS())
+      .select($"pos".as("key"), $"ver", $"calls".as("payload"))
+      .writeStream.format("graft.sources.VariantStoreSink")
+      .option("path", s"$dir/store").option("checkpointLocation", s"$dir/chk")
+      .outputMode("append").start()
+    // epoch e stamps seq=e, so the data-carried ver IS the prefix bound
+    val epochs = Seq(
+      Seq(FilledCall("s1", "chr1", 10L, covered = true, gq = 50, seq = 1L),
+        FilledCall("s2", "chr1", 10L, covered = false, gq = 30, seq = 1L),
+        FilledCall("s1", "chr1", 20L, covered = true, gq = 60, seq = 1L)),
+      Seq(FilledCall("s3", "chr1", 10L, covered = true, gq = 20, seq = 2L), // widen site 10
+        FilledCall("s2", "chr1", 20L, covered = true, gq = 40, seq = 2L)),  // widen site 20
+      Seq(FilledCall("s2", "chr1", 10L, covered = true, gq = 75, seq = 3L))) // UPDATE s2@10
+    try {
+      epochs.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    def render(c: FilledCall) =
+      s"${c.sample}:${if (c.covered) "0/0" else "./."}:${c.gq}"
+    // batch reference: combine of all calls with seq <= t (highest seq
+    // wins per (pos, sample))
+    def batchCombine(t: Long): Map[Long, String] =
+      epochs.flatten.filter(_.seq <= t)
+        .groupBy(_.pos).map { case (pos, cs) =>
+          val bySample = cs.groupBy(_.sample)
+            .map { case (smp, dd) => smp -> render(dd.maxBy(_.seq)) }
+          pos -> bySample.keys.toSeq.sorted.map(bySample).mkString(";")
+        }
+    for (t <- 1L to 3L) {
+      val snap = graft.sources.VariantStore
+        .readAsOf(spark, s"$dir/store", "key LONG, ver LONG, payload STRING", t)
+        .select("key", "payload").as[(Long, String)].collect().toMap
+      assert(snap == batchCombine(t),
+        s"as-of $t != batch combine of the seq<=$t prefix:\n$snap\n${batchCombine(t)}")
+    }
+  }
+
   test("Misra-Gries heavy-hitter candidates aggregate inside streaming windows") {
     // the MG summary is merge-based, so per-window candidate sets
     // accumulate across micro-batches like any built-in aggregate;
