@@ -41,13 +41,24 @@ object Dedup {
     * The residual bound is the collect_list itself: bucket width ≈ the
     * largest near-duplicate cluster. That is the standard contract —
     * run exact dedup (q_dedup_exact) BEFORE near-dedup so mass-
-    * duplicated boilerplate collapses first; adversarially wide
-    * residual buckets would need triangle-join salting, deliberately
-    * out of scope here. */
-  private def bucketPairs(bucketed: DataFrame, keys: Seq[String]): DataFrame =
+    * duplicated boilerplate collapses first — but the contract is now
+    * ENFORCED, not assumed: a bucket wider than [[MaxBucketWidth]] is
+    * truncated to its [[MaxBucketWidth]] lowest doc_ids (sort_array
+    * makes the kept set a pure function of content), so one degenerate
+    * band key (all-empty documents, a template page repeated millions
+    * of times) caps at MaxBucketWidth²/2 pairs instead of going
+    * quadratic in the bucket. Width is organic-cluster-scale at every
+    * tested sf (PropertySpec plants a hot bucket to pin the bound);
+    * truncation trades recall ONLY inside a pathological bucket, where
+    * the survivors are near-identical boilerplate anyway. */
+  val MaxBucketWidth = 4096
+
+  private[graft] def bucketPairs(bucketed: DataFrame, keys: Seq[String],
+      maxWidth: Int = MaxBucketWidth): DataFrame =
     bucketed.groupBy(keys.map(col): _*)
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds0"))
+      .filter(size(col("ds0")) > 1)
+      .select(slice(col("ds0"), 1, maxWidth).as("ds"))
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
       .select(explode(expr(
         """transform(filter(ds, b -> b.doc_id > a.doc_id),

@@ -66,6 +66,28 @@ class DedupSpec extends SparkSpec {
         s"unrelated doc $other closer than the planted dup")
   }
 
+  test("hot LSH bucket caps at MaxBucketWidth lowest doc_ids (planted degenerate key)") {
+    // 100 docs land in ONE band bucket (the template-page / empty-text
+    // degeneracy) + a 3-member organic bucket. With the cap at 8, pair
+    // expansion must stay at C(8,2) for the hot bucket — not C(100,2) —
+    // and keep exactly the 8 lowest doc_ids (content-deterministic
+    // truncation, invariant under input partitioning).
+    val hot = (0L until 100L).map(i => (i, Seq(1L, 2L), 0, "hot"))
+    val organic = Seq((200L, Seq(3L, 4L), 1, "ok"), (201L, Seq(3L, 5L), 1, "ok"),
+      (202L, Seq(3L, 6L), 1, "ok"))
+    def pairs(parts: Int) = Dedup.bucketPairs(
+      (hot ++ organic).toDF("doc_id", "sig", "band", "bh").repartition(parts),
+      Seq("band", "bh"), maxWidth = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val p = pairs(4)
+    val hotPairs = p.filter(_._1 < 100L)
+    assert(hotPairs.size == 8 * 7 / 2, s"cap failed: ${hotPairs.size} hot pairs")
+    assert(hotPairs.flatMap(t => Seq(t._1, t._2)) == (0L until 8L).toSet,
+      "truncation must keep the lowest doc_ids")
+    assert(p.filter(_._1 >= 100L).size == 3, "organic bucket disturbed by the cap")
+    assert(pairs(13) == p, "cap not deterministic across partitioning")
+  }
+
   test("connected components: chain merges transitively, islands stay apart") {
     val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
     // 1-2, 2-3 chain (3 reaches 1 only transitively); 10-11 pair; 20 alone.
