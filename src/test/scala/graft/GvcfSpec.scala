@@ -197,6 +197,29 @@ class GvcfSpec extends SparkSpec {
     assert(p15(3) == "G" && p15(4) == "A,<NON_REF>" && p15.drop(9) == Seq("0/1:99", "0/0:42", "./.:."))
   }
 
+  test("export and genotyping hold at cohort WIDTH (50-sample wide cohort)") {
+    // The wide-cohort generator drives combine through the oracle
+    // (q_combine_wide); this pins the OTHER two wide-row consumers at
+    // width: every export line renders exactly nSamples cells (no
+    // dropped/duplicated sample columns at fan-in 50) and genotypeGvcf
+    // genotypes every covered sample at every site.
+    val nS = 50L
+    val wide = Gvcf.syntheticVariantsWide(spark, nS, nPositions = 24L)
+    val lines = Gvcf.exportLines(wide).select("line").as[String].collect()
+    assert(lines.length == 24, s"expected one line per position, got ${lines.length}")
+    assert(lines.forall(_.split("\t", -1).length == 9L + nS),
+      "every export line must carry one cell per cohort sample")
+    // every sample is covered everywhere (site or spanning block), so no
+    // missing cells anywhere at this width
+    assert(!lines.exists(_.contains("./.:.")), "unexpected missing cell in dense cohort")
+    val gt = Gvcf.genotypeGvcf(
+      wide.selectExpr("*", "CAST(gq % 30 + 10 AS INT) AS dp",
+        "CAST(NULL AS ARRAY<INT>) AS pl"))
+      .select("n_samples").as[Long].collect()
+    assert(gt.length == 24 && gt.forall(_ == nS),
+      s"genotypeGvcf must genotype all $nS samples at every site: ${gt.toSeq.distinct}")
+  }
+
   test("coverageHistogram: sweep-line depths match hand-counted bases") {
     // fixture covers chr1 [1,30] with both samples everywhere → depth 2
     // for all 30 bases, except nothing: a covers [1,30] via 3 records,
