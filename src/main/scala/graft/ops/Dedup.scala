@@ -47,10 +47,14 @@ object Dedup {
     * makes the kept set a pure function of content), so one degenerate
     * band key (all-empty documents, a template page repeated millions
     * of times) caps at MaxBucketWidth²/2 pairs instead of going
-    * quadratic in the bucket. Width is organic-cluster-scale at every
-    * tested sf (PropertySpec plants a hot bucket to pin the bound);
-    * truncation trades recall ONLY inside a pathological bucket, where
-    * the survivors are near-identical boilerplate anyway. */
+    * quadratic in the bucket. The SAME cap is mirrored in every
+    * bucketPairs-backed oracle (QUALIFY row_number ≤ MaxBucketWidth per
+    * bucket), so engine and oracle stay value-identical even if a
+    * corpus ever produces a bucket wider than the cap. Width is
+    * organic-cluster-scale at every tested sf (DedupSpec plants a hot
+    * bucket to pin the bound); truncation trades recall ONLY inside a
+    * pathological bucket, where the survivors are near-identical
+    * boilerplate anyway. */
   val MaxBucketWidth = 4096
 
   private[graft] def bucketPairs(bucketed: DataFrame, keys: Seq[String],
@@ -166,7 +170,8 @@ object Dedup {
       |  SELECT doc_id, sig, b,
       |    array_to_string(list_transform(range(1, $BandRows + 1),
       |      r -> CAST(sig[$BandRows*b+r] AS VARCHAR)), ':') AS bh
-      |  FROM sig, range(${NumPerms / BandRows}) rb(b)),
+      |  FROM sig, range(${NumPerms / BandRows}) rb(b)
+      |  QUALIFY row_number() OVER (PARTITION BY b, bh ORDER BY doc_id) <= $MaxBucketWidth),
       |cand AS (
       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sig AS sa, y.sig AS sb
       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)
@@ -300,7 +305,7 @@ object Dedup {
     * property-test-only while it used engine-specific xxhash64). */
   val dedupSimhash = Query(
     "q_dedup_simhash",
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |tok AS (
       |  SELECT doc_id, len(t) AS n, substring(md5(unnest(t)), 1, 16) AS hx
       |  FROM toks),
@@ -320,7 +325,8 @@ object Dedup {
       |  FROM perdigit GROUP BY doc_id),
       |chunks AS (
       |  SELECT doc_id, sig, c, substring(sig, 4 * c + 1, 4) AS chunk
-      |  FROM sig, range(4) rc(c)),
+      |  FROM sig, range(4) rc(c)
+      |  QUALIFY row_number() OVER (PARTITION BY c, chunk ORDER BY doc_id) <= $MaxBucketWidth),
       |cand AS (
       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sig AS sa, y.sig AS sb
       |  FROM chunks x JOIN chunks y ON x.c = y.c AND x.chunk = y.chunk
@@ -376,7 +382,8 @@ object Dedup {
       |  SELECT doc_id, b,
       |    array_to_string(list_transform(range(1, $BandRows + 1),
       |      r -> CAST(sig[$BandRows*b+r] AS VARCHAR)), ':') AS bh
-      |  FROM sig, range(${NumPerms / BandRows}) rb(b)),
+      |  FROM sig, range(${NumPerms / BandRows}) rb(b)
+      |  QUALIFY row_number() OVER (PARTITION BY b, bh ORDER BY doc_id) <= $MaxBucketWidth),
       |cand AS (
       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)

@@ -59,10 +59,13 @@ object Gvcf {
       .withColumn("grp", sum(newGrp).over(run))
       .groupBy(col("sample"), col("contig"), col("grp"), col("band"))
       .agg(min(col("start")).as("start"), max(col("end")).as("end"),
-        // group-constant (blocks all carry the ref-block alleles); max()
-        // not first() — first() is flagged non-deterministic and poisons
-        // plan canonicalization / exchange reuse (see mergedSiteAgg doc).
-        max(col("alleles")).as("alleles"), min(col("gq")).as("gq"))
+        // NOT group-constant: touching same-band blocks can carry
+        // different ref bases, and the merged block takes the ref at its
+        // START (gVCF convention). min_by on the unique in-group start is
+        // deterministic — never first(), which is flagged
+        // non-deterministic and poisons plan canonicalization / exchange
+        // reuse (see mergedSiteAgg doc).
+        expr("min_by(alleles, start)").as("alleles"), min(col("gq")).as("gq"))
       .withColumn("kind", lit("block"))
       .select("sample", "contig", "start", "end", "kind", "alleles", "gq")
     merged.unionByName(variants.filter(col("kind") === "site"))
@@ -78,7 +81,14 @@ object Gvcf {
     * (site, covering record). PRECONDITION (a gVCF file invariant): a
     * sample's records do not overlap each other — exactly one covering
     * record per (site, covered sample). Overlapping per-sample records
-    * (corrupt input) would duplicate that sample's coverage row. */
+    * (corrupt input) duplicate that sample's coverage row, and the
+    * consumers deliberately differ in how they degrade: combineSites /
+    * genotypeGvcf render the sample twice and over-count n_samples
+    * (visible, greppable damage in the output), while exportLines
+    * dedups to the max-GQ record first — NOT for extra correctness,
+    * but because its map build would otherwise ABORT the whole export
+    * under mapKeyDedupPolicy=EXCEPTION, turning one corrupt sample
+    * into a dead 100 TB job. Validate-at-ingest is the real fix. */
   private def siteCoverage(v: DataFrame, bucketWidth: Long): DataFrame = {
     val sites = v.filter(col("kind") === "site")
       .select(col("contig"), col("start").as("pos")).distinct()

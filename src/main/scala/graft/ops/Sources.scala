@@ -379,7 +379,11 @@ object Sources {
     * payload. Three generations: a v1 bulk load of the 10% order-key
     * slice, a v2 tombstone generation revoking keys ≡0 (mod 3) — the
     * genomics consent-withdrawal case — and a v3 re-put resurrecting
-    * the ≡0 (mod 6) half of them. Four reads prove the full lifecycle:
+    * the ≡0 (mod 9) THIRD of them (within the mod-10 slice, %3 picks
+    * multiples of 30 and %9 multiples of 90 — a PROPER subset, so the
+    * reads cover resurrected AND still-tombstoned keys; %6 would have
+    * re-put every deleted key and made the still-gone case vacuous).
+    * Four reads prove the full lifecycle:
     * as-of 1 (pre-delete, all keys), as-of 2 (revoked keys GONE),
     * as-of 3 (re-put keys back with the new payload, the rest still
     * gone — put-after-delete resurrection), and the live
@@ -394,8 +398,8 @@ object Sources {
       |v1 AS (SELECT key, prio AS payload FROM base),
       |v2 AS (SELECT key, prio AS payload FROM base WHERE key % 3 <> 0),
       |v3 AS (SELECT key,
-      |         CASE WHEN key % 6 = 0 THEN 'R3-' || prio ELSE prio END AS payload
-      |       FROM base WHERE key % 3 <> 0 OR key % 6 = 0)
+      |         CASE WHEN key % 9 = 0 THEN 'R3-' || prio ELSE prio END AS payload
+      |       FROM base WHERE key % 3 <> 0 OR key % 9 = 0)
       |SELECT CAST(1 AS BIGINT) AS as_of, payload,
       |  CAST(count(*) AS BIGINT) AS n, CAST(sum(key) AS BIGINT) AS sum_key
       |FROM v1 GROUP BY payload
@@ -423,7 +427,7 @@ object Sources {
         .option("path", dir).mode(if (ver == 1L) "overwrite" else "append").save()
     gen(1L, lit(true), col("o_orderpriority"))
     gen(2L, col("o_orderkey") % 3 === 0, lit(graft.sources.VariantStore.Tombstone))
-    gen(3L, col("o_orderkey") % 6 === 0, concat(lit("R3-"), col("o_orderpriority")))
+    gen(3L, col("o_orderkey") % 9 === 0, concat(lit("R3-"), col("o_orderpriority")))
     def agg(df: DataFrame, label: Long): DataFrame =
       df.groupBy("payload")
         .agg(count(lit(1)).as("n"), sum(col("key")).cast(LongType).as("sum_key"))

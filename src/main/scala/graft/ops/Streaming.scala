@@ -27,15 +27,27 @@ case class FilledCall(sample: String, contig: String, pos: Long, covered: Boolea
     seq: Long = 0L)
 
 /** A combined per-site row re-emitted whenever any member call changes.
-  * `ver` is the highest contributing [[FilledCall.seq]] in the site's
-  * state — a data-carried version that makes each emission a VERSIONED
-  * store record: land emissions in a [[graft.sources.VariantStoreSink]]
-  * (`key, ver, payload` layout) and `VariantStore.readAsOf(t)` replays
-  * the combined cohort exactly as it stood after the producer's seq-t
-  * events (StreamingSpec pins this end to end). Zero-seq producers get
-  * ver 0 on every emission — latest-wins resolution unchanged. */
+  * `ver` is a STRICTLY INCREASING per-site emission version: when a
+  * batch advances the site's max [[FilledCall.seq]], ver == that max
+  * seq — so for in-order producers, landing emissions in a
+  * [[graft.sources.VariantStoreSink]] (`key, ver, payload` layout)
+  * makes `VariantStore.readAsOf(t)` replay the combined cohort exactly
+  * as it stood after the producer's seq-t events (StreamingSpec pins
+  * this end to end). A batch that does NOT advance the max seq (an
+  * out-of-order late event, or a zero-seq producer's re-emission)
+  * takes previous-ver + 1 instead: reusing an emitted ver would put
+  * two rows at the same (key, ver) and leave the winner to the store's
+  * content tiebreak — possibly the STALE emission. The rewritten
+  * history becomes visible from the new ver on, which is the honest
+  * semantics for late data (a site-level store cannot backdate one
+  * sample's cell). First emission of a zero-seq producer is ver 0. */
 case class CombinedSite(contig: String, pos: Long, n_samples: Int, calls: String,
     ver: Long = 0L)
+
+/** Per-site streaming-combine state: the latest (seq, rendered call)
+  * per sample plus the last emitted version (kept so re-emissions can
+  * never reuse a ver — see [[CombinedSite]]). */
+case class SiteCombineState(calls: Map[String, (Long, String)], emittedVer: Long)
 
 /** Structured Streaming surface (SURVEY §2C C8/C9/C10): the same
   * declarative expressions as the batch Pipeline windows, applied to an
@@ -191,7 +203,7 @@ object Streaming {
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {
         (key: (String, Long), batch: Iterator[FilledCall],
-         state: GroupState[Map[String, (Long, String)]]) =>
+         state: GroupState[SiteCombineState]) =>
           // The winner criterion is the SAME within and across batches —
           // highest `seq` first — so where a micro-batch boundary falls
           // cannot change the persisted state (a covered→uncovered
@@ -211,17 +223,24 @@ object Streaming {
               val c = cs.maxBy(c => (c.seq, c.covered, c.gq))
               smp -> (c.seq, s"${c.sample}:${if (c.covered) "0/0" else "./."}:${c.gq}")
             }
-          val prev = state.getOption.getOrElse(Map.empty[String, (Long, String)])
+          val prevState = state.getOption
+          val prev = prevState.map(_.calls).getOrElse(Map.empty[String, (Long, String)])
           val upd = best.foldLeft(prev) { case (acc, (smp, cand)) =>
             acc.get(smp) match {
               case Some((storedSeq, _)) if storedSeq > cand._1 => acc // stored is newer
               case _ => acc + (smp -> cand) // newer seq, or tie → latest batch wins
             }
           }
-          state.update(upd)
+          // strictly monotone emission ver (see CombinedSite doc): the
+          // advanced max seq when the batch moved it, else previous + 1
+          val maxSeq = upd.values.map(_._1).max
+          val ver = prevState match {
+            case Some(st) if maxSeq <= st.emittedVer => st.emittedVer + 1
+            case _ => maxSeq
+          }
+          state.update(SiteCombineState(upd, ver))
           Iterator.single(CombinedSite(key._1, key._2, upd.size,
-            upd.keys.toSeq.sorted.map(k => upd(k)._2).mkString(";"),
-            upd.values.map(_._1).max))
+            upd.keys.toSeq.sorted.map(k => upd(k)._2).mkString(";"), ver))
       }
   }
 

@@ -195,8 +195,9 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val round2 = spark.table("comb_out").as[graft.ops.CombinedSite].collect()
       val delta = round2.diff(round1)
+      // ver 1: a zero-seq re-emission may not reuse the emitted ver 0
       assert(delta.toSeq == Seq(graft.ops.CombinedSite("chr1", 10L, 3,
-        "s1:0/0:50;s2:./.:30;s3:./.:20")),
+        "s1:0/0:50;s2:./.:30;s3:./.:20", ver = 1L)),
         s"expected ONE re-emitted touched site with the merged calls: ${delta.toSeq}")
       // two same-sample calls for one site in ONE batch: the group
       // iterator's order is not guaranteed, so the winner must come from
@@ -476,6 +477,31 @@ class StreamingSpec extends SparkSpec {
     val ranges = after.map(_.split(",")).map(a => (a(2).toLong, a(3).toLong)).sortBy(_._1)
     assert(ranges.sliding(2).forall { case Seq((_, e), (s2, _)) => e < s2; case _ => true },
       s"compacted ranges overlap: $ranges")
+  }
+
+  test("streamingCombine emission vers stay unique under out-of-order seqs") {
+    // A late (lower-seq) event must re-emit under a NEW ver: reusing the
+    // already-emitted ver would park two rows at the same (key, ver) in
+    // the store and leave the winner to the content tiebreak — which can
+    // pick the STALE emission (e.g. "s9..." > "s1...;s9..." desc).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.{FilledCall, CombinedSite}
+    val input = MemoryStream[FilledCall]
+    val q = Streaming.streamingCombine(input.toDS())
+      .writeStream.format("memory").queryName("ooo_out")
+      .outputMode("append").start()
+    try {
+      input.addData(FilledCall("s9", "chr1", 10L, covered = true, gq = 50, seq = 5L))
+      q.processAllAvailable()
+      input.addData(FilledCall("s1", "chr1", 10L, covered = true, gq = 20, seq = 3L)) // late
+      q.processAllAvailable()
+      val out = spark.table("ooo_out").as[CombinedSite].collect().sortBy(_.ver)
+      assert(out.map(_.ver).toSeq == Seq(5L, 6L),
+        s"late event must take prev ver + 1, not reuse 5: ${out.toSeq}")
+      assert(out.last.calls == "s1:0/0:20;s9:0/0:50",
+        s"the newest ver must carry the merged cohort: ${out.toSeq}")
+    } finally q.stop()
   }
 
   test("streamingCombine -> store sink -> readAsOf closes the reference's online loop") {
