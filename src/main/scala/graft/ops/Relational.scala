@@ -937,6 +937,356 @@ object Relational {
       .orderBy("yr")
   }
 
+  /** TPC-H Q2 shape: min-cost supplier per part in a region. The testdata
+    * has no partsupp, so the part↔supplier association is "suppliers who
+    * shipped the part" (distinct (l_partkey, l_suppkey) from the fact)
+    * and "cost" is s_acctbal. The classic correlated-min subquery is
+    * expressed as a rank-1 window per part (what Catalyst decorrelates
+    * to anyway), tie-broken on s_suppkey so the result is total-order
+    * deterministic. At 100 TB the distinct-pairs projection shuffles on
+    * (partkey, suppkey) only — two longs per row — and the dims hash in
+    * after the heavy dedup, never before. */
+  val tpchQ2 = Query(
+    "q_tpch_q2",
+    """WITH shippers AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |eligible AS (
+      |  SELECT p_partkey, p_retailprice, s_suppkey, s_name, s_acctbal, n_name,
+      |    row_number() OVER (PARTITION BY p_partkey
+      |                       ORDER BY s_acctbal, s_suppkey) AS rn
+      |  FROM part
+      |  JOIN shippers ON p_partkey = l_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE' AND p_type = 'LARGE' AND p_size <= 10)
+      |SELECT p_partkey, p_retailprice, s_name, n_name, s_acctbal
+      |FROM eligible WHERE rn = 1
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val shippers = tbl(s, d, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    // supplier scales linearly — unhinted (q_tpch_q5 note); nation/region
+    // are fixed-cardinality and keep their broadcast hints.
+    val sup = tbl(s, d, "supplier")
+      .join(broadcast(tbl(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(tbl(s, d, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+    tbl(s, d, "part").filter(col("p_type") === "LARGE" && col("p_size") <= 10)
+      .join(shippers, col("p_partkey") === col("l_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("p_partkey").orderBy(col("s_acctbal"), col("s_suppkey"))))
+      .filter(col("rn") === 1)
+      .select("p_partkey", "p_retailprice", "s_name", "n_name", "s_acctbal")
+      .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q4 shape: order-priority checking — a correlated EXISTS that
+    * Spark plans as a LEFT SEMI join with a non-equi residual
+    * (l_shipdate > o_orderdate + 60 days stands in for the reference
+    * schema's commitdate < receiptdate, which the testdata lacks). The
+    * semi join never multiplies rows, so the aggregate input is bounded
+    * by the filtered orders — the shape that survives a 100× fact
+    * scale-up unchanged. */
+  val tpchQ4 = Query(
+    "q_tpch_q4",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      |  AND o_orderdate < TIMESTAMP '1997-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    tbl(s, d, "orders")
+      .filter(col("o_orderdate") >= ts("1997-07-01") &&
+        col("o_orderdate") < ts("1997-10-01"))
+      .join(tbl(s, d, "lineitem"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q9 shape: product-line profit by supplier nation and ship
+    * year. Without partsupp, cost is proxied as 0.1 × retailprice ×
+    * quantity. Both sums stay exact decimals to the end (the qty×price
+    * product is cast back to scale 4 — exact, the inputs carry ≤2
+    * fractional digits — keeping the unscaled sum far below 2^53 at any
+    * sf); the 0.1 factor and subtraction are the only IEEE steps,
+    * identical in both engines. Part filter prunes before the join. */
+  val tpchQ9 = Query(
+    "q_tpch_q9",
+    """SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS yr,
+      |  round(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |        (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE)
+      |      - 0.1 * CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(18,4)) *
+      |        CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,4))) AS DOUBLE), 4) AS profit
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY n_name, yr
+      |ORDER BY n_name, yr""".stripMargin) { (s, d) =>
+    tbl(s, d, "lineitem")
+      // part/supplier scale linearly — unhinted, AQE decides.
+      .join(tbl(s, d, "part").filter(col("p_name").like("%widget%")),
+        col("p_partkey") === col("l_partkey"))
+      .join(tbl(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(tbl(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).cast(LongType).as("yr"))
+      .agg(
+        round(sum(dec("l_extendedprice") * (oneDec - dec("l_discount"))), 4)
+          .cast(DoubleType).as("rev"),
+        sum((dec("p_retailprice") * dec("l_quantity")).cast(DecimalType(18, 4)))
+          .cast(DoubleType).as("cost"))
+      .select(col("n_name"), col("yr"),
+        round(col("rev") - lit(0.1) * col("cost"), 4).as("profit"))
+      .orderBy("n_name", "yr")
+  }
+
+  /** TPC-H Q11 shape: important-stock scan — per-part value (for one
+    * region's suppliers) kept only where it exceeds a fraction of the
+    * GLOBAL value: a group-by against a broadcast scalar-aggregate
+    * subquery. The global total is its own exact decimal sum over the
+    * same filtered fact (never a float sum of per-group floats, which
+    * would be partition-order dependent), so the threshold compare is
+    * bit-deterministic in both engines. */
+  val tpchQ11 = Query(
+    "q_tpch_q11",
+    """WITH base AS (
+      |  SELECT l_partkey,
+      |    CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |      (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4))) AS v
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA'),
+      |v AS (SELECT l_partkey, CAST(round(sum(v), 4) AS DOUBLE) AS value
+      |      FROM base GROUP BY l_partkey),
+      |tot AS (SELECT CAST(round(sum(v), 4) AS DOUBLE) AS total FROM base)
+      |SELECT l_partkey, value
+      |FROM v, tot
+      |WHERE value > 0.001 * total
+      |ORDER BY value DESC, l_partkey
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val base = tbl(s, d, "lineitem")
+      .join(tbl(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(tbl(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(tbl(s, d, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("l_partkey"),
+        (dec("l_extendedprice") * (oneDec - dec("l_discount"))).as("v"))
+    val perPart = base.groupBy("l_partkey")
+      .agg(round(sum(col("v")), 4).cast(DoubleType).as("value"))
+    val total = base.agg(round(sum(col("v")), 4).cast(DoubleType).as("total"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value") > lit(0.001) * col("total"))
+      .select("l_partkey", "value")
+      .orderBy(desc("value"), col("l_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q12 shape: shipping-class vs order-priority matrix — a
+    * fact-fact join whose aggregate is two complementary conditional
+    * counts (the CASE-sum idiom). l_returnflag stands in for the
+    * reference schema's l_shipmode; "late" is shipdate ≥ orderdate+30d.
+    * One shuffle on orderkey, partial CASE-sums under the exchange. */
+  val tpchQ12 = Query(
+    "q_tpch_q12",
+    """SELECT l_returnflag AS ship_class,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_returnflag IN ('A','R')
+      |  AND l_shipdate >= o_orderdate + INTERVAL 30 DAY
+      |  AND l_shipdate >= TIMESTAMP '1998-01-01'
+      |  AND l_shipdate < TIMESTAMP '1999-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    tbl(s, d, "orders")
+      .join(tbl(s, d, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate") >= ts("1998-01-01") &&
+          col("l_shipdate") < ts("1999-01-01")),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("l_returnflag").as("ship_class"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("ship_class")
+  }
+
+  /** TPC-H Q15 shape: top supplier — a named revenue view consumed
+    * twice: once per-supplier, once reduced to its scalar max, equality
+    * against the broadcast 1-row max (ties all surface, keyed order).
+    * The revenue doubles come from exact decimal sums, so the equality
+    * compare is safe; the view is computed once per consumer and both
+    * consumers are one scan + one hash agg. */
+  val tpchQ15 = Query(
+    "q_tpch_q15",
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |         (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE)
+      |      AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val revenue = tbl(s, d, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1997-04-01"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(round(sum(dec("l_extendedprice") * (oneDec - dec("l_discount"))), 4)
+        .cast(DoubleType).as("total_revenue"))
+    val best = revenue.agg(max(col("total_revenue")).as("mx"))
+    tbl(s, d, "supplier")
+      .join(revenue, col("s_suppkey") === col("supplier_no"))
+      .crossJoin(broadcast(best))
+      .filter(col("total_revenue") === col("mx"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q17 shape: small-quantity-order revenue — the correlated
+    * scalar-average subquery (each line compared against 20% of ITS
+    * part's average quantity), decorrelated to a per-part aggregate
+    * joined back to the fact, which is exactly Catalyst's own rewrite.
+    * Quantities are integral doubles, so the averages are exact in both
+    * engines and the strict < threshold cannot straddle an ulp. The
+    * per-part average is computed only for the brand's parts (identical
+    * result, a fraction of the work). */
+  val tpchQ17 = Query(
+    "q_tpch_q17",
+    """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 4)
+      |    AS avg_yearly,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#3'
+      |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+      |                    WHERE l2.l_partkey = p_partkey)""".stripMargin) { (s, d) =>
+    val brandParts = tbl(s, d, "part")
+      .filter(col("p_brand") === "Brand#3").select("p_partkey")
+    val brandLines = tbl(s, d, "lineitem")
+      .join(brandParts, col("l_partkey") === col("p_partkey"))
+    val avgQty = brandLines.groupBy(col("l_partkey").as("ap_key"))
+      .agg(avg(col("l_quantity")).as("avg_q"))
+    brandLines
+      .join(avgQty, col("l_partkey") === col("ap_key"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_q"))
+      .agg(round(sum(dec("l_extendedprice")).cast(DoubleType) / 7.0, 4).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q20 shape: suppliers with heavy shipments of selected parts —
+    * the nested-IN pattern (part name scan → fact group-having → supplier
+    * membership), planned as two stacked LEFT SEMI joins, so no row ever
+    * multiplies and the having-aggregate input is pre-pruned by the part
+    * semi join. Quantity sums are integral-exact. */
+  val tpchQ20 = Query(
+    "q_tpch_q20",
+    """SELECT s_suppkey, s_name, n_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE'
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |      AND l_shipdate < TIMESTAMP '1998-01-01'
+      |    GROUP BY l_suppkey
+      |    HAVING sum(l_quantity) > 50)
+      |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val redParts = tbl(s, d, "part")
+      .filter(col("p_name").like("red%")).select("p_partkey")
+    val heavy = tbl(s, d, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_quantity")).as("qty"))
+      .filter(col("qty") > 50)
+      .select("l_suppkey")
+    tbl(s, d, "supplier")
+      .join(broadcast(tbl(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(tbl(s, d, "region").filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "n_name")
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q21 shape: suppliers who kept orders waiting — the
+    * EXISTS + NOT-EXISTS pair over the SAME fact in three roles: this
+    * supplier's late line, any other supplier on the order, no OTHER
+    * supplier also late. Planned as a semi join then an anti join, both
+    * equi on orderkey with a non-equi suppkey residual — row counts only
+    * ever shrink, and the late-lines projection (two longs) is computed
+    * once and reused for both probe sides. l_shipdate > o_orderdate+60d
+    * proxies the reference schema's receipt/commit lateness. */
+  val tpchQ21 = Query(
+    "q_tpch_q21",
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderstatus = 'F' AND r_name = 'ASIA'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val ordersF = tbl(s, d, "orders")
+      .filter(col("o_orderstatus") === "F").select("o_orderkey", "o_orderdate")
+    // All late lines of finished orders, projected to two longs — built
+    // once, consumed as the driving side AND the NOT-EXISTS probe side.
+    val lateAll = tbl(s, d, "lineitem")
+      .join(ordersF, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select("l_orderkey", "l_suppkey")
+    val supRegion = tbl(s, d, "supplier")
+      .join(broadcast(tbl(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(tbl(s, d, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name")
+    val others = tbl(s, d, "lineitem")
+      .select(col("l_orderkey").as("o2_key"), col("l_suppkey").as("o2_supp"))
+    val lateOthers = lateAll
+      .select(col("l_orderkey").as("o3_key"), col("l_suppkey").as("o3_supp"))
+    lateAll
+      .join(supRegion, col("l_suppkey") === col("s_suppkey"))
+      .join(others,
+        col("l_orderkey") === col("o2_key") && col("o2_supp") =!= col("l_suppkey"),
+        "left_semi")
+      .join(lateOthers,
+        col("l_orderkey") === col("o3_key") && col("o3_supp") =!= col("l_suppkey"),
+        "left_anti")
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(20)
+  }
+
   /** LATERAL correlated subquery: each customer's two most expensive
     * orders via a per-row dependent subquery — the SQL-standard sibling
     * of the ranked-window top-k-per-group (Catalyst decorrelates the
@@ -1020,7 +1370,8 @@ object Relational {
 
   val queries: Seq[Query] = Seq(
     tpchQ3, tpchQ5, tpchQ7, tpchQ18, tpchQ10, tpchQ6, tpchQ14, tpchQ19,
-    tpchQ13, tpchQ22, tpchQ8, lateralTopk, setOpsAll, nullsafeJoin,
+    tpchQ13, tpchQ22, tpchQ8, tpchQ2, tpchQ4, tpchQ9, tpchQ11, tpchQ12,
+    tpchQ15, tpchQ17, tpchQ20, tpchQ21, lateralTopk, setOpsAll, nullsafeJoin,
     joinOuter, mapFuncs,
     scanProject, filterRange, joinBroadcast, aggCountByKey,
     aggLinestatus, aggDistinct, rollup, cube, joinShuffle, joinSemi,

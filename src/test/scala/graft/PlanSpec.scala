@@ -292,4 +292,43 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
       "expand joins did not broadcast")
   }
+
+  test("TPC-H exists/not-exists shapes plan as semi/anti joins (q4, q20, q21)") {
+    // EXISTS → LeftSemi, NOT EXISTS → LeftAnti: row counts only ever
+    // shrink through these joins, so the aggregate input stays bounded by
+    // the driving side at any fact scale. A CartesianProduct here would
+    // mean the non-equi residual (suppkey <>, shipdate >) fell off the
+    // equi key and went quadratic.
+    val p4 = plan(Relational.tpchQ4)
+    assert(p4.contains("LeftSemi"), s"q4 EXISTS did not plan as semi join:\n${p4.take(1200)}")
+    val p20 = plan(Relational.tpchQ20)
+    assert("LeftSemi".r.findAllIn(p20).size >= 2,
+      s"q20 nested INs did not stack two semi joins:\n${p20.take(1200)}")
+    val p21 = plan(Relational.tpchQ21)
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      s"q21 exists/not-exists pair did not plan as semi+anti:\n${p21.take(1200)}")
+    for ((n, p) <- Seq("q4" -> p4, "q20" -> p20, "q21" -> p21))
+      assert(!p.contains("CartesianProduct"), s"$n went quadratic")
+  }
+
+  test("TPC-H scalar-subquery shapes broadcast the 1-row side (q11, q15)") {
+    // the global total / global max is a 1-row aggregate — it must come
+    // back as a broadcast (nested-loop against one row is O(n)), never as
+    // a shuffle or a driver collect.
+    for ((n, q) <- Seq("q11" -> Relational.tpchQ11, "q15" -> Relational.tpchQ15)) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$n scalar side did not broadcast:\n${p.take(1200)}")
+      assert(!p.contains("CartesianProduct"), s"$n went quadratic")
+    }
+  }
+
+  test("q_tpch_q2 ranks suppliers per part in one window, no cartesian") {
+    // the correlated-min decorrelates to a single row_number window over
+    // the (part ⋈ distinct-shippers ⋈ supplier) join — one exchange on
+    // p_partkey, never an all-pairs compare.
+    val p = plan(Relational.tpchQ2)
+    assert(p.contains("Window"), "rank-1 selection lost its window")
+    assert(!p.contains("CartesianProduct"), "q2 went quadratic")
+  }
 }
