@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -707,6 +707,15 @@ object Pipeline {
       |FROM t, g
       |ORDER BY score DESC, doc_id
       |LIMIT 10""".stripMargin) { (s, d) =>
+    bm25Scored(s, d)
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(10)
+  }
+
+  /** The q_bm25 scoring pass over the FULL corpus (doc_id, lang, dl,
+    * score), shared verbatim by [[bm25]] and the hybrid-fusion
+    * [[hybridRrf]] so the two can never diverge on a score. */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val toks = split(col("text"), " ")
     val tf = (term: String) =>
       size(filter(toks, x => x === term)).cast(LongType)
@@ -730,8 +739,6 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("dl"),
         round(term(col("tf1"), col("df1")) + term(col("tf2"), col("df2")) +
           term(col("tf3"), col("df3")), 6).as("score"))
-      .orderBy(desc("score"), col("doc_id"))
-      .limit(10)
   }
 
   /** Overlapping-window chunking (RAG/context-window prep): each doc is
@@ -900,9 +907,137 @@ object Pipeline {
       .orderBy(desc("n_docs"), desc("n_occ"), col("chunk"))
   }
 
+  /** Unigram-LM quality scoring (the CCNet/Gopher perplexity-filter
+    * shape): per-token surprisal against the corpus's own unigram model,
+    * averaged per document — high bits/token = rare-token-heavy (noise,
+    * boilerplate salad); low = repetitive filler. ln() is not
+    * bit-portable across engines (the q_bm25 lesson), so surprisal is
+    * INTEGER bits: floor(log2(N/cnt)) computed exactly as
+    * length(bin(N div cnt)) - 1 — every step integer arithmetic in both
+    * engines, the single final mean one IEEE division. Scale shape: one
+    * explode, a vocab-keyed count (map-side combined, vocab-bounded),
+    * an equi-join of tokens to vocab, one doc-keyed regroup — no
+    * all-pairs, no driver state; the 1-row N total broadcasts. */
+  val lmScore = Query(
+    "q_lm_score",
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+      |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok),
+      |b AS (
+      |  SELECT tok.doc_id, tok.lang,
+      |    CAST(length(bin(n_total // c)) - 1 AS BIGINT) AS bits
+      |  FROM tok JOIN cnt ON tok.token = cnt.token, n)
+      |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(bits) AS BIGINT) AS total_bits,
+      |  round(CAST(sum(bits) AS DOUBLE) / count(*), 6) AS bits_per_token
+      |FROM b GROUP BY doc_id, lang
+      |ORDER BY bits_per_token DESC, doc_id
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val tok = tbl(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+    val cnt = tok.groupBy("token").agg(count(lit(1)).as("c"))
+    val nTotal = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(cnt, "token")
+      .crossJoin(broadcast(nTotal))
+      .select(col("doc_id"), col("lang"),
+        (length(bin(expr("n_total div c"))) - 1).cast(LongType).as("bits"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("bits")).as("total_bits"),
+        round(sum(col("bits")).cast(DoubleType) / count(lit(1)), 6).as("bits_per_token"))
+      .orderBy(desc("bits_per_token"), col("doc_id"))
+      .limit(100)
+  }
+
+  /** Hybrid retrieval fusion (RRF, k=60): the BM25 lexical ranking and
+    * the cosine embedding ranking each produce a top-300 candidate pool
+    * (TakeOrderedAndProject — neither ranker ever globally sorts or
+    * single-partitions the corpus; the global row_number runs on the
+    * 300-row pools only), fused by reciprocal rank on doc_id = vec_id.
+    * Ranks are integers and the RRF sum is a fixed two-term expression,
+    * so fusion is exact given the (already engine-exact) leg scores.
+    * This is the candidate-generation → fusion shape that scales: pools
+    * stay K-sized no matter the corpus. */
+  val hybridRrf = Query(
+    "q_hybrid_rrf",
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'batch')) AS BIGINT) AS tf1,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'join')) AS BIGINT) AS tf2,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'filter')) AS BIGINT) AS tf3
+       |  FROM documents),
+       |g AS (
+       |  SELECT count(*) AS n,
+       |    CAST(sum(CAST(dl AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avgdl,
+       |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+       |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+       |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+       |  FROM t),
+       |scored AS (
+       |  SELECT doc_id,
+       |    round(
+       |      ((CAST(n - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+       |        * (CAST(tf1 AS DOUBLE) * 2.2
+       |           / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) +
+       |      ((CAST(n - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+       |        * (CAST(tf2 AS DOUBLE) * 2.2
+       |           / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) +
+       |      ((CAST(n - df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5))
+       |        * (CAST(tf3 AS DOUBLE) * 2.2
+       |           / (CAST(tf3 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))),
+       |      6) AS score
+       |  FROM t, g),
+       |btop AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 300),
+       |brank AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+       |            AS bm25_rank FROM btop),
+       |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+       |cs AS (SELECT vec_id,
+       |         round(${Similarity.duckDot("v", "pv")} /
+       |               (${Similarity.duckNorm("v")} * ${Similarity.duckNorm("pv")}), 6) AS cos_sim
+       |       FROM e, p WHERE vec_id <> 0),
+       |ctop AS (SELECT vec_id, cos_sim FROM cs ORDER BY cos_sim DESC, vec_id LIMIT 300),
+       |crank AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT)
+       |            AS cos_rank FROM ctop)
+       |SELECT doc_id, bm25_rank, cos_rank,
+       |  round(1.0 / (60 + bm25_rank) + 1.0 / (60 + cos_rank), 6) AS rrf
+       |FROM brank JOIN crank ON doc_id = vec_id
+       |ORDER BY rrf DESC, doc_id
+       |LIMIT 10""".stripMargin) { (s, d) =>
+    val noPart = Window.orderBy(desc("score"), col("doc_id"))
+    val btop = bm25Scored(s, d).select("doc_id", "score")
+      .orderBy(desc("score"), col("doc_id")).limit(300)
+    // row_number with no partition is deliberate and safe HERE: its
+    // input is the 300-row candidate pool, not the corpus.
+    val brank = btop
+      .withColumn("bm25_rank", row_number().over(noPart).cast(LongType))
+      .select("doc_id", "bm25_rank")
+    val e = tbl(s, d, "embeddings")
+    val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("pv"))
+    val ctop = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(Similarity.cosine(col("embedding"), col("pv")), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("vec_id")).limit(300)
+    val crank = ctop
+      .withColumn("cos_rank",
+        row_number().over(Window.orderBy(desc("cos_sim"), col("vec_id"))).cast(LongType))
+      .select("vec_id", "cos_rank")
+    brank.join(crank, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("bm25_rank"), col("cos_rank"),
+        round(lit(1.0) / (lit(60) + col("bm25_rank")) +
+          lit(1.0) / (lit(60) + col("cos_rank")), 6).as("rrf"))
+      .orderBy(desc("rrf"), col("doc_id"))
+      .limit(10)
+  }
+
   val queries: Seq[Query] = Seq(
     dedupExact, textTokens, textStats, langId, qualityScore, tokenCount,
     fingerprint, multimodalMeta, mediaDecode, mediaResize, tokenizeRegex, bigrams, tfidf, sessionize, windowTumbling, windowSliding,
     redact, repetition, contamination, collocations, sessionPaths,
-    mixSample, seqPack, bm25, chunkOverlap, rareTokens, bpePairs, chunkDedup)
+    mixSample, seqPack, bm25, chunkOverlap, rareTokens, bpePairs, chunkDedup,
+    lmScore, hybridRrf)
 }

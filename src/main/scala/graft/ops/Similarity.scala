@@ -32,14 +32,16 @@ object Similarity {
   private[ops] def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** DuckDB: sequential left-fold sum over a double list (matches Spark's
-    * aggregate fold bit-for-bit: 0.0 + x1 == x1). */
-  private def duckFoldSum(listExpr: String): String =
+    * aggregate fold bit-for-bit: 0.0 + x1 == x1). private[ops]: the
+    * hybrid-retrieval fusion oracle (Pipeline.hybridRrf) reuses the same
+    * fold so its cosine leg can never diverge from q_similarity_topk's. */
+  private[ops] def duckFoldSum(listExpr: String): String =
     s"list_reduce($listExpr, (acc, x) -> acc + x)"
 
-  private def duckDot(a: String, b: String): String =
+  private[ops] def duckDot(a: String, b: String): String =
     duckFoldSum(s"list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))")
 
-  private def duckNorm(a: String): String =
+  private[ops] def duckNorm(a: String): String =
     s"sqrt(${duckFoldSum(s"list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
 
   /** Dim-prefix variants (matryoshka truncation): fold over the first n
