@@ -34,15 +34,26 @@ object api {
     * `spark.read.parquet` — schema comes from the footer, scans are
     * vectorized, and pruning/pushdown happen in the plan.
     *
-    * `events.parquet` stores TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright; we read it as nanos-since-epoch longs and
-    * convert to microsecond timestamps (lossless — the generator emits
-    * µs-aligned values; oracles cast the DuckDB side to µs TIMESTAMP). */
+    * `events.parquet` has shipped in two encodings across fixture
+    * generations: TIMESTAMP(NANOS) (which Spark's parquet reader rejects
+    * outright — we read it as nanos-since-epoch longs and convert, the
+    * generator emits µs-aligned values so this is lossless) and
+    * TIMESTAMP(isAdjustedToUTC=false, MICROS) (which Spark reads as
+    * TIMESTAMP_NTZ). We branch on the footer type so both generations
+    * load, and normalize to session-zone TimestampType either way — the
+    * session is pinned UTC, so NTZ↔UTC is value-identical and the DuckDB
+    * oracles (naive µs timestamps) agree bit-for-bit. */
   def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => // legacy TIMESTAMP(NANOS) fixture, read as long
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampType => raw
+        case _ => // TIMESTAMP_NTZ micros fixture; UTC session ⇒ same values
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Exact money decimal: the testdata doubles carry exactly 2 decimal

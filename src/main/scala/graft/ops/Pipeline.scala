@@ -914,10 +914,16 @@ object Pipeline {
     * bit-portable across engines (the q_bm25 lesson), so surprisal is
     * INTEGER bits: floor(log2(N/cnt)) computed exactly as
     * length(bin(N div cnt)) - 1 — every step integer arithmetic in both
-    * engines, the single final mean one IEEE division. Scale shape: one
-    * explode, a vocab-keyed count (map-side combined, vocab-bounded),
-    * an equi-join of tokens to vocab, one doc-keyed regroup — no
-    * all-pairs, no driver state; the 1-row N total broadcasts. */
+    * engines, the single final mean one IEEE division. Scale shape is
+    * reduce-then-expand (the q_tfidf recipe): the exploded token stream
+    * is immediately collapsed to per-doc (doc_id, token, tf) — map-side
+    * combined, bounded by Σ per-doc vocab, not token occurrences — and
+    * only those DISTINCT doc-token pairs join the vocab counts. The raw
+    * Zipfian stream never crosses a join: `the`-class keys carry one row
+    * per containing doc instead of one per occurrence, so the join
+    * shuffle is corpus-vocab-shaped and skew-free at 100 TB.
+    * total_bits re-expands as sum(tf * bits); vocab counts and the 1-row
+    * N total both derive from the same tf frame (exchange-reused). */
   val lmScore = Query(
     "q_lm_score",
     """WITH tok AS (
@@ -934,19 +940,22 @@ object Pipeline {
       |FROM b GROUP BY doc_id, lang
       |ORDER BY bits_per_token DESC, doc_id
       |LIMIT 100""".stripMargin) { (s, d) =>
-    val tok = tbl(s, d, "documents")
+    val tf = tbl(s, d, "documents")
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("token"))
-    val cnt = tok.groupBy("token").agg(count(lit(1)).as("c"))
-    val nTotal = tok.agg(count(lit(1)).as("n_total"))
-    tok.join(cnt, "token")
+      .groupBy("doc_id", "lang", "token")
+      .agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy("token").agg(sum(col("tf")).as("c"))
+    val nTotal = cnt.agg(sum(col("c")).as("n_total"))
+    tf.join(cnt, "token")
       .crossJoin(broadcast(nTotal))
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("lang"), col("tf"),
         (length(bin(expr("n_total div c"))) - 1).cast(LongType).as("bits"))
       .groupBy("doc_id", "lang")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("bits")).as("total_bits"),
-        round(sum(col("bits")).cast(DoubleType) / count(lit(1)), 6).as("bits_per_token"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("bits")).as("total_bits"),
+        round(sum(col("tf") * col("bits")).cast(DoubleType) / sum(col("tf")), 6)
+          .as("bits_per_token"))
       .orderBy(desc("bits_per_token"), col("doc_id"))
       .limit(100)
   }

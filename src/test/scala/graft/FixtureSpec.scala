@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Fixture-drift canary (VERDICT r12 task #2).
+  *
+  * Round 12 proved a silent driver-side regeneration of /root/testdata can
+  * change a column's parquet encoding between runs (events.ts went
+  * TIMESTAMP(NANOS) → TIMESTAMP_NTZ micros) and zero 9% of the query
+  * surface with 16 opaque analysis errors. This spec reads every table
+  * through the production loader (`api.tbl`) and asserts the post-load
+  * logical types the engine depends on, so the next drift is a single
+  * named failure with a schema diff instead.
+  *
+  * Assertions are on what downstream code requires (a timestamp type, an
+  * array<float>), not on incidental parquet physical details — the loader
+  * is allowed to adapt (that is its job); this spec pins the contract it
+  * must adapt TO.
+  */
+class FixtureSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** expected (column, type) contract per table, post-`api.tbl`. */
+  private val expected: Map[String, Seq[(String, DataType)]] = Map(
+    "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType),
+    "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType),
+    "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> null, // any timestamp flavor (see tsLike below)
+      "o_orderpriority" -> StringType),
+    "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> null),
+    "events" -> Seq("event_id" -> LongType,
+      // the loader must normalize ts to session-zone TimestampType for
+      // every fixture generation — window()/unix_timestamp/oracle parity
+      // all assume it
+      "ts" -> TimestampType,
+      "user_id" -> LongType, "event_type" -> StringType,
+      "value" -> DoubleType, "props" -> StringType),
+    "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+      "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+    "embeddings" -> Seq("vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType), "label" -> IntegerType)
+  )
+
+  private def tsLike(dt: DataType): Boolean =
+    dt == TimestampType || dt == TimestampNTZType
+
+  for ((table, cols) <- expected.toSeq.sortBy(_._1)) {
+    test(s"$table fixture loads with the contracted schema") {
+      val df = api.tbl(spark, sfDir, table)
+      val got = df.schema.map(f => f.name -> f.dataType).toMap
+      val diffs = cols.flatMap { case (name, want) =>
+        got.get(name) match {
+          case None => Some(s"$name: MISSING (have: ${got.keys.mkString(", ")})")
+          case Some(dt) if want == null && !tsLike(dt) =>
+            Some(s"$name: expected a timestamp type, got $dt")
+          case Some(dt) if want != null && dt != want =>
+            Some(s"$name: expected $want, got $dt")
+          case _ => None
+        }
+      }
+      assert(diffs.isEmpty,
+        s"\nFIXTURE DRIFT in $sfDir/$table.parquet — the driver likely " +
+        s"regenerated /root/testdata with a new encoding.\n  " +
+        diffs.mkString("\n  "))
+      // embedding arrays must be non-empty and fixed-width for the ANN ops
+      if (table == "embeddings") {
+        import org.apache.spark.sql.functions._
+        val widths = df.select(size(col("embedding")).as("w"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        assert(widths.lengthIs == 1 && widths.head > 0,
+          s"embedding width drifted: distinct sizes = $widths")
+      }
+      assert(df.limit(1).count() == 1, s"$table is empty")
+    }
+  }
+}

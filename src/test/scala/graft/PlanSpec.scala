@@ -331,4 +331,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "rank-1 selection lost its window")
     assert(!p.contains("CartesianProduct"), "q2 went quadratic")
   }
+
+  test("q_lm_score joins the per-doc tf frame, not the raw token stream") {
+    // reduce-then-expand (VERDICT r12 task #3): the vocab join must see
+    // only DISTINCT (doc, token) pairs — every token occurrence crossing
+    // the join would make the shuffle Zipfian-skewed and super-linear at
+    // corpus scale. Structurally: BOTH inputs of the token equi-join must
+    // contain a token-grouped aggregate; an exploded Generate reaching
+    // the join without an aggregate in between is the regression.
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, HashJoin, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val exec = Pipeline.lmScore.run(spark, sf).queryExecution.executedPlan
+    val tokenJoins = flattenPlan(exec).collect {
+      case j: SortMergeJoinExec if j.leftKeys.exists(_.toString.contains("token")) => j
+      case j: HashJoin if j.leftKeys.exists(_.toString.contains("token")) => j
+    }
+    assert(tokenJoins.nonEmpty, "no token equi-join found in q_lm_score plan")
+    for (j <- tokenJoins; (child, side) <- j.children.zip(Seq("left", "right"))) {
+      val hasTfAgg = flattenPlan(child).exists {
+        case a: BaseAggregateExec =>
+          a.groupingExpressions.exists(_.toString.contains("token"))
+        case _ => false
+      }
+      assert(hasTfAgg,
+        s"$side side of the vocab join carries the raw exploded token " +
+        s"stream (no token-grouped aggregate below the join):\n$child")
+    }
+  }
 }
