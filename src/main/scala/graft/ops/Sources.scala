@@ -281,6 +281,46 @@ object Sources {
       .orderBy("payload")
   }
 
+  /** Per-sample projected store read — the `Scan.addColumn` analog
+    * (`GVCFHBase.java:~82 (unverified)`: the reference reads single
+    * samples by HBase column qualifier). The store is loaded the way
+    * the reference loads a cohort — ONE GENERATION PER SAMPLE (each
+    * sample's gVCF is its own incremental bulk load) — so every store
+    * file's manifest line carries a single-sample extent, and a
+    * 3-of-8-sample read prunes 5/8 of the files BEFORE any I/O
+    * (SourceSpec asserts the file list; this query proves the projected
+    * scan's exactness against the original table). At 3,000-sample
+    * cohort width the same read touches 3 generations, not 3,000 —
+    * file-level column pruning is what makes per-sample retrieval O(1)
+    * in cohort size, the property HBase qualifiers gave the reference. */
+  val storeProject = Query(
+    "q_store_project",
+    """SELECT 's' || CAST(l_suppkey % 8 AS VARCHAR) AS sample,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey BETWEEN 1000 AND 4999 AND l_suppkey % 8 IN (1, 3, 5)
+      |GROUP BY 1
+      |ORDER BY sample""".stripMargin) { (s, d) =>
+    val dir = outDir(s, d, "store_project")
+    val base = tbl(s, d, "lineitem")
+      .select(col("l_orderkey").as("key"),
+        concat(lit("s"), (col("l_suppkey") % 8).cast(StringType)).as("sample"),
+        col("l_quantity").cast(LongType).as("qty"))
+    (0 until 8).foreach { i =>
+      base.filter(col("sample") === s"s$i")
+        .repartitionByRange(2, col("key")).sortWithinPartitions("key")
+        .write.format("graft.sources.VariantStoreSink")
+        .option("path", dir).mode(if (i == 0) "overwrite" else "append").save()
+    }
+    graft.sources.VariantStore.readRange(
+      s, dir, "key LONG, sample STRING, qty LONG", 1000L, 4999L,
+      samples = Seq("s1", "s3", "s5"))
+      .groupBy("sample")
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"))
+      .orderBy("sample")
+  }
+
   /** Parquet schema evolution — the lake analog of the reference's
     * incremental column-add (a new sample = a new HBase column, no
     * rewrite of old cells; here a new generation adds a column and old
@@ -443,5 +483,5 @@ object Sources {
   val queries: Seq[Query] =
     Seq(sourceCsv, sourceJson, sourceOrc, partitionPrune, sourceCustom, bucketedJoin,
       sinkStore, sourceBinary, storeScan, schemaEvolution, sourceXml, storeAsOf,
-      storeDelete)
+      storeDelete, storeProject)
 }

@@ -41,48 +41,95 @@ object VariantStore {
   private def isVersioned(cols: Array[String]): Boolean =
     cols.length >= 2 && cols(1) == "ver"
 
-  /** Latest-version-per-key resolution: ver desc + every remaining
-    * column desc. Duplicate (key, ver) rows are legal (neither writer
-    * rejects an equal-key re-put), and a ver-only ordering would let
-    * partition/scan order pick the winner — the nondeterminism this
-    * repo bans everywhere else. The full-row order makes the resolved
-    * snapshot a pure function of store CONTENT. */
+  /** The sample-qualifier column (HBase column qualifier analog), when
+    * the schema declares one: named `sample`, any non-key position —
+    * the same convention [[StoreRender.sampleIdx]] tracks extents for. */
+  private def sampleCol(cols: Array[String]): Option[String] =
+    if (cols.indexOf("sample") > 0) Some("sample") else None
+
+  /** Latest-version resolution: per key — per (key, sample) when the
+    * schema carries a sample qualifier, matching HBase's per-CELL
+    * versioning (each row×column cell has its own version stack; one
+    * sample's re-put must not shadow another's). Ordered by ver desc +
+    * every remaining column desc: duplicate (key, ver) rows are legal
+    * (neither writer rejects an equal-key re-put), and a ver-only
+    * ordering would let partition/scan order pick the winner — the
+    * nondeterminism this repo bans everywhere else. The full-row order
+    * makes the resolved snapshot a pure function of store CONTENT. */
   private def latestPerKey(df: DataFrame, cols: Array[String]): DataFrame = {
-    val tiebreak = cols.drop(2).map(col(_).desc)
+    val cellKey = cols(0) +: sampleCol(cols).toSeq
+    val tiebreak = cols.drop(2).filterNot(cellKey.contains).map(col(_).desc)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(cols(0)).orderBy(col("ver").desc +: tiebreak: _*)
+      .partitionBy(cellKey.map(col): _*).orderBy(col("ver").desc +: tiebreak: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
 
   /** Drop rows whose winning version is a delete marker (null-safe: a
-    * null payload is data, not a tombstone). No-op for schemas with no
-    * payload column to carry the marker. */
+    * null payload is data, not a tombstone). The marker lives in the
+    * first PAYLOAD column — the first field that is neither the key,
+    * `ver`, nor the `sample` qualifier (the qualifier is cell identity,
+    * not payload: a per-sample delete needs it intact). No-op for
+    * schemas with no payload column to carry the marker. */
   private def dropTombstones(df: DataFrame, cols: Array[String]): DataFrame =
-    if (cols.length >= 3) df.filter(!(col(cols(2)) <=> lit(Tombstone))) else df
+    cols.zipWithIndex.collectFirst {
+      case (c, i) if i >= 2 && c != "sample" => c
+    } match {
+      case Some(payload) => df.filter(!(col(payload) <=> lit(Tombstone)))
+      case None => df
+    }
+
+  /** File-level sample prune (the HFile column-index analog): keep a
+    * file iff no sample projection was asked, OR the file's extent is
+    * unknown (old manifest / over-cap — never prune blind), OR the
+    * extent intersects the wanted set. */
+  private def sampleOverlap(e: ManifestEntry, wanted: Seq[String]): Boolean =
+    wanted.isEmpty || e.samples.forall(ss => wanted.exists(ss.contains))
 
   /** Scan `[lo, hi]` by key: manifest-pruned file list + residual filter.
     * On a VERSIONED store (second field `ver` LONG) this is the LIVE
     * view — HBase Scan's default `maxVersions=1`: latest version per
-    * key, tombstoned keys hidden. Unversioned stores return rows as
-    * written (no resolution to do). */
+    * key (per cell when a `sample` qualifier exists), tombstoned keys
+    * hidden. Unversioned stores return rows as written (no resolution).
+    *
+    * `samples` is the `Scan.addColumn` analog (`GVCFHBase.java:~82
+    * (unverified)` reads single samples by qualifier): non-empty ⇒ the
+    * read returns only those samples' rows, AND files whose
+    * manifest-recorded sample extent misses every wanted sample are
+    * skipped BEFORE any I/O — in the reference's layout each sample's
+    * gVCF bulk-loads as its own generation, so a 3-of-3000-sample read
+    * touches 3 generations' files, not 3000. A residual `isin` filter
+    * keeps exactness inside mixed-sample files. */
   def readRange(spark: SparkSession, path: String, schema: String,
-      lo: Long, hi: Long): DataFrame = {
+      lo: Long, hi: Long, samples: Seq[String] = Nil): DataFrame = {
     val cols = colNames(schema)
     val keyCol = cols(0)
-    val files = manifest(path)
-      .filter(e => e.maxKey >= lo && e.minKey <= hi)
-      .map(e => s"$path/${e.file}")
+    require(samples.isEmpty || sampleCol(cols).isDefined,
+      s"sample projection needs a `sample` column in the schema: $schema")
+    val files = rangeFiles(path, lo, hi, samples)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schema))
     else {
-      val raw = spark.read.schema(schema).csv(files: _*)
+      val scanned = spark.read.schema(schema).csv(files: _*)
         .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+      val raw =
+        if (samples.isEmpty) scanned
+        else scanned.filter(col("sample").isin(samples: _*))
       if (isVersioned(cols)) dropTombstones(latestPerKey(raw, cols), cols) else raw
     }
   }
+
+  /** The file list a `[lo, hi]` (optionally sample-projected) scan
+    * touches: key-range prune ∧ sample-extent prune, both from the
+    * manifest alone. Package-visible so the spec can assert pruning
+    * without scanning anything. */
+  private[graft] def rangeFiles(path: String, lo: Long, hi: Long,
+      samples: Seq[String] = Nil): Seq[String] =
+    manifest(path)
+      .filter(e => e.maxKey >= lo && e.minKey <= hi && sampleOverlap(e, samples))
+      .map(e => s"$path/${e.file}")
 
   /** As-of-timestamp read — the HBase versioned-cell analog
     * (`maxVersions > 1` + timerange scans, `GVCFHBaseTest.java:~40`,
@@ -103,28 +150,39 @@ object VariantStore {
     * residual `ver <= asOf` scan filter keeps exactness inside
     * partially-newer files. */
   def readAsOf(spark: SparkSession, path: String, schema: String,
-      asOf: Long): DataFrame = {
+      asOf: Long, samples: Seq[String] = Nil): DataFrame = {
     val cols = colNames(schema)
     require(isVersioned(cols),
       s"versioned schema needs (key, ver, ...): got ${schema}")
-    val files = asOfFiles(path, asOf)
+    require(samples.isEmpty || sampleCol(cols).isDefined,
+      s"sample projection needs a `sample` column in the schema: $schema")
+    val files = asOfFiles(path, asOf, samples)
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schema))
     // Latest-version resolution, then tombstone hiding: a key whose
     // winning version at t is a delete marker is absent from the
     // snapshot (HBase Delete semantics) — and a re-put AFTER the
-    // tombstone resurrects it at later timestamps.
-    dropTombstones(
-      latestPerKey(spark.read.schema(schema).csv(files: _*).filter(col("ver") <= asOf), cols),
-      cols)
+    // tombstone resurrects it at later timestamps. The sample filter
+    // applies BEFORE resolution, which is safe precisely because
+    // resolution is per (key, sample) cell: dropping other samples'
+    // rows can never change a wanted cell's version stack.
+    val scanned = spark.read.schema(schema).csv(files: _*).filter(col("ver") <= asOf)
+    val raw =
+      if (samples.isEmpty) scanned
+      else scanned.filter(col("sample").isin(samples: _*))
+    dropTombstones(latestPerKey(raw, cols), cols)
   }
 
-  /** The file list an as-of-`t` read touches: manifest entries whose
-    * `ver` range starts at or before `t`. Package-visible so the spec
-    * can assert the time-range prune without scanning anything. */
-  private[graft] def asOfFiles(path: String, asOf: Long): Seq[String] =
-    manifest(path).filter(_.minVer <= asOf).map(e => s"$path/${e.file}")
+  /** The file list an as-of-`t` (optionally sample-projected) read
+    * touches: manifest entries whose `ver` range starts at or before
+    * `t` and whose sample extent overlaps the projection. Package-
+    * visible so the spec can assert the prune without scanning. */
+  private[graft] def asOfFiles(path: String, asOf: Long,
+      samples: Seq[String] = Nil): Seq[String] =
+    manifest(path)
+      .filter(e => e.minVer <= asOf && sampleOverlap(e, samples))
+      .map(e => s"$path/${e.file}")
 
   /** Rewrite every live generation as one sorted bulk generation. The
     * input file list comes from the manifest (never a directory listing),

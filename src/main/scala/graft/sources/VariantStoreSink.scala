@@ -86,13 +86,20 @@ private[sources] case class StoreCommit(
     // `readAsOf` skip whole files whose every version is newer than the
     // asked-for timestamp. Writers without a ver column use the
     // unbounded sentinel range, which no prune ever excludes.
-    minVer: Long = Long.MinValue, maxVer: Long = Long.MaxValue)
+    minVer: Long = Long.MinValue, maxVer: Long = Long.MaxValue,
+    // Per-file distinct-value extent of the `sample` column when the
+    // schema declares one (STRING, any position) — the per-file column
+    // index behind the reference's `Scan.addColumn` per-sample reads:
+    // a projected read skips files whose recorded sample set misses
+    // every wanted sample. None = untracked/over-cap ⇒ never pruned.
+    samples: Option[Set[String]] = None)
   extends WriterCommitMessage
 
-/** One parsed `_MANIFEST` line. */
+/** One parsed `_MANIFEST` line. `samples` None ⇒ extent unknown (old
+  * manifest line, over-cap file, or no sample column) — never pruned. */
 private[graft] case class ManifestEntry(
     file: String, rows: Long, minKey: Long, maxKey: Long,
-    minVer: Long, maxVer: Long)
+    minVer: Long, maxVer: Long, samples: Option[Set[String]] = None)
 
 /** THE manifest format — one render/parse/read/write implementation
   * shared by the batch commit, the streaming commit, and the read path
@@ -103,16 +110,26 @@ private[graft] case class ManifestEntry(
 private[sources] object StoreManifest {
   val FileName = "_MANIFEST"
 
-  def render(c: StoreCommit): String =
-    s"${c.file},${c.rows},${c.minKey},${c.maxKey},${c.minVer},${c.maxVer}"
+  def render(c: StoreCommit): String = {
+    val base = s"${c.file},${c.rows},${c.minKey},${c.maxKey},${c.minVer},${c.maxVer}"
+    c.samples match {
+      case Some(ss) => s"$base,${ss.toSeq.sorted.mkString("|")}"
+      case None => base
+    }
+  }
 
-  /** Accepts both the 4-field pre-r9 format (ver range unknown →
-    * unbounded sentinels, never pruned) and the 6-field format. */
-  def parse(line: String): ManifestEntry = line.split(",", 6) match {
+  /** Accepts the 4-field pre-r9 format (ver range unknown → unbounded
+    * sentinels, never pruned), the 6-field format, and the 7-field
+    * format whose last field is the `|`-joined per-file sample extent
+    * (`*` = tracked but over-cap/unsafe ⇒ unknown). */
+  def parse(line: String): ManifestEntry = line.split(",", 7) match {
     case Array(f, rows, mn, mx) =>
       ManifestEntry(f, rows.toLong, mn.toLong, mx.toLong, Long.MinValue, Long.MaxValue)
     case Array(f, rows, mn, mx, vmn, vmx) =>
       ManifestEntry(f, rows.toLong, mn.toLong, mx.toLong, vmn.toLong, vmx.toLong)
+    case Array(f, rows, mn, mx, vmn, vmx, ss) =>
+      val samples = if (ss == "*") None else Some(ss.split('|').toSet)
+      ManifestEntry(f, rows.toLong, mn.toLong, mx.toLong, vmn.toLong, vmx.toLong, samples)
     case _ => throw new IllegalArgumentException(s"bad manifest line: $line")
   }
 
@@ -264,6 +281,8 @@ private[sources] class StoreDataWriter(
   private val verAt = StoreRender.verIdx(schema)
   private var minVer = Long.MaxValue
   private var maxVer = Long.MinValue
+  private val sampleAt = StoreRender.sampleIdx(schema)
+  private val sampleExt = new SampleExtent
 
   private def render(row: InternalRow, i: Int): String =
     StoreRender.render(schema, row, i)
@@ -279,6 +298,9 @@ private[sources] class StoreDataWriter(
       val v = row.getLong(i)
       minVer = math.min(minVer, v); maxVer = math.max(maxVer, v)
     }
+    sampleAt.foreach { i =>
+      sampleExt.add(if (row.isNullAt(i)) null else row.getUTF8String(i).toString)
+    }
     out.write((0 until schema.length).map(render(row, _)).mkString(","))
     out.write("\n")
     rows += 1
@@ -286,8 +308,9 @@ private[sources] class StoreDataWriter(
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    if (verAt.isDefined && rows > 0) StoreCommit(file, rows, minKey, maxKey, minVer, maxVer)
-    else StoreCommit(file, rows, minKey, maxKey)
+    if (verAt.isDefined && rows > 0)
+      StoreCommit(file, rows, minKey, maxKey, minVer, maxVer, sampleExt.result)
+    else StoreCommit(file, rows, minKey, maxKey, samples = sampleExt.result)
   }
   override def abort(): Unit = { out.close(); java.nio.file.Files.deleteIfExists(tmp) }
   override def close(): Unit = out.close()
@@ -301,6 +324,21 @@ private[sources] object StoreRender {
     if (schema.length >= 2 && schema(1).name == "ver" && schema(1).dataType == LongType)
       Some(1)
     else None
+
+  /** Index of the sample-qualifier column when the schema declares one
+    * (named `sample`, STRING, any non-key position) — the HBase column
+    * qualifier analog. Writers track its per-file distinct-value set so
+    * projected reads (`Scan.addColumn`) can skip whole files. */
+  def sampleIdx(schema: StructType): Option[Int] = {
+    val i = schema.fieldNames.indexOf("sample")
+    if (i > 0 && schema(i).dataType == StringType) Some(i) else None
+  }
+
+  /** Distinct-sample cap per manifest line: above it the extent degrades
+    * to unknown (never pruned) rather than bloating the region index —
+    * a file mixing thousands of samples gains nothing from a column
+    * index anyway, exactly like an HFile spanning all qualifiers. */
+  val MaxSampleExtent = 32
 
   def render(schema: StructType, row: InternalRow, i: Int): String =
     schema(i).dataType match {
@@ -324,6 +362,27 @@ private[sources] object StoreRender {
     else if (s.indexOf(',') >= 0 || s.indexOf('"') >= 0 || s.indexOf('\\') >= 0)
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     else s
+}
+
+/** Bounded per-file distinct-sample tracker shared by the bulk and
+  * memstore writers. Degrades to unknown (None) on null/empty names,
+  * names carrying manifest metacharacters (`,` `|` line breaks), or
+  * cap overflow — unknown is always safe: it is never pruned. */
+private[sources] final class SampleExtent {
+  private val set = scala.collection.mutable.Set.empty[String]
+  private var unknown = false
+  def add(name: String): Unit =
+    if (!unknown) {
+      if (name == null || name.isEmpty ||
+          name.exists(c => c == ',' || c == '|' || c == '\n' || c == '\r'))
+        unknown = true
+      else {
+        set += name
+        if (set.size > StoreRender.MaxSampleExtent) unknown = true
+      }
+    }
+  def result: Option[Set[String]] =
+    if (unknown || set.isEmpty) None else Some(set.toSet)
 }
 
 /** Streaming (memstore) write path: every epoch appends one GENERATION
@@ -382,10 +441,15 @@ private[sources] class StoreMemstoreWriter(
     f"gen-$epochId%09d-part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.csv"
   private val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, (Long, String))]
   private val verAt = StoreRender.verIdx(schema)
+  private val sampleAt = StoreRender.sampleIdx(schema)
+  private val sampleExt = new SampleExtent
 
   override def write(row: InternalRow): Unit = {
     val key = row.getLong(0)
     val ver = verAt.map(row.getLong).getOrElse(0L)
+    sampleAt.foreach { i =>
+      sampleExt.add(if (row.isNullAt(i)) null else row.getUTF8String(i).toString)
+    }
     buf += key ->
       (ver, (0 until schema.length).map(StoreRender.render(schema, row, _)).mkString(","))
   }
@@ -401,8 +465,10 @@ private[sources] class StoreMemstoreWriter(
       out.close()
       val vs = if (verAt.isDefined) sorted.map(_._2._1) else Seq.empty
       if (vs.nonEmpty)
-        StoreCommit(file, sorted.length.toLong, sorted.head._1, sorted.last._1, vs.min, vs.max)
-      else StoreCommit(file, sorted.length.toLong, sorted.head._1, sorted.last._1)
+        StoreCommit(file, sorted.length.toLong, sorted.head._1, sorted.last._1,
+          vs.min, vs.max, sampleExt.result)
+      else StoreCommit(file, sorted.length.toLong, sorted.head._1, sorted.last._1,
+        samples = sampleExt.result)
     }
   }
 

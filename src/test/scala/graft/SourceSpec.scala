@@ -225,4 +225,64 @@ class SourceSpec extends SparkSpec {
     assert(graft.sources.VariantStore
       .readRange(spark, dir, "key LONG, payload STRING", 5000L, 6000L).count() == 0L)
   }
+
+  test("sample-projected reads prune files by manifest extent (Scan.addColumn analog)") {
+    val dir = sinkDir("sampleproj")
+    val schema = "key LONG, ver LONG, sample STRING, payload STRING"
+    // one generation per sample — the reference's per-sample bulk load
+    def gen(ver: Long, sample: String, rows: Seq[(Long, String)], mode: String): Unit =
+      rows.toDF("key", "payload")
+        .select($"key", lit(ver).as("ver"), lit(sample).as("sample"), $"payload")
+        .coalesce(1).sortWithinPartitions("key")
+        .write.format("graft.sources.VariantStoreSink")
+        .option("path", dir).mode(mode).save()
+    gen(10L, "sA", Seq((1L, "a1"), (2L, "a2")), "overwrite")
+    gen(11L, "sB", Seq((1L, "b1"), (3L, "b3")), "append")
+    gen(12L, "sC", Seq((2L, "c2"), (3L, "c3")), "append")
+    gen(20L, "sB", Seq((1L, "b1v2")), "append") // sB re-put: per-CELL versioning
+
+    // file-level prune: a 1-of-3-sample read touches only that sample's
+    // generations — sB owns 2 of the 4 files
+    val all = graft.sources.VariantStore.rangeFiles(dir, Long.MinValue, Long.MaxValue)
+    assert(all.size == 4)
+    val onlyB = graft.sources.VariantStore
+      .rangeFiles(dir, Long.MinValue, Long.MaxValue, Seq("sB"))
+    assert(onlyB.size == 2, s"sB projection read ${onlyB.size} of 4 files")
+    val bAndC = graft.sources.VariantStore
+      .rangeFiles(dir, Long.MinValue, Long.MaxValue, Seq("sB", "sC"))
+    assert(bAndC.size == 3, s"sB+sC projection read ${bAndC.size} of 4 files")
+    // asOf prune composes: sample extent ∧ ver range
+    assert(graft.sources.VariantStore.asOfFiles(dir, 11L, Seq("sB")).size == 1,
+      "as-of-11 sB read must skip the ver=20 sB generation")
+
+    // exactness: projected live view = latest per (key, sample) CELL,
+    // restricted to the wanted samples — sB's v20 re-put wins for
+    // (1, sB) without shadowing (1, sA)
+    def live(samples: Seq[String]): Set[(Long, String, String)] =
+      graft.sources.VariantStore
+        .readRange(spark, dir, schema, Long.MinValue, Long.MaxValue, samples)
+        .select("key", "sample", "payload").as[(Long, String, String)].collect().toSet
+    assert(live(Seq("sB")) == Set((1L, "sB", "b1v2"), (3L, "sB", "b3")))
+    assert(live(Seq("sA", "sC")) ==
+      Set((1L, "sA", "a1"), (2L, "sA", "a2"), (2L, "sC", "c2"), (3L, "sC", "c3")))
+    // unprojected read sees every cell (per-cell resolution, all samples)
+    assert(live(Nil).size == 6)
+    // projected asOf: before sB's re-put, (1, sB) is still b1
+    assert(graft.sources.VariantStore
+      .readAsOf(spark, dir, schema, 11L, Seq("sB"))
+      .select("key", "payload").as[(Long, String)].collect().toMap ==
+      Map(1L -> "b1", 3L -> "b3"))
+    // compaction rewrites mixed-sample files → extent tracking degrades
+    // gracefully (unknown is never pruned), reads stay exact
+    graft.sources.VariantStore.compact(spark, dir, schema, numRanges = 2)
+    assert(live(Seq("sB")) == Set((1L, "sB", "b1v2"), (3L, "sB", "b3")),
+      "projected read changed across compaction")
+
+    // per-sample tombstone: deleting (3, sB) must not touch (3, sC)
+    gen(30L, "sB", Seq((3L, graft.sources.VariantStore.Tombstone)), "append")
+    assert(live(Seq("sB")) == Set((1L, "sB", "b1v2")),
+      "per-sample tombstone did not hide (3, sB)")
+    assert(live(Seq("sC")) == Set((2L, "sC", "c2"), (3L, "sC", "c3")),
+      "per-sample tombstone leaked across samples")
+  }
 }
