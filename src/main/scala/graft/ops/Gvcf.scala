@@ -304,7 +304,13 @@ object Gvcf {
     * blocks carry no PL (synthesized from GQ downstream, as in a real
     * gVCF). */
   def syntheticVariantsPl(s: SparkSession, n: Long): DataFrame =
-    syntheticVariants(s, n)
+    withPl(syntheticVariants(s, n))
+
+  /** Add the likelihood fields (dp, pl) to any cohort shaped like
+    * [[syntheticVariants]] — shared by the 3-sample and WIDE cohorts so
+    * the PL arithmetic cannot drift between them. */
+  private def withPl(cohort: DataFrame): DataFrame =
+    cohort
       .withColumn("dp", (col("gq") % 30 + 10).cast(IntegerType))
       .withColumn("pl", expr(
         """CASE WHEN kind = 'site' THEN
@@ -312,6 +318,12 @@ object Gvcf {
           |    CASE WHEN j = (CASE WHEN gt = '0/1' THEN 1 WHEN gt = '1/1' THEN 2 ELSE 0 END)
           |         THEN 0 ELSE (j + 1) * 10 + start % 7 END AS INT))
           |END""".stripMargin))
+
+  /** [[syntheticVariantsWide]] with the likelihood fields — the input
+    * for wide-cohort GENOTYPING (q_genotype_wide). */
+  def syntheticVariantsWidePl(s: SparkSession, nSamples: Long,
+      nPositions: Long = WidePositions): DataFrame =
+    withPl(syntheticVariantsWide(s, nSamples, nPositions))
 
   /** WIDE cohort — the SAMPLE axis scales with sf while the position
     * axis stays fixed (the dense-vector / HBase wide-row bound the
@@ -439,9 +451,11 @@ object Gvcf {
     * megabytes through the compare. Plan shape is [[combineSites]]
     * verbatim: bucketed coverage equi-join, one site aggregate — width
     * changes the aggregate's fan-in, never the shuffle count. */
-  val combineWide = Query(
-    "q_combine_wide",
-    """WITH ns AS (SELECT count(*) // 50 AS n FROM orders),
+  /** The WIDE cohort ([[syntheticVariantsWide]]) in DuckDB CTE form —
+    * shared by q_combine_wide and q_genotype_wide so the cohort
+    * arithmetic cannot drift between their oracles. */
+  private val duckWideV =
+    """ns AS (SELECT count(*) // 50 AS n FROM orders),
       |ss AS (SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS k FROM orders
       |       QUALIFY row_number() OVER (ORDER BY o_orderkey) <=
       |         greatest((SELECT n FROM ns), 3)),
@@ -457,7 +471,11 @@ object Gvcf {
       |    CAST((j * 7 + k * 13) % 90 + 10 AS INT) AS gq,
       |    CASE WHEN (j + k) % 3 >= 2 THEN '0/0'
       |         WHEN (j + k) % 2 = 0 THEN '0/1' ELSE '1/1' END AS gt
-      |  FROM ss, ps),
+      |  FROM ss, ps)""".stripMargin
+
+  val combineWide = Query(
+    "q_combine_wide",
+    s"""WITH $duckWideV,
       |sites AS (SELECT DISTINCT contig, vstart AS pos FROM v WHERE kind = 'site'),
       |cov AS (
       |  SELECT s.contig, s.pos, v.sample, v.kind, v.ref, v.alt, v.gt, v.gq
@@ -631,59 +649,67 @@ object Gvcf {
     * allele union, canonical-order PL remap through the local-index map,
     * argmin re-genotype, GQ from the two smallest likelihoods — so a
     * hash match proves the remap math, not just the plumbing. */
+  /** The GenotypeGVCFs pipeline (coverage → merged alleles → PL remap →
+    * argmin genotype) in DuckDB CTE form, FROM a preceding `v` cohort
+    * CTE — shared verbatim by q_genotype_gvcf (3-sample cohort) and
+    * q_genotype_wide (|orders|/50-sample cohort) so the remap arithmetic
+    * cannot drift between their oracles. */
+  private val duckGenotypeCtes =
+    """vp AS (
+      |  SELECT *, CAST(gq % 30 + 10 AS INT) AS dp,
+      |    CASE WHEN kind = 'site' THEN
+      |      list_transform(range(0, 6), j -> CAST(
+      |        CASE WHEN j = (CASE WHEN gt = '0/1' THEN 1 WHEN gt = '1/1' THEN 2 ELSE 0 END)
+      |             THEN 0 ELSE (j + 1) * 10 + vstart % 7 END AS INT))
+      |    END AS pl,
+      |    CASE WHEN kind = 'site' THEN [ref, alt] ELSE [ref] END AS lall0
+      |  FROM v),
+      |sites AS (SELECT DISTINCT contig, vstart AS pos FROM v WHERE kind = 'site'),
+      |cov AS (
+      |  SELECT s.contig, s.pos, p.sample, p.kind, p.lall0, p.gq, p.dp, p.pl, p.alt, p.ref
+      |  FROM sites s JOIN vp p
+      |    ON p.contig = s.contig AND s.pos BETWEEN p.vstart AND p.vend),
+      |merged AS (
+      |  SELECT contig, pos, min(ref) AS mref,
+      |    list_append(list_sort(list_distinct(list(alt))), '<NON_REF>') AS calts
+      |  FROM cov WHERE kind = 'site' GROUP BY contig, pos),
+      |re AS (
+      |  SELECT c.contig, c.pos, c.sample, c.kind, c.gq, c.dp, c.pl, m.mref, m.calts,
+      |    list_prepend(m.mref, m.calts) AS mall,
+      |    list_append(c.lall0, '<NON_REF>') AS lall
+      |  FROM cov c JOIN merged m ON c.contig = m.contig AND c.pos = m.pos),
+      |re2 AS (
+      |  SELECT *,
+      |    flatten(list_transform(range(0, CAST(len(mall) AS BIGINT)),
+      |      b -> list_transform(range(0, b + 1), a -> [a, b]))) AS pairs,
+      |    list_transform(mall, mm ->
+      |      CASE WHEN coalesce(list_position(lall, mm), 0) > 0
+      |           THEN list_position(lall, mm) - 1 ELSE len(lall) - 1 END) AS limap
+      |  FROM re),
+      |re3 AS (
+      |  SELECT *, CASE WHEN kind = 'block' OR pl IS NULL THEN
+      |      list_transform(pairs, p -> coalesce(gq, 0) *
+      |        ((CASE WHEN p[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN p[2] > 0 THEN 1 ELSE 0 END)))
+      |    ELSE list_transform(pairs, p -> coalesce(pl[CAST(
+      |      (greatest(limap[CAST(p[1] + 1 AS INT)], limap[CAST(p[2] + 1 AS INT)]) *
+      |       (greatest(limap[CAST(p[1] + 1 AS INT)], limap[CAST(p[2] + 1 AS INT)]) + 1)) // 2
+      |        + least(limap[CAST(p[1] + 1 AS INT)], limap[CAST(p[2] + 1 AS INT)]) + 1 AS INT)], 999999))
+      |    END AS mpl
+      |  FROM re2),
+      |re4 AS (
+      |  SELECT *, CAST(list_position(mpl, list_min(mpl)) AS INT) AS gpos,
+      |    list_sort(mpl) AS spl
+      |  FROM re3),
+      |calls AS (
+      |  SELECT contig, pos, sample, mref, calts, dp,
+      |    CAST(pairs[gpos][1] AS VARCHAR) || '/' || CAST(pairs[gpos][2] AS VARCHAR) AS gt_new,
+      |    least(spl[2] - spl[1], 99) AS gq_new
+      |  FROM re4)""".stripMargin
+
   val genotypeGvcfQuery = Query(
     "q_genotype_gvcf",
     s"""WITH $duckSyntheticV,
-       |vp AS (
-       |  SELECT *, CAST(gq % 30 + 10 AS INT) AS dp,
-       |    CASE WHEN kind = 'site' THEN
-       |      list_transform(range(0, 6), j -> CAST(
-       |        CASE WHEN j = (CASE WHEN gt = '0/1' THEN 1 WHEN gt = '1/1' THEN 2 ELSE 0 END)
-       |             THEN 0 ELSE (j + 1) * 10 + vstart % 7 END AS INT))
-       |    END AS pl,
-       |    CASE WHEN kind = 'site' THEN [ref, alt] ELSE [ref] END AS lall0
-       |  FROM v),
-       |sites AS (SELECT DISTINCT contig, vstart AS pos FROM v WHERE kind = 'site'),
-       |cov AS (
-       |  SELECT s.contig, s.pos, p.sample, p.kind, p.lall0, p.gq, p.dp, p.pl, p.alt, p.ref
-       |  FROM sites s JOIN vp p
-       |    ON p.contig = s.contig AND s.pos BETWEEN p.vstart AND p.vend),
-       |merged AS (
-       |  SELECT contig, pos, min(ref) AS mref,
-       |    list_append(list_sort(list_distinct(list(alt))), '<NON_REF>') AS calts
-       |  FROM cov WHERE kind = 'site' GROUP BY contig, pos),
-       |re AS (
-       |  SELECT c.contig, c.pos, c.sample, c.kind, c.gq, c.dp, c.pl, m.mref, m.calts,
-       |    list_prepend(m.mref, m.calts) AS mall,
-       |    list_append(c.lall0, '<NON_REF>') AS lall
-       |  FROM cov c JOIN merged m ON c.contig = m.contig AND c.pos = m.pos),
-       |re2 AS (
-       |  SELECT *,
-       |    flatten(list_transform(range(0, CAST(len(mall) AS BIGINT)),
-       |      b -> list_transform(range(0, b + 1), a -> [a, b]))) AS pairs,
-       |    list_transform(mall, mm ->
-       |      CASE WHEN coalesce(list_position(lall, mm), 0) > 0
-       |           THEN list_position(lall, mm) - 1 ELSE len(lall) - 1 END) AS limap
-       |  FROM re),
-       |re3 AS (
-       |  SELECT *, CASE WHEN kind = 'block' OR pl IS NULL THEN
-       |      list_transform(pairs, p -> coalesce(gq, 0) *
-       |        ((CASE WHEN p[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN p[2] > 0 THEN 1 ELSE 0 END)))
-       |    ELSE list_transform(pairs, p -> coalesce(pl[CAST(
-       |      (greatest(limap[CAST(p[1] + 1 AS INT)], limap[CAST(p[2] + 1 AS INT)]) *
-       |       (greatest(limap[CAST(p[1] + 1 AS INT)], limap[CAST(p[2] + 1 AS INT)]) + 1)) // 2
-       |        + least(limap[CAST(p[1] + 1 AS INT)], limap[CAST(p[2] + 1 AS INT)]) + 1 AS INT)], 999999))
-       |    END AS mpl
-       |  FROM re2),
-       |re4 AS (
-       |  SELECT *, CAST(list_position(mpl, list_min(mpl)) AS INT) AS gpos,
-       |    list_sort(mpl) AS spl
-       |  FROM re3),
-       |calls AS (
-       |  SELECT contig, pos, sample, mref, calts, dp,
-       |    CAST(pairs[gpos][1] AS VARCHAR) || '/' || CAST(pairs[gpos][2] AS VARCHAR) AS gt_new,
-       |    least(spl[2] - spl[1], 99) AS gq_new
-       |  FROM re4)
+       |$duckGenotypeCtes
        |SELECT contig, pos, mref AS ref, array_to_string(calts, ',') AS alt,
        |  CAST(count(*) AS BIGINT) AS n_samples,
        |  CAST(sum(dp) AS BIGINT) AS sum_dp,
@@ -693,6 +719,36 @@ object Gvcf {
        |GROUP BY contig, pos, mref, calts
        |ORDER BY contig, pos""".stripMargin) { (s, d) =>
     genotypeGvcf(syntheticVariantsPl(s, cohortN(s, d)))
+  }
+
+  /** Wide-cohort GENOTYPING evidence (VERDICT r12 task #7): the SAME
+    * GenotypeGVCFs pipeline as [[genotypeGvcfQuery]], but over the WIDE
+    * cohort — per-site sample count = |orders|/50 (30 / 300 / 3,000 at
+    * sf0.001/0.01/0.1, position axis fixed at 120), so the measured
+    * cost is the per-sample PL remap at realistic cohort widths — the
+    * axis commit 3f6146a had pinned at 50. The per-sample remap is
+    * per-ROW expression work (no extra shuffle vs the 3-sample query:
+    * width changes the site aggregate's fan-in and the remap row count,
+    * never the shuffle count), so this query is the evidence that
+    * genotyping scales linearly in cohort width. `calls` is md5'd on
+    * BOTH engines per the q_combine_wide pattern — a 3,000-sample calls
+    * cell is ~40 KB; the digest proves it value-exact without shipping
+    * megabytes through the compare. */
+  val genotypeWide = Query(
+    "q_genotype_wide",
+    s"""WITH $duckWideV,
+       |$duckGenotypeCtes
+       |SELECT contig, pos, mref AS ref, array_to_string(calts, ',') AS alt,
+       |  CAST(count(*) AS BIGINT) AS n_samples,
+       |  CAST(sum(dp) AS BIGINT) AS sum_dp,
+       |  md5(array_to_string(list(sample || ':' || gt_new || ':' || CAST(gq_new AS VARCHAR)
+       |    ORDER BY sample), ';')) AS calls_md5
+       |FROM calls
+       |GROUP BY contig, pos, mref, calts
+       |ORDER BY contig, pos""".stripMargin) { (s, d) =>
+    genotypeGvcf(syntheticVariantsWidePl(s, wideN(s, d)))
+      .withColumn("calls_md5", md5(col("calls").cast(BinaryType)))
+      .drop("calls")
   }
 
   /** The reference's output path (SURVEY §3.2 `load → collect →
@@ -1389,5 +1445,5 @@ object Gvcf {
     Seq(combineMerge, sampleIndexQuery, gvcfExport, siteStats, mergeBands,
       coverageHist, tiTv, breadth, mendel, concordance, covGaps,
       intervalOverlap, genotypeGvcfQuery, gvcfHeader, rebandMergedQuery,
-      combineIncremental, combineWide)
+      combineIncremental, combineWide, genotypeWide)
 }
