@@ -201,6 +201,63 @@ object VariantStore {
     * gone — the same contract HBase major compaction gives a timerange
     * scan below the purge bound). The default `Long.MinValue` horizon
     * purges nothing, preserving every historical snapshot. */
+  /** MINOR (incremental) compaction — the HBase minor-compaction analog
+    * and the missing middle between per-epoch memstore flushes and
+    * [[compact]]'s full rewrite (which re-reads EVERY byte of the store:
+    * at 100 TB that is the thing you cannot afford on a cadence). Folds
+    * only the NEWEST `entries - keepGenerations + 1` files (newest by
+    * manifest `ver` range — the streaming/append generations a busy
+    * store accumulates; ties broken by file name, so unversioned stores
+    * still fold deterministically) into ONE sorted generation, leaving
+    * every older file untouched on disk. Rows are rewritten AS-IS: all
+    * versions survive, tombstones keep masking (they may mask rows in
+    * files this pass never read — purging here would be wrong), so
+    * every `readRange`/`readAsOf` result is bit-identical before and
+    * after — only the file count drops. Size-tiered LSM behavior falls
+    * out: small fresh generations merge often, old big generations only
+    * merge when a major [[compact]] runs.
+    *
+    * The merged generation is written through the sink into a TEMP
+    * store (so ver ranges and sample extents are re-tracked by the
+    * writer), its files are moved in, and the manifest swap runs under
+    * the manifest lock — concurrent appenders' lines survive the splice
+    * because the swap drops exactly the folded lines from the CURRENT
+    * manifest rather than rewriting from a snapshot. Folded files are
+    * deleted only after the new manifest is live (crash in between
+    * leaves a readable store + orphans, the same ordering contract as
+    * the batch commit). */
+  def compactMinor(spark: SparkSession, path: String, schema: String,
+      keepGenerations: Int = 4, numRanges: Int = 1): Unit = {
+    require(keepGenerations >= 1, s"keepGenerations must be >= 1: $keepGenerations")
+    val dir = java.nio.file.Paths.get(path)
+    val entries = manifest(path)
+    if (entries.size <= keepGenerations) return
+    val keyCol = colNames(schema)(0)
+    val oldestFirst = entries.sortBy(e => (e.minVer, e.maxVer, e.file))
+    val fold = oldestFirst.drop(keepGenerations - 1)
+    val foldSet = fold.map(_.file).toSet
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_minor_")
+    spark.read.schema(schema).csv(fold.map(e => s"$path/${e.file}"): _*)
+      .repartitionByRange(numRanges, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.format("graft.sources.VariantStoreSink")
+      .option("path", tmpDir.toString).mode("overwrite").save()
+    val mergedLines = StoreManifest.readLines(tmpDir)
+    mergedLines.map(StoreManifest.parse).foreach { e =>
+      java.nio.file.Files.move(tmpDir.resolve(e.file), dir.resolve(e.file))
+    }
+    StoreManifest.withManifestLock(dir) {
+      val current = StoreManifest.readLines(dir)
+      StoreManifest.writeLines(dir,
+        (current.filterNot(l => foldSet(StoreManifest.parse(l).file)) ++ mergedLines).sorted)
+    }
+    fold.foreach(e => java.nio.file.Files.deleteIfExists(dir.resolve(e.file)))
+    // temp-store leftovers (manifest, lock sidecar, dir) — best-effort
+    Option(tmpDir.toFile.listFiles()).foreach(_.foreach(_.delete()))
+    java.nio.file.Files.deleteIfExists(tmpDir)
+    ()
+  }
+
   def compact(spark: SparkSession, path: String, schema: String,
       numRanges: Int = 8, horizon: Long = Long.MinValue): Unit = {
     val cols = colNames(schema)

@@ -285,4 +285,59 @@ class SourceSpec extends SparkSpec {
     assert(live(Seq("sC")) == Set((2L, "sC", "c2"), (3L, "sC", "c3")),
       "per-sample tombstone leaked across samples")
   }
+
+  test("minor compaction folds only the newest generations, reads unchanged") {
+    val dir = sinkDir("minor")
+    val schema = "key LONG, ver LONG, payload STRING"
+    val Tomb = graft.sources.VariantStore.Tombstone
+    def gen(ver: Long, rows: Seq[(Long, String)], mode: String): Unit =
+      rows.toDF("key", "payload")
+        .select($"key", lit(ver).as("ver"), $"payload")
+        .coalesce(1).sortWithinPartitions("key")
+        .write.format("graft.sources.VariantStoreSink")
+        .option("path", dir).mode(mode).save()
+    gen(10L, (1L to 50L).map(k => (k, s"base$k")), "overwrite") // the big old gen
+    gen(20L, Seq((2L, "v20")), "append")
+    gen(30L, Seq((3L, "v30"), (7L, "v30g")), "append")
+    gen(40L, Seq((2L, Tomb)), "append")       // tombstone in a folded gen
+    gen(50L, Seq((3L, "v50")), "append")
+    def files() = graft.sources.VariantStore.rangeFiles(dir, Long.MinValue, Long.MaxValue)
+    def live() = graft.sources.VariantStore
+      .readRange(spark, dir, schema, Long.MinValue, Long.MaxValue)
+      .select("key", "payload").as[(Long, String)].collect().toSet
+    def snap(t: Long) = graft.sources.VariantStore
+      .readAsOf(spark, dir, schema, t)
+      .select("key", "payload").as[(Long, String)].collect().toSet
+    assert(files().size == 5)
+    val (liveBefore, s25, s45) = (live(), snap(25L), snap(45L))
+    val filesBefore = files().toSet
+
+    graft.sources.VariantStore.compactMinor(spark, dir, schema, keepGenerations = 3)
+    // generation-count bound: 2 untouched oldest + 1 merged (numRanges=1)
+    assert(files().size == 3, s"expected 3 files after minor compaction, got ${files().size}")
+    // exactly the 2 oldest generations (v10, v20) were NOT rewritten —
+    // minor compaction never re-reads the big old files
+    assert(files().toSet.intersect(filesBefore).size == 2,
+      "minor compaction did not leave the two oldest generations in place")
+    // every read is bit-identical: live view, mid-history and recent asOf
+    assert(live() == liveBefore, "live view changed across minor compaction")
+    assert(snap(25L) == s25, "as-of-25 snapshot changed across minor compaction")
+    assert(snap(45L) == s45, "as-of-45 snapshot changed across minor compaction")
+    // tombstone survives the fold (minor must NOT purge — it cannot see
+    // the masked rows in unfolded files)
+    assert(!live().exists(_._1 == 2L), "tombstone for key 2 lost in minor compaction")
+    assert(snap(25L).exists(_._1 == 2L), "pre-delete history lost in minor compaction")
+
+    // steady state: more appends + another minor pass keep the bound
+    gen(60L, Seq((9L, "v60")), "append")
+    gen(70L, Seq((9L, "v70")), "append")
+    assert(files().size == 5)
+    graft.sources.VariantStore.compactMinor(spark, dir, schema, keepGenerations = 3)
+    assert(files().size == 3, "repeated minor compaction did not hold the bound")
+    assert(live().exists(t => t._1 == 9L && t._2 == "v70"),
+      "latest version lost across repeated minor compaction")
+    // below-threshold call is a no-op
+    graft.sources.VariantStore.compactMinor(spark, dir, schema, keepGenerations = 3)
+    assert(files().size == 3)
+  }
 }
