@@ -398,27 +398,35 @@ object Gvcf {
       |         WHEN ((i // 3) + i % 3) % 2 = 0 THEN '0/1' ELSE '1/1' END AS gt
       |  FROM g)""".stripMargin
 
+  /** The coverage → merged alleles → remapped genotypes chain (the
+    * CombineGVCFs pipeline) in DuckDB CTE form, FROM a preceding `v`
+    * cohort CTE — shared by the 3-sample oracles (q_combine_merge,
+    * q_gvcf_export), the wide combine (q_combine_wide), and the wide
+    * export (q_export_wide), so the merge arithmetic cannot drift. */
+  private val duckCombineChain =
+    """sites AS (SELECT DISTINCT contig, vstart AS pos FROM v WHERE kind = 'site'),
+      |cov AS (
+      |  SELECT s.contig, s.pos, v.sample, v.kind, v.ref, v.alt, v.gt, v.gq
+      |  FROM sites s JOIN v ON v.contig = s.contig AND s.pos BETWEEN v.vstart AND v.vend),
+      |merged AS (
+      |  SELECT contig, pos, min(ref) AS mref,
+      |    list_sort(list_distinct(list(alt))) AS calts
+      |  FROM cov WHERE kind = 'site' GROUP BY contig, pos),
+      |remap AS (
+      |  SELECT c.contig, c.pos, c.sample,
+      |    CASE WHEN c.kind = 'block' THEN c.gt
+      |         ELSE array_to_string(list_transform(string_split(c.gt, '/'), g ->
+      |           CASE WHEN g = '0' THEN '0'
+      |                ELSE CAST(list_position(m.calts, c.alt) AS VARCHAR) END), '/')
+      |    END AS gtm, c.gq
+      |  FROM cov c JOIN merged m ON c.contig = m.contig AND c.pos = m.pos)""".stripMargin
+
   /** Shared oracle CTEs: cohort → coverage → merged alleles → remapped
     * genotypes (the CombineGVCFs pipeline, reused by q_combine_merge and
     * q_gvcf_export). */
   private val duckCombineCtes =
     s"""$duckSyntheticV,
-       |sites AS (SELECT DISTINCT contig, vstart AS pos FROM v WHERE kind = 'site'),
-       |cov AS (
-       |  SELECT s.contig, s.pos, v.sample, v.kind, v.ref, v.alt, v.gt, v.gq
-       |  FROM sites s JOIN v ON v.contig = s.contig AND s.pos BETWEEN v.vstart AND v.vend),
-       |merged AS (
-       |  SELECT contig, pos, min(ref) AS mref,
-       |    list_sort(list_distinct(list(alt))) AS calts
-       |  FROM cov WHERE kind = 'site' GROUP BY contig, pos),
-       |remap AS (
-       |  SELECT c.contig, c.pos, c.sample,
-       |    CASE WHEN c.kind = 'block' THEN c.gt
-       |         ELSE array_to_string(list_transform(string_split(c.gt, '/'), g ->
-       |           CASE WHEN g = '0' THEN '0'
-       |                ELSE CAST(list_position(m.calts, c.alt) AS VARCHAR) END), '/')
-       |    END AS gtm, c.gq
-       |  FROM cov c JOIN merged m ON c.contig = m.contig AND c.pos = m.pos)""".stripMargin
+       |$duckCombineChain""".stripMargin
 
   /** Merged-record combine over the synthetic cohort, oracle-backed: the
     * DuckDB side rebuilds the cohort and performs the same merge (site
@@ -476,22 +484,7 @@ object Gvcf {
   val combineWide = Query(
     "q_combine_wide",
     s"""WITH $duckWideV,
-      |sites AS (SELECT DISTINCT contig, vstart AS pos FROM v WHERE kind = 'site'),
-      |cov AS (
-      |  SELECT s.contig, s.pos, v.sample, v.kind, v.ref, v.alt, v.gt, v.gq
-      |  FROM sites s JOIN v ON v.contig = s.contig AND s.pos BETWEEN v.vstart AND v.vend),
-      |merged AS (
-      |  SELECT contig, pos, min(ref) AS mref,
-      |    list_sort(list_distinct(list(alt))) AS calts
-      |  FROM cov WHERE kind = 'site' GROUP BY contig, pos),
-      |remap AS (
-      |  SELECT c.contig, c.pos, c.sample,
-      |    CASE WHEN c.kind = 'block' THEN c.gt
-      |         ELSE array_to_string(list_transform(string_split(c.gt, '/'), g ->
-      |           CASE WHEN g = '0' THEN '0'
-      |                ELSE CAST(list_position(m.calts, c.alt) AS VARCHAR) END), '/')
-      |    END AS gtm, c.gq
-      |  FROM cov c JOIN merged m ON c.contig = m.contig AND c.pos = m.pos)
+      |$duckCombineChain
       |SELECT r.contig, r.pos, m.mref AS ref,
       |  array_to_string(m.calts, ',') || ',<NON_REF>' AS alt,
       |  CAST(count(*) AS BIGINT) AS n_samples,
@@ -808,6 +801,32 @@ object Gvcf {
        |GROUP BY r.contig, r.pos, m.mref, m.calts
        |ORDER BY r.contig, r.pos""".stripMargin) { (s, d) =>
     exportLines(syntheticVariants(s, cohortN(s, d))).orderBy("contig", "pos")
+  }
+
+  /** Wide-cohort EXPORT evidence (the other half of VERDICT r12 task
+    * #7): [[exportLines]] over the WIDE cohort — each rendered gVCF body
+    * line carries one `GT:GQ` cell per sample, so at |orders|/50 width a
+    * line is ~30/300/3,000 cells (≈25 KB at sf0.1). Export stays
+    * per-row string work over the combine output plus one broadcast
+    * sample list — width grows the rendered string, never the shuffle
+    * count. Lines md5'd on both engines (q_combine_wide pattern). */
+  val exportWide = Query(
+    "q_export_wide",
+    s"""WITH $duckWideV,
+       |$duckCombineChain
+       |SELECT r.contig, r.pos,
+       |  md5(r.contig || chr(9) || CAST(r.pos AS VARCHAR) || chr(9) || '.' || chr(9) ||
+       |  m.mref || chr(9) || array_to_string(m.calts, ',') || ',<NON_REF>' || chr(9) ||
+       |  '.' || chr(9) || 'PASS' || chr(9) ||
+       |  'NS=' || CAST(count(*) AS VARCHAR) || chr(9) || 'GT:GQ' || chr(9) ||
+       |  array_to_string(list(r.gtm || ':' || CAST(r.gq AS VARCHAR) ORDER BY r.sample), chr(9))) AS line_md5
+       |FROM remap r JOIN merged m ON r.contig = m.contig AND r.pos = m.pos
+       |GROUP BY r.contig, r.pos, m.mref, m.calts
+       |ORDER BY r.contig, r.pos""".stripMargin) { (s, d) =>
+    exportLines(syntheticVariantsWide(s, wideN(s, d)))
+      .withColumn("line_md5", md5(col("line").cast(BinaryType)))
+      .drop("line")
+      .orderBy("contig", "pos")
   }
 
   /** The gVCF HEADER for [[exportLines]] — the piece that makes the
@@ -1445,5 +1464,5 @@ object Gvcf {
     Seq(combineMerge, sampleIndexQuery, gvcfExport, siteStats, mergeBands,
       coverageHist, tiTv, breadth, mendel, concordance, covGaps,
       intervalOverlap, genotypeGvcfQuery, gvcfHeader, rebandMergedQuery,
-      combineIncremental, combineWide, genotypeWide)
+      combineIncremental, combineWide, genotypeWide, exportWide)
 }
