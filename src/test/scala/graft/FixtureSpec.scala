@@ -21,6 +21,12 @@ class FixtureSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  /** The driver's correctness gate runs at sf0.01 — a drift THERE is
+    * what zeroes a round, and nothing guarantees the generator writes
+    * both dirs with the same encoding. Schema-only assertions (footer
+    * reads, no scans), so the extra dir costs milliseconds. */
+  private val gateDir = "/root/testdata/sf0.01"
+
   /** expected (column, type) contract per table, post-`api.tbl`. */
   private val expected: Map[String, Seq[(String, DataType)]] = Map(
     "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
@@ -60,24 +66,31 @@ class FixtureSpec extends SparkSpec {
   private def tsLike(dt: DataType): Boolean =
     dt == TimestampType || dt == TimestampNTZType
 
+  private def schemaDiffs(dir: String, table: String,
+      cols: Seq[(String, DataType)]): Seq[String] = {
+    val got = api.tbl(spark, dir, table).schema.map(f => f.name -> f.dataType).toMap
+    cols.flatMap { case (name, want) =>
+      got.get(name) match {
+        case None => Some(s"$name: MISSING (have: ${got.keys.mkString(", ")})")
+        case Some(dt) if want == null && !tsLike(dt) =>
+          Some(s"$name: expected a timestamp type, got $dt")
+        case Some(dt) if want != null && dt != want =>
+          Some(s"$name: expected $want, got $dt")
+        case _ => None
+      }
+    }
+  }
+
   for ((table, cols) <- expected.toSeq.sortBy(_._1)) {
     test(s"$table fixture loads with the contracted schema") {
-      val df = api.tbl(spark, sfDir, table)
-      val got = df.schema.map(f => f.name -> f.dataType).toMap
-      val diffs = cols.flatMap { case (name, want) =>
-        got.get(name) match {
-          case None => Some(s"$name: MISSING (have: ${got.keys.mkString(", ")})")
-          case Some(dt) if want == null && !tsLike(dt) =>
-            Some(s"$name: expected a timestamp type, got $dt")
-          case Some(dt) if want != null && dt != want =>
-            Some(s"$name: expected $want, got $dt")
-          case _ => None
-        }
+      for (dir <- Seq(sfDir, gateDir)) {
+        val diffs = schemaDiffs(dir, table, cols)
+        assert(diffs.isEmpty,
+          s"\nFIXTURE DRIFT in $dir/$table.parquet — the driver likely " +
+          s"regenerated /root/testdata with a new encoding.\n  " +
+          diffs.mkString("\n  "))
       }
-      assert(diffs.isEmpty,
-        s"\nFIXTURE DRIFT in $sfDir/$table.parquet — the driver likely " +
-        s"regenerated /root/testdata with a new encoding.\n  " +
-        diffs.mkString("\n  "))
+      val df = api.tbl(spark, sfDir, table)
       // embedding arrays must be non-empty and fixed-width for the ANN ops
       if (table == "embeddings") {
         import org.apache.spark.sql.functions._
