@@ -51,8 +51,14 @@ object api {
         case LongType => // legacy TIMESTAMP(NANOS) fixture, read as long
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case TimestampType => raw
-        case _ => // TIMESTAMP_NTZ micros fixture; UTC session ⇒ same values
+        case TimestampNTZType => // TIMESTAMP_NTZ micros; UTC session ⇒ same values
           raw.withColumn("ts", col("ts").cast(TimestampType))
+        case dt => // a THIRD fixture-encoding drift must be a named failure,
+          // not silently cast into null/garbage timestamps that the
+          // FixtureSpec type-only canary would wave through (r13 advice)
+          throw new IllegalStateException(
+            s"events.ts has unrecognized parquet type $dt — new fixture encoding? " +
+              "Teach api.tbl the new footer type and extend FixtureSpec.")
       }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 

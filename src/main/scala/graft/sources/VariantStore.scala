@@ -47,6 +47,19 @@ object VariantStore {
   private def sampleCol(cols: Array[String]): Option[String] =
     if (cols.indexOf("sample") > 0) Some("sample") else None
 
+  /** Mirror of the WRITER's [[StoreRender.sampleIdx]] type check, for
+    * projected reads (r13 advice): the writer only tracks extents for a
+    * STRING `sample` column, so a projection against a non-string one
+    * would never prune AND would isin-filter against the wrong type —
+    * silently empty results. Fail fast instead. */
+  private def requireSampleProjectable(schema: String, samples: Seq[String]): Unit =
+    if (samples.nonEmpty) {
+      val st = org.apache.spark.sql.types.StructType.fromDDL(schema)
+      val i = st.fieldNames.indexOf("sample")
+      require(i > 0 && st(i).dataType == org.apache.spark.sql.types.StringType,
+        s"sample projection needs a STRING `sample` column in the schema: $schema")
+    }
+
   /** Latest-version resolution: per key — per (key, sample) when the
     * schema carries a sample qualifier, matching HBase's per-CELL
     * versioning (each row×column cell has its own version stack; one
@@ -105,14 +118,13 @@ object VariantStore {
       lo: Long, hi: Long, samples: Seq[String] = Nil): DataFrame = {
     val cols = colNames(schema)
     val keyCol = cols(0)
-    require(samples.isEmpty || sampleCol(cols).isDefined,
-      s"sample projection needs a `sample` column in the schema: $schema")
+    requireSampleProjectable(schema, samples)
     val files = rangeFiles(path, lo, hi, samples)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schema))
     else {
-      val scanned = spark.read.schema(schema).csv(files: _*)
+      val scanned = spark.read.schema(schema).parquet(files: _*)
         .filter(col(keyCol) >= lo && col(keyCol) <= hi)
       val raw =
         if (samples.isEmpty) scanned
@@ -154,8 +166,7 @@ object VariantStore {
     val cols = colNames(schema)
     require(isVersioned(cols),
       s"versioned schema needs (key, ver, ...): got ${schema}")
-    require(samples.isEmpty || sampleCol(cols).isDefined,
-      s"sample projection needs a `sample` column in the schema: $schema")
+    requireSampleProjectable(schema, samples)
     val files = asOfFiles(path, asOf, samples)
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -167,7 +178,7 @@ object VariantStore {
     // applies BEFORE resolution, which is safe precisely because
     // resolution is per (key, sample) cell: dropping other samples'
     // rows can never change a wanted cell's version stack.
-    val scanned = spark.read.schema(schema).csv(files: _*).filter(col("ver") <= asOf)
+    val scanned = spark.read.schema(schema).parquet(files: _*).filter(col("ver") <= asOf)
     val raw =
       if (samples.isEmpty) scanned
       else scanned.filter(col("sample").isin(samples: _*))
@@ -204,18 +215,24 @@ object VariantStore {
   /** MINOR (incremental) compaction — the HBase minor-compaction analog
     * and the missing middle between per-epoch memstore flushes and
     * [[compact]]'s full rewrite (which re-reads EVERY byte of the store:
-    * at 100 TB that is the thing you cannot afford on a cadence). Folds
-    * only the NEWEST `entries - keepGenerations + 1` files (newest by
-    * manifest `ver` range — the streaming/append generations a busy
-    * store accumulates; ties broken by file name, so unversioned stores
-    * still fold deterministically) into ONE sorted generation, leaving
-    * every older file untouched on disk. Rows are rewritten AS-IS: all
-    * versions survive, tombstones keep masking (they may mask rows in
-    * files this pass never read — purging here would be wrong), so
-    * every `readRange`/`readAsOf` result is bit-identical before and
-    * after — only the file count drops. Size-tiered LSM behavior falls
-    * out: small fresh generations merge often, old big generations only
-    * merge when a major [[compact]] runs.
+    * at 100 TB that is the thing you cannot afford on a cadence).
+    *
+    * SIZE-TIERED fold selection (r13 advice — the property that makes
+    * "minor" stay minor): fold the SMALLEST `entries - keepGenerations
+    * + 1` files by manifest row count (ties by file name, so equal-size
+    * generations fold deterministically), protecting the LARGEST
+    * `keepGenerations - 1`. In steady state the protected set is
+    * exactly the previously-merged generations, so repeated minor
+    * passes never re-read the accumulated merge — each row is rewritten
+    * O(log n) times across its lifetime (the LSM size-tiered bound),
+    * not once per pass. Old big generations only fold when a major
+    * [[compact]] runs.
+    *
+    * Rows are rewritten AS-IS: all versions survive, tombstones keep
+    * masking (they may mask rows in files this pass never read —
+    * purging here would be wrong), so every `readRange`/`readAsOf`
+    * result is bit-identical before and after — only the file count
+    * drops.
     *
     * The merged generation is written through the sink into a TEMP
     * store (so ver ranges and sample extents are re-tracked by the
@@ -225,19 +242,29 @@ object VariantStore {
     * manifest rather than rewriting from a snapshot. Folded files are
     * deleted only after the new manifest is live (crash in between
     * leaves a readable store + orphans, the same ordering contract as
-    * the batch commit). */
+    * the batch commit).
+    *
+    * Compaction expects a SINGLE compactor per store (the HBase analog:
+    * one region server owns a region's compactions) — appenders and
+    * readers are safe concurrently, a second simultaneous compactor is
+    * not coordinated. As a guard, the locked splice re-checks that
+    * every folded file is still in the CURRENT manifest; if another
+    * compactor already folded one of them, this pass ABORTS (drops its
+    * merged generation, leaves the store untouched) instead of
+    * double-splicing the same rows. */
   def compactMinor(spark: SparkSession, path: String, schema: String,
       keepGenerations: Int = 4, numRanges: Int = 1): Unit = {
     require(keepGenerations >= 1, s"keepGenerations must be >= 1: $keepGenerations")
     val dir = java.nio.file.Paths.get(path)
-    val entries = manifest(path)
+    // consistent manifest snapshot for fold-set selection
+    val entries = StoreManifest.withManifestLock(dir) { manifest(path) }
     if (entries.size <= keepGenerations) return
     val keyCol = colNames(schema)(0)
-    val oldestFirst = entries.sortBy(e => (e.minVer, e.maxVer, e.file))
-    val fold = oldestFirst.drop(keepGenerations - 1)
+    val smallestFirst = entries.sortBy(e => (e.rows, e.file))
+    val fold = smallestFirst.take(entries.size - keepGenerations + 1)
     val foldSet = fold.map(_.file).toSet
     val tmpDir = java.nio.file.Files.createTempDirectory("graft_minor_")
-    spark.read.schema(schema).csv(fold.map(e => s"$path/${e.file}"): _*)
+    spark.read.schema(schema).parquet(fold.map(e => s"$path/${e.file}"): _*)
       .repartitionByRange(numRanges, col(keyCol))
       .sortWithinPartitions(keyCol)
       .write.format("graft.sources.VariantStoreSink")
@@ -246,12 +273,21 @@ object VariantStore {
     mergedLines.map(StoreManifest.parse).foreach { e =>
       java.nio.file.Files.move(tmpDir.resolve(e.file), dir.resolve(e.file))
     }
-    StoreManifest.withManifestLock(dir) {
+    val spliced = StoreManifest.withManifestLock(dir) {
       val current = StoreManifest.readLines(dir)
-      StoreManifest.writeLines(dir,
-        (current.filterNot(l => foldSet(StoreManifest.parse(l).file)) ++ mergedLines).sorted)
+      val currentFiles = current.map(StoreManifest.parse(_).file).toSet
+      if (fold.exists(e => !currentFiles(e.file))) false // lost a compactor race
+      else {
+        StoreManifest.writeLines(dir,
+          (current.filterNot(l => foldSet(StoreManifest.parse(l).file)) ++ mergedLines).sorted)
+        true
+      }
     }
-    fold.foreach(e => java.nio.file.Files.deleteIfExists(dir.resolve(e.file)))
+    if (spliced)
+      fold.foreach(e => java.nio.file.Files.deleteIfExists(dir.resolve(e.file)))
+    else // abort: un-publish OUR merged generation; the store is untouched
+      mergedLines.map(StoreManifest.parse)
+        .foreach(e => java.nio.file.Files.deleteIfExists(dir.resolve(e.file)))
     // temp-store leftovers (manifest, lock sidecar, dir) — best-effort
     Option(tmpDir.toFile.listFiles()).foreach(_.foreach(_.delete()))
     java.nio.file.Files.deleteIfExists(tmpDir)
@@ -264,7 +300,7 @@ object VariantStore {
     val keyCol = cols(0)
     val files = manifest(path).map(e => s"$path/${e.file}")
     require(files.nonEmpty, s"nothing to compact: no manifest at $path")
-    val raw = spark.read.schema(schema).csv(files: _*)
+    val raw = spark.read.schema(schema).parquet(files: _*)
     val kept =
       if (!isVersioned(cols) || horizon == Long.MinValue) raw
       else raw.filter(col("ver") > horizon).unionByName(

@@ -452,11 +452,12 @@ class StreamingSpec extends SparkSpec {
     val gens = manifest.map(_.split(",")(0).split("-")(1)).distinct.sorted
     assert(gens.size == 2, s"expected two generations, got $manifest")
     // every referenced file exists, is sorted by key, and the manifest's
-    // (rows, min, max) match its contents
+    // (rows, min, max) match its contents (single small parquet file ⇒
+    // one input partition ⇒ collect preserves on-disk row order)
     val all = manifest.flatMap { line =>
       val Array(f, rows, mn, mx) = line.split(",").take(4)
-      val keys = scala.io.Source.fromFile(s"$dir/store/$f").getLines()
-        .map(_.split(",")(0).toLong).toSeq
+      val keys = spark.read.schema("key LONG, payload STRING")
+        .parquet(s"$dir/store/$f").select("key").as[Long].collect().toSeq
       assert(keys == keys.sorted, s"$f not sorted: $keys")
       assert(keys.size == rows.toInt && keys.head == mn.toLong && keys.last == mx.toLong,
         s"manifest row/range mismatch for $f")
@@ -471,7 +472,7 @@ class StreamingSpec extends SparkSpec {
     val after = scala.io.Source.fromFile(s"$dir/store/_MANIFEST").getLines().toSeq
     assert(after.forall(_.startsWith("part-")), s"generations survived compaction: $after")
     val keys = spark.read.schema("key LONG, payload STRING")
-      .csv(after.map(l => s"$dir/store/${l.split(",")(0)}"): _*)
+      .parquet(after.map(l => s"$dir/store/${l.split(",")(0)}"): _*)
       .select("key").as[Long].collect().toSeq
     assert(keys.sorted == Seq(5L, 10L, 20L, 25L, 30L), s"compaction lost rows: $keys")
     val ranges = after.map(_.split(",")).map(a => (a(2).toLong, a(3).toLong)).sortBy(_._1)
@@ -615,5 +616,117 @@ class StreamingSpec extends SparkSpec {
         s"sketch state did not merge across micro-batches: ${rows.head}")
       assert(rows.head.getLong(1) == 5)
     } finally q.stop()
+  }
+
+  test("store sink recovers idempotently when restarted from checkpoint mid-stream") {
+    // The crash window Spark's exactly-once contract leans on: the SINK's
+    // epoch commit lands BEFORE the checkpoint's commit-log marker, so a
+    // crash in between re-drives the whole epoch (fresh task files, same
+    // epochId) against a store that already committed it. Simulated
+    // exactly: run an epoch, stop the query, delete the commit-log
+    // marker, restart FROM THE SAME CHECKPOINT — the restarted query
+    // replays the epoch, and the manifest must hold ONE record set for
+    // it (the retry's), with store content equal to a no-crash run.
+    // StoreEpochSpec proves this property same-session at the commit
+    // layer; this drives it through a real checkpoint restart.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_restart_store").toString
+    val input = MemoryStream[(Long, String)]
+    def start() = input.toDF().toDF("key", "payload")
+      .writeStream.format("graft.sources.VariantStoreSink")
+      .option("path", s"$dir/store").option("checkpointLocation", s"$dir/chk")
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData((10L, "a"), (20L, "b"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val gen0Before = scala.io.Source.fromFile(s"$dir/store/_MANIFEST").getLines()
+      .toSeq.filter(_.startsWith("gen-000000000-"))
+    assert(gen0Before.nonEmpty, "epoch 0 did not commit a generation")
+    // crash simulation: offsets/0 exists, commits/0 vanishes (plus the
+    // local ChecksumFs .crc sidecar — a real crash never writes either)
+    val marker = new java.io.File(s"$dir/chk/commits/0")
+    assert(marker.exists, s"expected commit-log marker at $marker")
+    assert(marker.delete())
+    new java.io.File(s"$dir/chk/commits/.0.crc").delete()
+    val q2 = start()
+    try {
+      input.addData((30L, "c"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val lines = scala.io.Source.fromFile(s"$dir/store/_MANIFEST").getLines().toSeq
+    val gen0After = lines.filter(_.startsWith("gen-000000000-"))
+    // the replayed epoch REPLACED its generation (retry's files, not a
+    // duplicate set alongside the originals)
+    assert(gen0After.nonEmpty && gen0After.intersect(gen0Before).isEmpty,
+      s"replayed epoch did not replace its generation:\n$lines")
+    assert(lines.map(_.split(",")(1).toLong).sum == 3L,
+      s"restart duplicated or dropped rows:\n$lines")
+    val live = graft.sources.VariantStore
+      .readRange(spark, s"$dir/store", "key LONG, payload STRING", Long.MinValue, Long.MaxValue)
+      .as[(Long, String)].collect().toMap
+    assert(live == Map(10L -> "a", 20L -> "b", 30L -> "c"),
+      s"store content differs from the no-crash run: $live")
+  }
+
+  test("streamingCombine state + store survive a checkpoint restart with epoch replay") {
+    // The stateful half of restart recovery: flatMapGroupsWithState
+    // reloads the pre-crash state-store version when the checkpoint
+    // re-drives an epoch, so the replayed batch re-emits the SAME
+    // combined rows with the SAME vers, and the sink's idempotent epoch
+    // commit absorbs them. End state must equal the no-crash batch
+    // combine at every as-of boundary.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.FilledCall
+    val dir = java.nio.file.Files.createTempDirectory("graft_restart_combine").toString
+    val input = MemoryStream[FilledCall]
+    def start() = Streaming.streamingCombine(input.toDS())
+      .select($"pos".as("key"), $"ver", $"calls".as("payload"))
+      .writeStream.format("graft.sources.VariantStoreSink")
+      .option("path", s"$dir/store").option("checkpointLocation", s"$dir/chk")
+      .outputMode("append").start()
+    val epochs = Seq(
+      Seq(FilledCall("s1", "chr1", 10L, covered = true, gq = 50, seq = 1L),
+        FilledCall("s1", "chr1", 20L, covered = true, gq = 60, seq = 1L)),
+      Seq(FilledCall("s2", "chr1", 10L, covered = false, gq = 30, seq = 2L)),
+      Seq(FilledCall("s2", "chr1", 10L, covered = true, gq = 75, seq = 3L),
+        FilledCall("s2", "chr1", 20L, covered = true, gq = 40, seq = 3L)))
+    val q1 = start()
+    try {
+      epochs.take(2).foreach { b => input.addData(b: _*); q1.processAllAvailable() }
+    } finally q1.stop()
+    // crash between epoch 1's sink commit and its commit-log marker
+    assert(new java.io.File(s"$dir/chk/commits/1").delete(),
+      "expected commit-log marker for batch 1")
+    new java.io.File(s"$dir/chk/commits/.1.crc").delete()
+    val q2 = start()
+    try {
+      input.addData(epochs(2): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    def render(c: FilledCall) =
+      s"${c.sample}:${if (c.covered) "0/0" else "./."}:${c.gq}"
+    def batchCombine(t: Long): Map[Long, String] =
+      epochs.flatten.filter(_.seq <= t)
+        .groupBy(_.pos).map { case (pos, cs) =>
+          val bySample = cs.groupBy(_.sample)
+            .map { case (smp, dd) => smp -> render(dd.maxBy(_.seq)) }
+          pos -> bySample.keys.toSeq.sorted.map(bySample).mkString(";")
+        }
+    for (t <- 1L to 3L) {
+      val snap = graft.sources.VariantStore
+        .readAsOf(spark, s"$dir/store", "key LONG, ver LONG, payload STRING", t)
+        .select("key", "payload").as[(Long, String)].collect().toMap
+      assert(snap == batchCombine(t),
+        s"as-of $t after restart != no-crash batch combine:\n$snap\n${batchCombine(t)}")
+    }
+    // exactly one record set per epoch survived the replay
+    val gens = scala.io.Source.fromFile(s"$dir/store/_MANIFEST").getLines()
+      .toSeq.map(_.split(",")(0).split("-")(1)).distinct.sorted
+    assert(gens == Seq("000000000", "000000001", "000000002"),
+      s"unexpected generation set after restart: $gens")
   }
 }
