@@ -43,11 +43,11 @@ object VariantStore {
 
   /** The sample-qualifier column (HBase column qualifier analog), when
     * the schema declares one: named `sample`, any non-key position —
-    * the same convention [[StoreRender.sampleIdx]] tracks extents for. */
+    * the same convention [[StoreSchema.sampleIdx]] tracks extents for. */
   private def sampleCol(cols: Array[String]): Option[String] =
     if (cols.indexOf("sample") > 0) Some("sample") else None
 
-  /** Mirror of the WRITER's [[StoreRender.sampleIdx]] type check, for
+  /** Mirror of the WRITER's [[StoreSchema.sampleIdx]] type check, for
     * projected reads (r13 advice): the writer only tracks extents for a
     * STRING `sample` column, so a projection against a non-string one
     * would never prune AND would isin-filter against the wrong type —

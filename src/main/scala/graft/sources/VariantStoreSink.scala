@@ -293,10 +293,10 @@ private[sources] class StoreDataWriter(
   private var rows = 0L
   private var minKey = Long.MaxValue
   private var maxKey = Long.MinValue
-  private val verAt = StoreRender.verIdx(schema)
+  private val verAt = StoreSchema.verIdx(schema)
   private var minVer = Long.MaxValue
   private var maxVer = Long.MinValue
-  private val sampleAt = StoreRender.sampleIdx(schema)
+  private val sampleAt = StoreSchema.sampleIdx(schema)
   private val sampleExt = new SampleExtent
 
   override def write(row: InternalRow): Unit = {
@@ -399,7 +399,7 @@ private[sources] object StoreParquet {
   }
 }
 
-private[sources] object StoreRender {
+private[sources] object StoreSchema {
   /** Index of the versioned-store `ver` column when the schema declares
     * one: second field, named `ver`, LONG — the contract `readAsOf`
     * requires. Writers track its per-file range for the manifest. */
@@ -438,7 +438,7 @@ private[sources] final class SampleExtent {
         unknown = true
       else {
         set += name
-        if (set.size > StoreRender.MaxSampleExtent) unknown = true
+        if (set.size > StoreSchema.MaxSampleExtent) unknown = true
       }
     }
   def result: Option[Set[String]] =
@@ -502,8 +502,8 @@ private[sources] class StoreMemstoreWriter(
   // (key, ver, row) — rows are COPIED (the scan reuses its row buffer);
   // memory holds one micro-batch partition, bounded by trigger size
   private val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, InternalRow)]
-  private val verAt = StoreRender.verIdx(schema)
-  private val sampleAt = StoreRender.sampleIdx(schema)
+  private val verAt = StoreSchema.verIdx(schema)
+  private val sampleAt = StoreSchema.sampleIdx(schema)
   private val sampleExt = new SampleExtent
 
   override def write(row: InternalRow): Unit = {
