@@ -102,4 +102,18 @@ class FixtureSpec extends SparkSpec {
       assert(df.limit(1).count() == 1, s"$table is empty")
     }
   }
+
+  test("the events loader THROWS on an unrecognized ts encoding (r13 advice)") {
+    // a third fixture-encoding drift must be a NAMED failure, not a
+    // blind cast into null/garbage timestamps that the type-only
+    // assertions above would wave through
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fixture_drift").toString
+    Seq((1L, 1.5, 2L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException] { api.tbl(spark, dir, "events") }
+    assert(e.getMessage.contains("unrecognized") && e.getMessage.contains("FixtureSpec"),
+      e.getMessage)
+  }
 }
