@@ -6,17 +6,26 @@ import org.apache.spark.sql.functions._
 /** Read-side + maintenance API over a [[VariantStoreSink]] directory —
   * the half of the store contract the `_MANIFEST` exists for:
   *
-  *   readRange — an HBase-scan analog: consult the manifest's per-file
-  *               (minKey, maxKey) and hand Spark ONLY the files whose
-  *               range overlaps the scan — file-level region pruning
-  *               before any I/O, the same move as the reference's
-  *               row-key-range scans (SURVEY §3.2). A residual filter
-  *               keeps exactness inside partially-overlapping files.
-  *   compact   — the LSM step that closes the loop with the streaming
-  *               (memstore) path: fold ALL current generations through
-  *               one `repartitionByRange + sortWithinPartitions` pass
-  *               back into the batch bulk-load layout (one sorted
-  *               generation, fresh manifest).
+  *   readRange    — an HBase-scan analog: consult the manifest's
+  *                  per-file (minKey, maxKey) / sample extents and hand
+  *                  Spark ONLY the files whose ranges overlap the scan —
+  *                  file-level region pruning before any I/O, the same
+  *                  move as the reference's row-key-range scans (SURVEY
+  *                  §3.2). Residual filters keep exactness inside
+  *                  partially-overlapping files, and since the
+  *                  generations are parquet they push further into
+  *                  row-group min/max inside each selected file.
+  *   readAsOf     — the versioned-cell timerange read (HBase
+  *                  `maxVersions` analog): the snapshot at timestamp t,
+  *                  ver-range-pruned at the file level.
+  *   compactMinor — size-tiered minor compaction: fold the smallest
+  *                  generations, never re-read the accumulated merge.
+  *   compact      — MAJOR compaction: fold ALL current generations
+  *                  through one `repartitionByRange +
+  *                  sortWithinPartitions` pass back into the batch
+  *                  bulk-load layout, optionally purging history below
+  *                  a horizon (tombstones and what they mask leave
+  *                  disk).
   *
   * The manifest is tiny (one line per file) — reading it is driver-side
   * metadata work, exactly like fetching the region index. */
