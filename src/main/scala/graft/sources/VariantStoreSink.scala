@@ -288,8 +288,7 @@ private[sources] class StoreDataWriter(
     f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
   private val tmp = java.nio.file.Paths.get(path, file)
   java.nio.file.Files.createDirectories(tmp.getParent)
-  private val mt = StoreParquet.messageType(schema)
-  private val out = StoreParquet.open(tmp, mt)
+  private val out = StoreParquet.open(tmp, schema)
   private var rows = 0L
   private var minKey = Long.MaxValue
   private var maxKey = Long.MinValue
@@ -313,7 +312,7 @@ private[sources] class StoreDataWriter(
     sampleAt.foreach { i =>
       sampleExt.add(if (row.isNullAt(i)) null else row.getUTF8String(i).toString)
     }
-    out.write(StoreParquet.toGroup(mt, schema, row))
+    out.write(row)
     rows += 1
   }
 
@@ -333,19 +332,22 @@ private[sources] class StoreDataWriter(
 
 /** Parquet codec shared by the bulk and memstore writers — the HFile
   * analog done honestly: binary columnar files with per-column
-  * row-group min/max stats. Built on parquet-hadoop's PUBLIC example
-  * Group API (the jars ship with Spark); the message type is derived
-  * from the sink's own StructType with standard logical annotations,
-  * so Spark's vectorized reader scans the files natively — column
-  * projection and row-group skipping included. */
+  * row-group min/max stats. Built on parquet-hadoop's PUBLIC
+  * WriteSupport API (the jars ship with Spark): rows stream from
+  * Spark's InternalRow straight into the RecordConsumer — no
+  * intermediate Group objects, no per-row allocation or boxing, which
+  * is what a bulk-load hot path should do when every row of 100 TB
+  * passes through it. The message type is derived from the sink's own
+  * StructType with standard logical annotations, so Spark's vectorized
+  * reader scans the files natively — column projection and row-group
+  * skipping included. */
 private[sources] object StoreParquet {
-  import org.apache.parquet.example.data.Group
-  import org.apache.parquet.example.data.simple.SimpleGroup
+  import org.apache.hadoop.conf.Configuration
   import org.apache.parquet.hadoop.ParquetWriter
-  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.hadoop.api.WriteSupport
   import org.apache.parquet.hadoop.metadata.CompressionCodecName
   import org.apache.parquet.hadoop.util.HadoopOutputFile
-  import org.apache.parquet.io.api.Binary
+  import org.apache.parquet.io.api.{Binary, RecordConsumer}
   import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
@@ -371,32 +373,50 @@ private[sources] object StoreParquet {
     b.named("graft_store")
   }
 
-  def open(file: java.nio.file.Path, mt: MessageType): ParquetWriter[Group] =
-    ExampleParquetWriter.builder(HadoopOutputFile.fromPath(
-        new org.apache.hadoop.fs.Path(file.toUri),
-        new org.apache.hadoop.conf.Configuration()))
-      .withType(mt)
+  /** InternalRow → RecordConsumer, field by field. Strings go through
+    * `Binary.fromReusedByteArray`: the UTF8String may expose the task's
+    * shared row buffer, and parquet's dictionary/page buffering must
+    * copy defensively rather than alias it. */
+  private class RowWriteSupport(schema: StructType) extends WriteSupport[InternalRow] {
+    private val mt = messageType(schema)
+    private var consumer: RecordConsumer = _
+    override def init(conf: Configuration): WriteSupport.WriteContext =
+      new WriteSupport.WriteContext(mt, java.util.Collections.emptyMap[String, String]())
+    override def prepareForWrite(rc: RecordConsumer): Unit = consumer = rc
+    override def write(row: InternalRow): Unit = {
+      consumer.startMessage()
+      var i = 0
+      while (i < schema.length) {
+        if (!row.isNullAt(i)) {
+          consumer.startField(schema(i).name, i)
+          schema(i).dataType match {
+            case LongType | TimestampType => consumer.addLong(row.getLong(i))
+            case IntegerType => consumer.addInteger(row.getInt(i))
+            case DoubleType => consumer.addDouble(row.getDouble(i))
+            case StringType =>
+              consumer.addBinary(Binary.fromReusedByteArray(row.getUTF8String(i).getBytes))
+            case dt => throw new UnsupportedOperationException(s"unsupported sink type $dt")
+          }
+          consumer.endField(schema(i).name, i)
+        }
+        i += 1
+      }
+      consumer.endMessage()
+    }
+  }
+
+  private class RowWriterBuilder(file: org.apache.parquet.io.OutputFile, schema: StructType)
+      extends ParquetWriter.Builder[InternalRow, RowWriterBuilder](file) {
+    override def self(): RowWriterBuilder = this
+    override def getWriteSupport(conf: Configuration): WriteSupport[InternalRow] =
+      new RowWriteSupport(schema)
+  }
+
+  def open(file: java.nio.file.Path, schema: StructType): ParquetWriter[InternalRow] =
+    new RowWriterBuilder(HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toUri), new Configuration()), schema)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .build()
-
-  def toGroup(mt: MessageType, schema: StructType, row: InternalRow): Group = {
-    val g = new SimpleGroup(mt)
-    var i = 0
-    while (i < schema.length) {
-      if (!row.isNullAt(i)) schema(i).dataType match {
-        case LongType | TimestampType => g.add(i, row.getLong(i))
-        case IntegerType => g.add(i, row.getInt(i))
-        case DoubleType => g.add(i, row.getDouble(i))
-        // fromReusedByteArray: the UTF8String may expose the task's
-        // shared row buffer — parquet copies defensively before any
-        // dictionary/page buffering can alias it
-        case StringType => g.add(i, Binary.fromReusedByteArray(row.getUTF8String(i).getBytes))
-        case dt => throw new UnsupportedOperationException(s"unsupported sink type $dt")
-      }
-      i += 1
-    }
-    g
-  }
 }
 
 private[sources] object StoreSchema {
@@ -521,9 +541,8 @@ private[sources] class StoreMemstoreWriter(
       val sorted = buf.sortBy(_._1) // stable: equal keys keep arrival order
       val tmp = java.nio.file.Paths.get(path, file)
       java.nio.file.Files.createDirectories(tmp.getParent)
-      val mt = StoreParquet.messageType(schema)
-      val out = StoreParquet.open(tmp, mt)
-      sorted.foreach { case (_, _, r) => out.write(StoreParquet.toGroup(mt, schema, r)) }
+      val out = StoreParquet.open(tmp, schema)
+      sorted.foreach { case (_, _, r) => out.write(r) }
       out.close()
       val vs = if (verAt.isDefined) sorted.map(_._2) else Seq.empty
       if (vs.nonEmpty)
