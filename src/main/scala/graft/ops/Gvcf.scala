@@ -150,14 +150,17 @@ object Gvcf {
         when(col("kind") === "site", lit("0/1")).otherwise(lit("0/0")))
     val cov = siteCoverage(v, bucketWidth)
       .select("contig", "pos", "sample", "kind", "alleles", "gq", "gt")
-    val merged = cov.filter(col("kind") === "site")
-      .groupBy("contig", "pos")
-      .agg(
-        min(element_at(col("alleles"), 1)).as("ref"),
-        concat(
-          array_sort(array_distinct(flatten(collect_list(
-            expr("slice(alleles, 2, greatest(size(alleles) - 1, 0))"))))),
-          array(lit(Vcf.NonRef))).as("alts"))
+    // Merged ref/alts as whole-partition WINDOW aggregates over the one
+    // shuffled copy of the coverage rows (r14 rework): the previous
+    // shape aggregated a SECOND copy of `cov` (groupBy site → merged)
+    // and merge-joined it back, so the coverage subtree — the
+    // corpus-scale stage: record scan, bucket explode, site probe
+    // join — was computed twice and both join sides paid a sort. One
+    // hash exchange on the site key now feeds the window, the remap,
+    // and every downstream per-site aggregate (same-key groupBy adds
+    // no exchange). Block rows contribute NULL to the site-only
+    // min/collect (skipped by both), and array_sort makes the alts
+    // union independent of the window's intra-partition row order. */
     // try_cast + range guards: a malformed GT token ('A', '', '-1')
     // degrades to the missing call '.' instead of aborting a 100 TB
     // combine under ANSI — same skip-bad-records posture as the parser
@@ -173,7 +176,15 @@ object Gvcf {
          |                     ELSE '${Vcf.NonRef}' END) AS STRING)
          |    END), '/')
          |END""".stripMargin)
-    cov.join(merged, Seq("contig", "pos"))
+    val w = Window.partitionBy("contig", "pos")
+    cov
+      .withColumn("ref",
+        min(when(col("kind") === "site", element_at(col("alleles"), 1))).over(w))
+      .withColumn("alts", concat(
+        array_sort(array_distinct(flatten(collect_list(
+          when(col("kind") === "site",
+            expr("slice(alleles, 2, greatest(size(alleles) - 1, 0))"))).over(w)))),
+        array(lit(Vcf.NonRef))))
       .join(broadcast(sampleNameIndex(v)), "sample")
       .withColumn("gtm", remapped)
   }
@@ -229,15 +240,20 @@ object Gvcf {
   def genotypeGvcf(variants: DataFrame, bucketWidth: Long = 64): DataFrame = {
     val cov = siteCoverage(variants, bucketWidth)
       .select("contig", "pos", "sample", "kind", "alleles", "gq", "dp", "pl")
-    val merged = cov.filter(col("kind") === "site")
-      .groupBy("contig", "pos")
-      .agg(
-        min(element_at(col("alleles"), 1)).as("ref"),
-        concat(
-          array_sort(array_distinct(flatten(collect_list(
-            expr("slice(alleles, 2, greatest(size(alleles) - 1, 0))"))))),
-          array(lit(Vcf.NonRef))).as("alts"))
-    val re = cov.join(merged, Seq("contig", "pos"))
+    // merged ref/alts as whole-partition window aggregates over the ONE
+    // shuffled copy of the coverage rows — same r14 rework as
+    // [[combinedCalls]]: the coverage subtree (the corpus-scale stage)
+    // runs once, and the window exchange on the site key is the same
+    // partitioning the final per-site aggregate needs.
+    val wm = Window.partitionBy("contig", "pos")
+    val re = cov
+      .withColumn("ref",
+        min(when(col("kind") === "site", element_at(col("alleles"), 1))).over(wm))
+      .withColumn("alts", concat(
+        array_sort(array_distinct(flatten(collect_list(
+          when(col("kind") === "site",
+            expr("slice(alleles, 2, greatest(size(alleles) - 1, 0))"))).over(wm)))),
+        array(lit(Vcf.NonRef))))
       .withColumn("malleles", concat(array(col("ref")), col("alts")))
       .withColumn("lall", concat(col("alleles"), array(lit(Vcf.NonRef))))
       // merged-allele index -> sample-local allele index (<NON_REF>
@@ -622,8 +638,8 @@ object Gvcf {
       // spanning blocks were duplicated into each bucket they cross —
       // collapse before combining (one record per (sample, start))
       .dropDuplicates("sample", "contig", "start")
-    // localCheckpoint: combineSites traverses its input three times
-    // (sample index build, site-allele merge, coverage join) — fine over
+    // localCheckpoint: combineSites traverses its input twice (sample
+    // index build, coverage join + windowed allele merge) — fine over
     // a cheap synthetic range, but here each traversal would re-run the
     // pruned scan + dedup shuffle. The touched slice is delta-bounded
     // (the premise of incrementality), so materializing it is the

@@ -113,6 +113,20 @@ class PlanSpec extends SparkSpec {
       s"interval coverage fell back to a nested loop:\n${p.take(1500)}")
   }
 
+  test("combine/genotype evaluate the coverage subtree exactly once (r14 window rework)") {
+    // The merged allele union is a whole-partition window over the ONE
+    // shuffled copy of the coverage rows. The pre-r14 shape aggregated a
+    // second copy of the coverage join and merge-joined it back, so the
+    // record bucket-explode Generate — the corpus-scale stage — appeared
+    // TWICE in the plan. Locked in by counting that Generate.
+    for (q <- Seq(Gvcf.combineMerge, Gvcf.genotypeGvcfQuery, Gvcf.siteStats)) {
+      val p = plan(q)
+      val covGenerates = "explode\\(sequence\\(\\(start".r.findAllIn(p).length
+      assert(covGenerates == 1,
+        s"${q.name}: expected 1 coverage bucket-explode, got $covGenerates")
+    }
+  }
+
   test("q_funnel scans the events fact exactly once (window funnel, no join cascade)") {
     val p = plan(Extras.funnel)
     val scans = "Scan parquet".r.findAllIn(p).length
