@@ -288,7 +288,13 @@ object Pipeline {
     val n = docs.count() // metadata-scale scalar (one count job), broadcast as literal
     val t = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val tf = t.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df = t.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    // df FROM tf, not from the raw token stream: a tf row exists per
+    // (doc, tok), so counting tf rows per tok IS the document frequency
+    // — and because both branches now share the identical tf exchange,
+    // ReuseExchange tokenizes the corpus ONCE where the old
+    // countDistinct-over-the-stream shape paid a second tokenize plus a
+    // distinct expand over the full token stream.
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     tf.join(df, "tok")
       .select(col("doc_id"), col("tok"),
         round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
