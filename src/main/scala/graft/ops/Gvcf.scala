@@ -177,14 +177,17 @@ object Gvcf {
          |    END), '/')
          |END""".stripMargin)
     val w = Window.partitionBy("contig", "pos")
+    // one select, not chained withColumn: both window aggregates land in
+    // a single WindowExec pass over the shared sort
     cov
-      .withColumn("ref",
-        min(when(col("kind") === "site", element_at(col("alleles"), 1))).over(w))
-      .withColumn("alts", concat(
-        array_sort(array_distinct(flatten(collect_list(
-          when(col("kind") === "site",
-            expr("slice(alleles, 2, greatest(size(alleles) - 1, 0))"))).over(w)))),
-        array(lit(Vcf.NonRef))))
+      .select(cov.columns.map(col) :+
+        min(when(col("kind") === "site", element_at(col("alleles"), 1))).over(w)
+          .as("ref") :+
+        concat(
+          array_sort(array_distinct(flatten(collect_list(
+            when(col("kind") === "site",
+              expr("slice(alleles, 2, greatest(size(alleles) - 1, 0))"))).over(w)))),
+          array(lit(Vcf.NonRef))).as("alts"): _*)
       .join(broadcast(sampleNameIndex(v)), "sample")
       .withColumn("gtm", remapped)
   }
@@ -246,14 +249,17 @@ object Gvcf {
     // runs once, and the window exchange on the site key is the same
     // partitioning the final per-site aggregate needs.
     val wm = Window.partitionBy("contig", "pos")
+    // one select, not chained withColumn: both window aggregates land in
+    // a single WindowExec pass over the shared sort
     val re = cov
-      .withColumn("ref",
-        min(when(col("kind") === "site", element_at(col("alleles"), 1))).over(wm))
-      .withColumn("alts", concat(
-        array_sort(array_distinct(flatten(collect_list(
-          when(col("kind") === "site",
-            expr("slice(alleles, 2, greatest(size(alleles) - 1, 0))"))).over(wm)))),
-        array(lit(Vcf.NonRef))))
+      .select(cov.columns.map(col) :+
+        min(when(col("kind") === "site", element_at(col("alleles"), 1))).over(wm)
+          .as("ref") :+
+        concat(
+          array_sort(array_distinct(flatten(collect_list(
+            when(col("kind") === "site",
+              expr("slice(alleles, 2, greatest(size(alleles) - 1, 0))"))).over(wm)))),
+          array(lit(Vcf.NonRef))).as("alts"): _*)
       .withColumn("malleles", concat(array(col("ref")), col("alts")))
       .withColumn("lall", concat(col("alleles"), array(lit(Vcf.NonRef))))
       // merged-allele index -> sample-local allele index (<NON_REF>
