@@ -402,4 +402,71 @@ class GvcfSpec extends SparkSpec {
     assert(rawFiles.map(bucketOf).forall(touched),
       "recombine side scanned an untouched raw bucket")
   }
+
+  test("combineSites equals an independent driver-side reference on a random cohort") {
+    // Differential guard for the r14 window rework: a seeded random
+    // cohort — multi-allelic sites, zero-alt sites, missing GQ, phased
+    // and malformed GT tokens, coverage gaps — combined by
+    // Gvcf.combineSites AND by a from-scratch Scala reimplementation of
+    // the CombineGVCFs rules that shares no Spark expression code with
+    // the engine. Any divergence in window null handling, allele-union
+    // ordering, or GT remap edge cases fails here without needing the
+    // DuckDB oracle.
+    final case class Rec(sample: String, contig: String, start: Long, end: Long,
+        kind: String, alleles: Seq[String], gq: Option[Int], gt: String)
+    val rnd = new scala.util.Random(424242)
+    val bases = Vector("A", "C", "G", "T")
+    val gts = Vector("0/1", "1/1", "0/0", "./.", "0|1", "1/2", "2/1", "x/1", "1/", "-1/1")
+    val recs: Seq[Rec] = for {
+      s <- 0 until 7
+      g <- 0 until 40
+      if rnd.nextInt(10) > 0 // 10% coverage gaps
+    } yield {
+      val contig = s"chr${1 + g % 3}"
+      val pos = g * 10L + 1
+      val gq = if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(99))
+      if (rnd.nextInt(5) < 3) {
+        val ref = bases(rnd.nextInt(4))
+        val alts = Seq.fill(rnd.nextInt(3))(bases(rnd.nextInt(4)))
+          .distinct.filterNot(_ == ref) // may be EMPTY: a zero-alt site
+        Rec(s"s$s", contig, pos, pos, "site", ref +: alts, gq, gts(rnd.nextInt(gts.size)))
+      } else
+        Rec(s"s$s", contig, pos, pos + 9, "block", Seq(bases(rnd.nextInt(4))), gq,
+          if (rnd.nextBoolean()) "0/0" else "0|0")
+    }
+    val df = recs.map(r => (r.sample, r.contig, r.start, r.end, r.kind, r.alleles, r.gq, r.gt))
+      .toDF("sample", "contig", "start", "end", "kind", "alleles", "gq", "gt")
+
+    val sampleIdx = recs.map(_.sample).distinct.sorted.zipWithIndex.toMap
+    val expected = recs.filter(_.kind == "site").map(r => (r.contig, r.start)).distinct
+      .map { case (contig, pos) =>
+        val cov = recs.filter(r => r.contig == contig && r.start <= pos && r.end >= pos)
+        val siteRows = cov.filter(_.kind == "site")
+        val ref = siteRows.map(_.alleles.head).min
+        val alts = siteRows.flatMap(_.alleles.drop(1)).distinct.sorted :+ "<NON_REF>"
+        val calls = cov.map { r =>
+          val gtm =
+            if (r.kind == "block") r.gt.replace('|', '/')
+            else r.gt.replace('|', '/').split("/", -1).map { tok =>
+              tok.toIntOption match {
+                case None => "."
+                case Some(i) if i < 0 => "."
+                case Some(0) => "0"
+                case Some(i) =>
+                  val allele = if (i < r.alleles.size) r.alleles(i) else "<NON_REF>"
+                  (alts.indexOf(allele) + 1).toString
+              }
+            }.mkString("/")
+          (sampleIdx(r.sample), s"${r.sample}:$gtm:${r.gq.map(_.toString).getOrElse(".")}")
+        }.sorted.map(_._2)
+        (contig, pos, ref, alts.mkString(","), cov.size.toLong, calls)
+      }.sortBy(t => (t._1, t._2))
+
+    val got = Gvcf.combineSites(df).orderBy("contig", "pos").collect().map(r =>
+      (r.getAs[String]("contig"), r.getAs[Long]("pos"), r.getAs[String]("ref"),
+        r.getAs[String]("alt"), r.getAs[Long]("n_samples"),
+        r.getAs[scala.collection.Seq[String]]("calls").toSeq)).toSeq
+    assert(got.size == expected.size, s"site count ${got.size} != ${expected.size}")
+    got.zip(expected).foreach { case (g2, e) => assert(g2 == e, s"\ngot  $g2\nwant $e") }
+  }
 }
