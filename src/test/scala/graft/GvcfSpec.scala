@@ -469,4 +469,81 @@ class GvcfSpec extends SparkSpec {
     assert(got.size == expected.size, s"site count ${got.size} != ${expected.size}")
     got.zip(expected).foreach { case (g2, e) => assert(g2 == e, s"\ngot  $g2\nwant $e") }
   }
+
+  test("genotypeGvcf equals an independent driver-side reference on a random cohort") {
+    // Differential guard for the PL remap — the most intricate math in
+    // the repo: random multi-allelic sites with PL vectors that are
+    // sometimes MISSING (banded-likelihood fallback) and sometimes TOO
+    // SHORT (out-of-range canonical index → 999999 sentinel), re-genotyped
+    // by the engine AND by a from-scratch Scala reimplementation of the
+    // canonical-order PL remap, argmin re-genotype, and GQ-from-two-best.
+    final case class Rec(sample: String, contig: String, start: Long, end: Long,
+        kind: String, alleles: Seq[String], gq: Option[Int], dp: Int, pl: Option[Seq[Int]])
+    val rnd = new scala.util.Random(987654)
+    val bases = Vector("A", "C", "G", "T")
+    val recs: Seq[Rec] = for {
+      s <- 0 until 6
+      g <- 0 until 30
+      if rnd.nextInt(10) > 0
+    } yield {
+      val contig = s"chr${1 + g % 2}"
+      val pos = g * 10L + 1
+      val gq = if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(99))
+      val dp = 1 + rnd.nextInt(60)
+      if (rnd.nextInt(5) < 3) {
+        val ref = bases(rnd.nextInt(4))
+        val alts = Seq.fill(1 + rnd.nextInt(2))(bases(rnd.nextInt(4)))
+          .distinct.filterNot(_ == ref)
+        val nAll = 1 + alts.size + 1 // local alleles + NON_REF
+        val full = nAll * (nAll + 1) / 2
+        val pl = rnd.nextInt(4) match {
+          case 0 => None // site with banded fallback
+          case 1 => Some(Seq.fill(math.max(full - 2, 1))(rnd.nextInt(200))) // too short
+          case _ => Some(Seq.fill(full)(rnd.nextInt(200)))
+        }
+        Rec(s"s$s", contig, pos, pos, "site", ref +: alts, gq, dp, pl)
+      } else
+        Rec(s"s$s", contig, pos, pos + 9, "block", Seq(bases(rnd.nextInt(4))), gq, dp, None)
+    }
+    val df = recs.map(r => (r.sample, r.contig, r.start, r.end, r.kind, r.alleles,
+        r.gq, r.dp, r.pl))
+      .toDF("sample", "contig", "start", "end", "kind", "alleles", "gq", "dp", "pl")
+
+    val sampleIdx = recs.map(_.sample).distinct.sorted.zipWithIndex.toMap
+    val expected = recs.filter(_.kind == "site").map(r => (r.contig, r.start)).distinct
+      .map { case (contig, pos) =>
+        val cov = recs.filter(r => r.contig == contig && r.start <= pos && r.end >= pos)
+        val siteRows = cov.filter(_.kind == "site")
+        val ref = siteRows.map(_.alleles.head).min
+        val alts = siteRows.flatMap(_.alleles.drop(1)).distinct.sorted :+ "<NON_REF>"
+        val malleles = ref +: alts
+        val calls = cov.map { r =>
+          val lall = r.alleles :+ "<NON_REF>"
+          val limap = malleles.map(m =>
+            if (lall.contains(m)) lall.indexOf(m) else lall.size - 1)
+          val pairs = for (b <- malleles.indices; a <- 0 to b) yield (a, b)
+          val mpl: Seq[Long] =
+            if (r.kind == "block" || r.pl.isEmpty)
+              pairs.map { case (a, b) =>
+                r.gq.getOrElse(0).toLong *
+                  ((if (a > 0) 1 else 0) + (if (b > 0) 1 else 0)) }
+            else pairs.map { case (a, b) =>
+              val (hi, lo) = (math.max(limap(a), limap(b)), math.min(limap(a), limap(b)))
+              r.pl.get.lift(hi * (hi + 1) / 2 + lo).map(_.toLong).getOrElse(999999L)
+            }
+          val g = mpl.indexOf(mpl.min)
+          val gqNew = { val spl = mpl.sorted; math.min(spl(1) - spl(0), 99L) }
+          (sampleIdx(r.sample), s"${r.sample}:${pairs(g)._1}/${pairs(g)._2}:$gqNew")
+        }.sorted.map(_._2).mkString(";")
+        (contig, pos, ref, alts.mkString(","), cov.size.toLong,
+          cov.map(_.dp.toLong).sum, calls)
+      }.sortBy(t => (t._1, t._2))
+
+    val got = Gvcf.genotypeGvcf(df).collect().map(r =>
+      (r.getAs[String]("contig"), r.getAs[Long]("pos"), r.getAs[String]("ref"),
+        r.getAs[String]("alt"), r.getAs[Long]("n_samples"),
+        r.getAs[Long]("sum_dp"), r.getAs[String]("calls"))).toSeq
+    assert(got.size == expected.size, s"site count ${got.size} != ${expected.size}")
+    got.zip(expected).foreach { case (g2, e) => assert(g2 == e, s"\ngot  $g2\nwant $e") }
+  }
 }
