@@ -418,12 +418,14 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).localCheckpoint()
     val candIds = cands.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    // NOT checkpointed: used twice, but its upstream is only the cheap
-    // candidate-filtered scan (md5 runs for surviving docs only), so the
-    // double run costs less than a second materialization would.
+    // localCheckpoint: used twice (probe side + broadcast side), and
+    // the output is K-row class (one row per SURVIVOR doc, bounded by
+    // 2x candidate pairs). Without it each side re-runs the filtered
+    // scan + shingle + set aggregate.
     val sets = shingleVals(docs.join(broadcast(candIds), Seq("doc_id"), "leftsemi"))
       .groupBy("doc_id")
       .agg(collect_set(col("v")).as("shset"))
+      .localCheckpoint()
     val setsA = sets.select(col("doc_id").as("doc_a"), col("shset").as("sa"))
     val setsB = sets.select(col("doc_id").as("doc_b"), col("shset").as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb")))
