@@ -402,4 +402,59 @@ class SourceSpec extends SparkSpec {
     graft.sources.VariantStore.compactMinor(spark, dir, schema, keepGenerations = 3)
     assert(files().size == 3)
   }
+
+  test("randomized generation lifecycle matches a driver-side version-resolution reference") {
+    // Differential guard for the whole versioned-read contract: a seeded
+    // random sequence of append generations — overlapping ver ranges,
+    // duplicate (key, ver) rows (full-row tiebreak), tombstones, re-puts
+    // after tombstones — with minor AND major compaction interleaved,
+    // swept by readAsOf at every version boundary against a from-scratch
+    // Scala resolution (max by (ver, payload) per key, tombstone hides).
+    // Any divergence in window ordering, manifest pruning, or compaction
+    // row preservation fails here on content, not on a hand-built case.
+    import graft.sources.VariantStore
+    val schema = "key LONG, ver LONG, payload STRING"
+    val dir = sinkDir("randlife")
+    val rnd = new scala.util.Random(20260814)
+    var log = Vector.empty[(Long, Long, String)] // every row ever written
+    def writeGen(g: Int, mode: String): Unit = {
+      val rows = (0L until 50L).filter(_ => rnd.nextInt(10) < 4).map { k =>
+        val ver = g * 10L + rnd.nextInt(3)
+        val payload =
+          if (rnd.nextInt(100) < 15) VariantStore.Tombstone
+          else s"p$g-$k-${rnd.nextInt(3)}"
+        (k, ver, payload)
+      } ++ // occasional duplicate (key, ver) pair with a different payload
+        (if (rnd.nextBoolean()) Seq((7L, g * 10L, s"dup$g-a"), (7L, g * 10L, s"dup$g-b"))
+         else Seq.empty)
+      log ++= rows
+      rows.toDF("key", "ver", "payload")
+        .repartitionByRange(2, $"key").sortWithinPartitions("key")
+        .write.format("graft.sources.VariantStoreSink")
+        .option("path", dir).mode(mode).save()
+    }
+    def refAsOf(t: Long): Seq[(Long, Long, String)] =
+      log.filter(_._2 <= t).groupBy(_._1).values
+        .map(_.maxBy(r => (r._2, r._3)))
+        .filter(_._3 != VariantStore.Tombstone)
+        .toSeq.sortBy(r => (r._1, r._2, r._3))
+    def engineAsOf(t: Long): Seq[(Long, Long, String)] =
+      VariantStore.readAsOf(spark, dir, schema, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSeq.sortBy(r => (r._1, r._2, r._3))
+    writeGen(0, "overwrite")
+    for (g <- 1 until 8) {
+      writeGen(g, "append")
+      if (g == 3) VariantStore.compactMinor(spark, dir, schema, keepGenerations = 2)
+      if (g == 5) VariantStore.compact(spark, dir, schema, numRanges = 2) // no horizon: history kept
+      // sweep every version boundary seen so far, plus mid-generation cuts
+      for (t <- (0L to g * 10L + 2L by 5L) :+ Long.MaxValue)
+        assert(engineAsOf(t) == refAsOf(t), s"as-of $t diverged after generation $g")
+    }
+    // live range read == as-of-infinity restricted to the key range
+    val live = VariantStore.readRange(spark, dir, schema, 10L, 39L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq.sortBy(r => (r._1, r._2, r._3))
+    assert(live == refAsOf(Long.MaxValue).filter(r => r._1 >= 10L && r._1 <= 39L))
+  }
 }
