@@ -457,4 +457,61 @@ class SourceSpec extends SparkSpec {
       .toSeq.sortBy(r => (r._1, r._2, r._3))
     assert(live == refAsOf(Long.MaxValue).filter(r => r._1 >= 10L && r._1 <= 39L))
   }
+
+  test("randomized per-cell lifecycle with a sample qualifier matches the reference") {
+    // The sample-qualified variant of the lifecycle differential:
+    // version stacks are per (key, sample) CELL — one sample's re-put or
+    // tombstone must never shadow another sample's cell at the same key —
+    // and sample-projected reads must equal the reference filtered to
+    // the wanted samples (extent pruning may skip files, never rows).
+    import graft.sources.VariantStore
+    val schema = "key LONG, ver LONG, sample STRING, payload STRING"
+    val dir = sinkDir("randcell")
+    val rnd = new scala.util.Random(8141452)
+    val samples = Vector("s0", "s1", "s2", "s3")
+    var log = Vector.empty[(Long, Long, String, String)]
+    def writeGen(g: Int, mode: String): Unit = {
+      val rows = for {
+        k <- 0L until 30L
+        s <- samples
+        if rnd.nextInt(10) < 3
+      } yield {
+        val payload =
+          if (rnd.nextInt(100) < 20) VariantStore.Tombstone
+          else s"p$g-$k-$s"
+        (k, g * 10L + rnd.nextInt(3), s, payload)
+      }
+      log ++= rows
+      rows.toDF("key", "ver", "sample", "payload")
+        .repartitionByRange(2, $"key").sortWithinPartitions("key")
+        .write.format("graft.sources.VariantStoreSink")
+        .option("path", dir).mode(mode).save()
+    }
+    def refAsOf(t: Long, wanted: Set[String]): Seq[(Long, Long, String, String)] =
+      log.filter(_._2 <= t)
+        .filter(r => wanted.isEmpty || wanted(r._3))
+        .groupBy(r => (r._1, r._3)).values
+        .map(_.maxBy(r => (r._2, r._4)))
+        .filter(_._4 != VariantStore.Tombstone)
+        .toSeq.sorted
+    def engineAsOf(t: Long, wanted: Seq[String]): Seq[(Long, Long, String, String)] =
+      VariantStore.readAsOf(spark, dir, schema, t, wanted)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+        .toSeq.sorted
+    writeGen(0, "overwrite")
+    for (g <- 1 until 6) {
+      writeGen(g, "append")
+      if (g == 3) VariantStore.compactMinor(spark, dir, schema, keepGenerations = 2)
+      for (t <- Seq(1L, 12L, 31L, g * 10L + 1L, Long.MaxValue)) {
+        assert(engineAsOf(t, Nil) == refAsOf(t, Set.empty),
+          s"unprojected as-of $t diverged after generation $g")
+        assert(engineAsOf(t, Seq("s1", "s3")) == refAsOf(t, Set("s1", "s3")),
+          s"sample-projected as-of $t diverged after generation $g")
+      }
+    }
+    val live = VariantStore.readRange(spark, dir, schema, 5L, 24L, Seq("s2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSeq.sorted
+    assert(live == refAsOf(Long.MaxValue, Set("s2")).filter(r => r._1 >= 5L && r._1 <= 24L))
+  }
 }
