@@ -546,4 +546,72 @@ class GvcfSpec extends SparkSpec {
     assert(got.size == expected.size, s"site count ${got.size} != ${expected.size}")
     got.zip(expected).foreach { case (g2, e) => assert(g2 == e, s"\ngot  $g2\nwant $e") }
   }
+
+  test("interval QC trio matches per-base brute force on random intervals") {
+    // The sweep-line / gaps-and-islands operators never materialize a
+    // per-base table — that is their whole point — so check them against
+    // the per-base computation they replace, on random overlapping
+    // intervals: coverageHistogram (depth histogram), sampleBreadth
+    // (covered-base union + island count), rebandMerged (cohort-min GQ
+    // banding with touching-run coalescing).
+    val rnd = new scala.util.Random(31337)
+    final case class Iv(sample: String, contig: String, start: Long, end: Long,
+        kind: String, gq: Int)
+    val ivs: Seq[Iv] = (0 until 120).map { _ =>
+      val start = 1L + rnd.nextInt(300)
+      val site = rnd.nextInt(5) == 0
+      Iv(s"s${rnd.nextInt(4)}", s"chr${1 + rnd.nextInt(2)}", start,
+        if (site) start else start + rnd.nextInt(20), if (site) "site" else "block",
+        1 + rnd.nextInt(99))
+    }
+    val df = ivs.map(r => (r.sample, r.contig, r.start, r.end, r.kind,
+        Seq("REF"), r.gq))
+      .toDF("sample", "contig", "start", "end", "kind", "alleles", "gq")
+    val positions = 1L to 330L
+
+    // coverageHistogram vs per-base depth counting (all record kinds)
+    val refHist = (for {
+      contig <- Seq("chr1", "chr2"); p <- positions
+      depth = ivs.count(r => r.contig == contig && r.start <= p && r.end >= p)
+      if depth > 0
+    } yield (contig, depth.toLong)).groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.map { case ((c, dep), n) => (c, dep, n) }.sorted
+    val gotHist = Gvcf.coverageHistogram(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(gotHist == refHist, s"\ngot  $gotHist\nwant $refHist")
+
+    // sampleBreadth vs per-base union + island runs
+    val refBreadth = ivs.groupBy(r => (r.sample, r.contig)).map { case ((s2, c), rs) =>
+      val covered = positions.filter(p => rs.exists(r => r.start <= p && r.end >= p))
+      val islands = covered.foldLeft((0L, Long.MinValue)) { case ((n, prev), p) =>
+        (if (p == prev + 1) n else n + 1, p) }._1
+      (s2, c, covered.size.toLong, islands)
+    }.toSeq.sorted
+    val gotBreadth = Gvcf.sampleBreadth(df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(gotBreadth == refBreadth, s"\ngot  $gotBreadth\nwant $refBreadth")
+
+    // rebandMerged vs per-base min-GQ banding with run coalescing
+    val blocks = ivs.filter(_.kind == "block")
+    def band(g: Long): Long = if (g < 20) 0L else if (g < 60) 1L else 2L
+    val refBand = Seq("chr1", "chr2").flatMap { contig =>
+      val perBase = positions.flatMap { p =>
+        val cov = blocks.filter(r => r.contig == contig && r.start <= p && r.end >= p)
+        if (cov.isEmpty) None else Some((p, cov.map(_.gq.toLong).min))
+      }
+      // maximal runs of consecutive covered bases in the same band
+      perBase.foldLeft(Vector.empty[(Long, Long, Long, Long)]) {
+        case (acc, (p, mgq)) =>
+          acc.lastOption match {
+            case Some((lo, hi, b, g2)) if hi + 1 == p && b == band(mgq) =>
+              acc.init :+ (lo, p, b, math.min(g2, mgq))
+            case _ => acc :+ (p, p, band(mgq), mgq)
+          }
+      }.map { case (lo, hi, b, g2) => (contig, lo, hi, b, g2) }
+    }.sorted
+    val gotBand = Gvcf.rebandMerged(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sorted
+    assert(gotBand == refBand, s"\ngot  $gotBand\nwant $refBand")
+  }
 }
