@@ -102,7 +102,11 @@ object Sources {
     fmt match {
       case "csv" => w.option("header", "true").csv(dir)
       case "json" => w.json(dir)
-      case "orc" => w.orc(dir)
+      // snappy, not Spark 4's zstd ORC default: the repo's columnar
+      // stance everywhere else (parquet default, the store sink) is
+      // snappy — cheaper write CPU at a compression ratio that is
+      // irrelevant to a round-trip-losslessness proof
+      case "orc" => w.option("compression", "snappy").orc(dir)
       case "xml" => w.option("rowTag", "line").format("xml").save(dir)
     }
     val r = s.read.schema(sliceSchema)
