@@ -867,10 +867,177 @@ object Extras {
         |LIMIT 2000""".stripMargin)
   }
 
+  /** Degree-ordered triangle counting over a lineitem-derived graph —
+    * the MPC-standard algorithm (orient every undirected edge from its
+    * lower-(degree, id) endpoint to the higher; each triangle then has
+    * exactly ONE node with two out-edges, so wedges joined against the
+    * oriented edge set count each triangle exactly once). The
+    * orientation bounds every node's out-degree by O(√m), so wedge
+    * volume is O(m^1.5) worst-case instead of Σdeg² — the difference
+    * between feasible and not on a power-law graph at 100 TB, where the
+    * unoriented wedge count of one celebrity node is quadratic in its
+    * degree. Edges: low-quantity lineitem rows folded into a 2000-node
+    * id space (l_partkey%2000 ↔ l_suppkey%2000) — sparse, deterministic,
+    * data-driven. Every join key is an integer pair; the edge list is
+    * built once and reused in all three roles (Spark reuses the
+    * exchange). Output is the graph summary: nodes, edges, wedges,
+    * triangles, and the global clustering coefficient (3·tri/wedges,
+    * one IEEE division of exact integers). */
+  val triangleCount = Query(
+    "q_triangle_count",
+    """WITH e0 AS (
+      |  SELECT DISTINCT l_partkey % 2000 AS a, l_suppkey % 2000 AS b
+      |  FROM lineitem WHERE l_quantity <= 2),
+      |und AS (
+      |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      |  FROM e0 WHERE a <> b),
+      |deg AS (
+      |  SELECT n, CAST(count(*) AS BIGINT) AS d
+      |  FROM (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und)
+      |  GROUP BY n),
+      |dir AS (
+      |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
+      |              THEN und.u ELSE und.v END AS src,
+      |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND und.u < und.v)
+      |              THEN und.v ELSE und.u END AS dst
+      |  FROM und
+      |  JOIN deg du ON du.n = und.u JOIN deg dv ON dv.n = und.v),
+      |tri AS (
+      |  SELECT count(*) AS n_tri
+      |  FROM dir e1
+      |  JOIN dir e2 ON e2.src = e1.src AND e2.dst <> e1.dst
+      |  JOIN dir e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+      |wed AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+      |SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+      |  CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+      |  n_wedges,
+      |  CAST(n_tri AS BIGINT) AS n_triangles,
+      |  round(3.0 * n_tri / n_wedges, 6) AS clustering
+      |FROM tri, wed""".stripMargin) { (s, d) =>
+    triangleSummary(
+      tbl(s, d, "lineitem")
+        .filter(col("l_quantity") <= 2)
+        .select((col("l_partkey") % 2000).as("a"), (col("l_suppkey") % 2000).as("b")))
+  }
+
+  /** The triangle-counting core over a raw directed edge frame `(a, b)`
+    * (self-loops and duplicates welcome — both are normalized away).
+    * Factored out so OperatorSpec can pin the count on hand-built graphs
+    * (K₄ = 4 triangles etc.) independent of the lineitem derivation. */
+  private[graft] def triangleSummary(rawEdges: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // The edge list is consumed in five roles (degree count, orientation,
+    // three triangle-join sides); without a lineage break each role
+    // re-runs the scan + distinct. It is filtered-and-folded to O(edges)
+    // rows (k-bounded, the Ivf-centroid class of documented break), so
+    // materialize once and iterate — the standard move for multi-pass
+    // graph algorithms, same as each PageRank superstep's rank frame.
+    val und = rawEdges
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    // one pass for degrees: each edge contributes both endpoints. The
+    // degree table is bounded by the FOLDED node space (2000 ids, fixed
+    // by the operator), so it broadcasts like nation/region — the
+    // orientation join is then exchange-free on the edge side.
+    val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val dir = und
+      .join(broadcast(deg.select(col("n").as("un"), col("d").as("du"))),
+        col("u") === col("un"))
+      .join(broadcast(deg.select(col("n").as("vn"), col("d").as("dv"))),
+        col("v") === col("vn"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+    val e1 = dir.select(col("src").as("s1"), col("dst").as("d1"))
+    val e2 = dir.select(col("src").as("s2"), col("dst").as("d2"))
+    val e3 = dir.select(col("src").as("s3"), col("dst").as("d3"))
+    val tri = e1
+      .join(e2, col("s2") === col("s1") && col("d2") =!= col("d1"))
+      .join(e3, col("s3") === col("d1") && col("d3") === col("d2"))
+      .agg(count(lit(1)).as("n_tri"))
+    val summary = und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("d * (d - 1) div 2")).cast(LongType).as("n_wedges")))
+    tri.crossJoin(summary)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_tri").as("n_triangles"),
+        round(lit(3.0) * col("n_tri") / col("n_wedges"), 6).as("clustering"))
+  }
+
+  /** Per-entity exponentially-weighted smoothing (EWMA, α = 1/2) over
+    * the event stream, in EXACT fixed-point arithmetic: the float-
+    * recursive definition is not bit-portable across engines, so each
+    * (event_type, user) series carries an 8-deep sliding window of
+    * DECIMAL-exact value units and the EWMA is the integer weighted sum
+    * Σ unitⱼ·2ʲ (newest = heaviest) over denominator 2^L − 1 — every
+    * step BIGINT, the single final division one IEEE op, rounded.
+    * Plan: ONE window exchange on (event_type, user_id) — thousands of
+    * small partitions, never a per-type global sort — then max_by picks
+    * each series' latest state in the same aggregation that counts it.
+    * The 8-row frame bounds per-row state at 100 TB (vs the recursive
+    * form, whose state is the full series prefix). */
+  val ewma = Query(
+    "q_ewma",
+    """WITH u AS (
+      |  SELECT event_type, user_id,
+      |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS um,
+      |    row_number() OVER (PARTITION BY event_type, user_id
+      |                       ORDER BY ts, event_id) AS rn,
+      |    list(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT))
+      |      OVER (PARTITION BY event_type, user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS win
+      |  FROM events),
+      |f AS (
+      |  SELECT event_type, user_id,
+      |    CAST(max(rn) AS BIGINT) AS n_events,
+      |    arg_max(CAST(list_sum(list_transform(range(1, len(win) + 1),
+      |      j -> win[j] * (1 << (j - 1)))) AS BIGINT), rn) AS numer,
+      |    arg_max(CAST((1 << len(win)) - 1 AS BIGINT), rn) AS denom
+      |  FROM u GROUP BY event_type, user_id)
+      |SELECT event_type, user_id, n_events,
+      |  round(CAST(numer AS DOUBLE) / denom / 10000, 6) AS ewma
+      |FROM f ORDER BY event_type, user_id""".stripMargin) { (s, d) =>
+    ewmaOf(tbl(s, d, "events"))
+  }
+
+  /** The EWMA core over an `(event_type, user_id, ts, event_id, value)`
+    * frame — factored out so OperatorSpec can check the fixed-point
+    * weighted sum against hand arithmetic on a literal series. */
+  private[graft] def ewmaOf(raw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val byKey = Window.partitionBy("event_type", "user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val events = raw
+      .withColumn("um", (dec("value") * 10000).cast(LongType))
+      .withColumn("rn", row_number().over(byKey))
+      .withColumn("win",
+        collect_list(col("um")).over(byKey.rowsBetween(-7, 0)))
+      // weight 2ʲ by 0-based window position: newest element carries the
+      // heaviest weight, denominator 2^L−1 normalizes the partial frame
+      .withColumn("numer", expr(
+        "aggregate(transform(win, (x, j) -> x * shiftleft(1L, j)), 0L, (a, b) -> a + b)"))
+      .withColumn("denom", expr("shiftleft(1L, size(win)) - 1"))
+    events.groupBy("event_type", "user_id")
+      .agg(max(col("rn")).cast(LongType).as("n_events"),
+        expr("max_by(numer, rn)").as("numer"),
+        expr("max_by(denom, rn)").as("denom"))
+      .select(col("event_type"), col("user_id"), col("n_events"),
+        round(col("numer").cast(DoubleType) / col("denom") / 10000, 6).as("ewma"))
+      .orderBy("event_type", "user_id")
+  }
+
   val queries: Seq[Query] = Seq(
     pivotWide, unpivot, percentile, sampleSplit, aggSalted, windowNav,
     regexpExtract, mergeUpsert, histogram, scalarSubquery, boolAggs,
     funnel, retention, graphReach, bloomPrefilter, windowNtile, zorderLayout,
     cdcDiff, topkPerGroup, summaryStats, gapFill, shareOfTotal, notInNulls,
-    anomalyHours, pageRank, stringAgg, joinSalted, minmaxBy, windowRange)
+    anomalyHours, pageRank, stringAgg, joinSalted, minmaxBy, windowRange,
+    triangleCount, ewma)
 }

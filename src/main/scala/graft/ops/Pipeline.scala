@@ -1057,10 +1057,137 @@ object Pipeline {
       .limit(10)
   }
 
+  /** Aggressive-normalization dedup audit (the C4/RefinedWeb "near-exact"
+    * tier between exact dedup and MinHash): casefold, strip every
+    * non-alphanumeric, collapse runs of whitespace — then compare the
+    * corpus's distinct-document count under the exact key
+    * (lower(trim(text)), q_dedup_exact's key) vs the normalized key.
+    * The per-source gap (n_exact − n_norm) is exactly the duplicate
+    * mass that punctuation/casing variants hide from exact dedup.
+    * Scale: both distinct counts group on 16-byte md5 digests of the
+    * keys, never the text — one digest-sized exchange, map-side
+    * combined; normalization itself is scan-side map work. */
+  val dedupNormalize = Query(
+    "q_dedup_normalize",
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS n_exact,
+      |  CAST(count(DISTINCT md5(trim(regexp_replace(
+      |    regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' ')))) AS BIGINT)
+      |    AS n_norm
+      |FROM documents
+      |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    tbl(s, d, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(lower(trim(col("text"))))).as("n_exact"),
+        countDistinct(md5(trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))))
+          .as("n_norm"))
+      .orderBy("source")
+  }
+
+  /** Deterministic stratified sampling — the per-language quota draw a
+    * training-mix pipeline runs before weighting (each stratum
+    * contributes exactly ⌈10%⌉ of its documents, so a skewed corpus
+    * cannot starve small languages the way a global 10% hash sample
+    * does). Selection is by portable 48-bit content hash ([[api.h48]])
+    * of doc_id — retry-stable, seedless, identical in both engines —
+    * with the stratum quota from one count window over the SAME
+    * partition key as the rank window (one exchange, two window
+    * functions). At 100 TB strata are language-sized, the window state
+    * is one counter per stratum, and no global sort exists. */
+  val stratifiedSample = Query(
+    "q_stratified_sample",
+    s"""WITH r AS (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY ${duckH48("doc_id")}, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n_lang
+      |  FROM documents)
+      |SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn,
+      |  CAST(n_lang AS BIGINT) AS n_lang
+      |FROM r WHERE rn <= (n_lang + 9) // 10
+      |ORDER BY lang, rn""".stripMargin) { (s, d) =>
+    stratifiedOf(tbl(s, d, "documents")).orderBy("lang", "rn")
+  }
+
+  /** The stratified-draw core over a `(lang, doc_id, ...)` frame —
+    * factored out so OperatorSpec can pin the ⌈10%⌉ quota and the
+    * seedless retry-stability on a literal corpus. */
+  private[graft] def stratifiedOf(docs: DataFrame): DataFrame = {
+    val byLang = Window.partitionBy("lang")
+    docs
+      .withColumn("rn",
+        row_number().over(byLang.orderBy(expr(h48("doc_id")), col("doc_id"))))
+      .withColumn("n_lang", count(lit(1)).over(byLang))
+      .filter(col("rn") <= expr("(n_lang + 9) div 10"))
+      .select(col("lang"), col("doc_id"), col("rn").cast(LongType).as("rn"),
+        col("n_lang").cast(LongType).as("n_lang"))
+  }
+
+  /** Within-document token entropy — the repetitiveness filter that
+    * catches keyword-stuffed / template pages whose CORPUS-level
+    * surprisal ([[lmScore]]) looks normal: per document, each token's
+    * self-information against the doc's OWN unigram distribution,
+    * in exact integer bits (floor(log₂(n/tf)) = length(bin(n div tf))−1,
+    * the q_lm_score idiom — ln() is not bit-portable). Low bits/token =
+    * few tokens dominate (boilerplate); high = diverse vocabulary.
+    * Scale: reduce-then-expand with NO join at all — the token stream
+    * collapses to per-doc (token, tf) in one map-side-combined
+    * aggregation, and the entropy is a second aggregation over that
+    * vocab-bounded frame. Two shuffles total, both digest-small. */
+  val tokenEntropy = Query(
+    "q_token_entropy",
+    """WITH tf AS (
+      |  SELECT doc_id, lang, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |  GROUP BY doc_id, lang, token),
+      |tn AS (
+      |  SELECT *, sum(tf) OVER (PARTITION BY doc_id) AS n FROM tf),
+      |e AS (
+      |  SELECT doc_id, lang,
+      |    CAST(max(n) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS vocab,
+      |    CAST(sum(tf * (length(bin(n // tf)) - 1)) AS BIGINT) AS total_bits
+      |  FROM tn GROUP BY doc_id, lang)
+      |SELECT doc_id, lang, n_tokens, vocab, total_bits,
+      |  round(CAST(total_bits AS DOUBLE) / n_tokens, 6) AS bits_per_token
+      |FROM e
+      |ORDER BY bits_per_token, doc_id
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    tokenEntropyOf(tbl(s, d, "documents"))
+      .orderBy(col("bits_per_token"), col("doc_id"))
+      .limit(100)
+  }
+
+  /** The per-document bit-entropy core over a `(doc_id, lang, text)`
+    * frame — factored out so OperatorSpec can pin hand-computed values
+    * (uniform 4-token doc → exactly 2 bits/token; constant doc → 0). */
+  private[graft] def tokenEntropyOf(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "lang", "token")
+      .agg(count(lit(1)).as("tf"))
+    val withN = tf.withColumn("n_tokens",
+      sum(col("tf")).over(Window.partitionBy("doc_id")))
+    withN
+      .withColumn("bits", (length(bin(expr("n_tokens div tf"))) - 1).cast(LongType))
+      .groupBy("doc_id", "lang")
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("tf") * col("bits")).as("total_bits"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("vocab"),
+        col("total_bits"),
+        round(col("total_bits").cast(DoubleType) / col("n_tokens"), 6)
+          .as("bits_per_token"))
+  }
+
   val queries: Seq[Query] = Seq(
     dedupExact, textTokens, textStats, langId, qualityScore, tokenCount,
     fingerprint, multimodalMeta, mediaDecode, mediaResize, tokenizeRegex, bigrams, tfidf, sessionize, windowTumbling, windowSliding,
     redact, repetition, contamination, collocations, sessionPaths,
     mixSample, seqPack, bm25, chunkOverlap, rareTokens, bpePairs, chunkDedup,
-    lmScore, hybridRrf)
+    lmScore, hybridRrf, dedupNormalize, stratifiedSample, tokenEntropy)
 }

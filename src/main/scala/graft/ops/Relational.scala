@@ -1287,6 +1287,46 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q16 (parts/supplier relationship), shaped to the testdata
+    * star schema: no `partsupp` table ships, so the part↔supplier
+    * relation is the DISTINCT (l_partkey, l_suppkey) projection of
+    * lineitem — the same reshaping q2/q11/q20 use — and the spec's
+    * customer-complaints exclusion becomes the suppliers in deficit
+    * (s_acctbal < 0). Plan shape: the pair projection is one map-side-
+    * combinable distinct over two longs; the part predicate prunes
+    * BEFORE the join (brand/type/size reach the parquet scan); the
+    * excluded-supplier NOT IN is an anti join against a supplier-
+    * fraction AQE broadcasts while it fits (unhinted — supplier scales
+    * linearly, the q_tpch_q5 rule). The spec's inner DISTINCT pair
+    * projection is NOT materialized: count(DISTINCT l_suppkey) absorbs
+    * duplicate pairs, so the part predicate (~13% selectivity) prunes
+    * the fact rows BEFORE the only shuffle instead of paying a full
+    * 2-long distinct over every pair first. */
+  val tpchQ16 = Query(
+    "q_tpch_q16",
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#11' AND p_type NOT LIKE 'PROMO%'
+      |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, d) =>
+    val inDeficit = tbl(s, d, "supplier")
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val parts = tbl(s, d, "part")
+      .filter(col("p_brand") =!= "Brand#11" && !col("p_type").like("PROMO%") &&
+        col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    tbl(s, d, "lineitem").select("l_partkey", "l_suppkey")
+      .join(inDeficit, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+  }
+
   /** LATERAL correlated subquery: each customer's two most expensive
     * orders via a per-row dependent subquery — the SQL-standard sibling
     * of the ranked-window top-k-per-group (Catalyst decorrelates the
@@ -1371,7 +1411,7 @@ object Relational {
   val queries: Seq[Query] = Seq(
     tpchQ3, tpchQ5, tpchQ7, tpchQ18, tpchQ10, tpchQ6, tpchQ14, tpchQ19,
     tpchQ13, tpchQ22, tpchQ8, tpchQ2, tpchQ4, tpchQ9, tpchQ11, tpchQ12,
-    tpchQ15, tpchQ17, tpchQ20, tpchQ21, lateralTopk, setOpsAll, nullsafeJoin,
+    tpchQ15, tpchQ16, tpchQ17, tpchQ20, tpchQ21, lateralTopk, setOpsAll, nullsafeJoin,
     joinOuter, mapFuncs,
     scanProject, filterRange, joinBroadcast, aggCountByKey,
     aggLinestatus, aggDistinct, rollup, cube, joinShuffle, joinSemi,

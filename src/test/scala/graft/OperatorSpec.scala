@@ -115,6 +115,77 @@ class OperatorSpec extends SparkSpec {
       .select("chunk", "n_docs").as[(String, Long)].collect().toSeq)
   }
 
+  test("triangle summary counts K4 exactly once per triangle") {
+    // K4 (complete graph on 0..3) has C(4,3) = 4 triangles, 6 edges,
+    // 4 nodes of degree 3 → 12 wedges; the pendant edge (4-5) adds two
+    // degree-1 nodes — zero extra wedges, zero triangles.
+    // Duplicate and reversed raw edges must collapse; self-loop dropped.
+    val raw = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (1L, 0L), (2L, 2L), (4L, 5L) // reversed dup, self-loop, pendant
+    ).toDF("a", "b")
+    val row = Extras.triangleSummary(raw)
+      .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+      .as[(Long, Long, Long, Long)].head()
+    assert(row == ((6L, 7L, 12L, 4L)))
+    // triangle-free bipartite graph → zero
+    val bip = Seq((0L, 10L), (0L, 11L), (1L, 10L), (1L, 11L)).toDF("a", "b")
+    assert(Extras.triangleSummary(bip)
+      .select("n_triangles").as[Long].head() == 0L)
+  }
+
+  test("ewma fixed-point weighted sum matches hand arithmetic") {
+    // one series, three points 1.0, 2.0, 4.0 (micro-units 10000/20000/
+    // 40000): window [all 3], weights 1,2,4 newest-heaviest →
+    // numer = 10000·1 + 20000·2 + 40000·4 = 210000, denom = 7,
+    // ewma = 210000/7/10000 = 3.0
+    val df = Seq(
+      ("click", 7L, "2024-01-01 10:00:00", 1L, 1.0),
+      ("click", 7L, "2024-01-01 10:01:00", 2L, 2.0),
+      ("click", 7L, "2024-01-01 10:02:00", 3L, 4.0)
+    ).toDF("event_type", "user_id", "s", "event_id", "value")
+      .select($"event_type", $"user_id", $"s".cast("timestamp").as("ts"),
+        $"event_id", $"value")
+    val out = Extras.ewmaOf(df)
+      .select("event_type", "user_id", "n_events", "ewma")
+      .as[(String, Long, Long, Double)].head()
+    assert(out == (("click", 7L, 3L, 3.0)))
+    // 9-point constant series: the 8-deep frame caps state, EWMA = the
+    // constant exactly (Σ c·2ʲ / (2⁸−1) = c)
+    val const = (1 to 9).map(i =>
+      ("view", 8L, f"2024-01-01 11:00:$i%02d", 100L + i, 2.5))
+      .toDF("event_type", "user_id", "s", "event_id", "value")
+      .select($"event_type", $"user_id", $"s".cast("timestamp").as("ts"),
+        $"event_id", $"value")
+    assert(Extras.ewmaOf(const).select("ewma").as[Double].head() == 2.5)
+  }
+
+  test("token entropy: uniform doc = log2(n) bits, constant doc = 0") {
+    val docs = Seq(
+      (1L, "en", "a b c d"),     // 4 distinct: floor(log2 4) = 2 bits each
+      (2L, "en", "x x x x x"),   // constant: 0 bits
+      (3L, "en", "a a a b")      // tf(a)=3: floor(log2(4/3))=0; tf(b)=1: 2 bits
+    ).toDF("doc_id", "lang", "text")
+    val out = Pipeline.tokenEntropyOf(docs).orderBy("doc_id")
+      .select("doc_id", "n_tokens", "vocab", "total_bits", "bits_per_token")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 4L, 8L, 2.0),
+      (2L, 5L, 1L, 0L, 0.0),
+      (3L, 4L, 2L, 2L, 0.5)))
+  }
+
+  test("stratified sample draws exactly the per-language quota, deterministically") {
+    val docs = (1 to 23).map(i => (i.toLong, if (i <= 20) "en" else "fr"))
+      .toDF("doc_id", "lang").withColumn("text", lit("t"))
+    def run() = Pipeline.stratifiedOf(docs)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSeq.sorted
+    val first = run()
+    // quotas: ceil(20/10)=2 en, ceil(3/10)=1 fr
+    assert(first.count(_._1 == "en") == 2 && first.count(_._1 == "fr") == 1)
+    assert(first == run()) // hash selection is seedless and retry-stable
+  }
+
   test("fixed-point centroid mean is exact and order-independent") {
     val vals = Seq(0.1f, 0.25f, -0.7f, 0.33f, 0.999f, -0.001f)
     val df1 = vals.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "x")
