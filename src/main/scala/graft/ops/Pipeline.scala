@@ -1165,19 +1165,23 @@ object Pipeline {
     * frame — factored out so OperatorSpec can pin hand-computed values
     * (uniform 4-token doc → exactly 2 bits/token; constant doc → 0). */
   private[graft] def tokenEntropyOf(docs: DataFrame): DataFrame = {
+    // One shuffle, not two: the (doc, token, tf) frame collapses straight
+    // to a per-doc tf LIST (vocab-bounded — the same bound the join-free
+    // design already relies on), and n/vocab/total_bits are array math
+    // over that list instead of a window exchange + second aggregation.
     val tf = docs
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("token"))
       .groupBy("doc_id", "lang", "token")
       .agg(count(lit(1)).as("tf"))
-    val withN = tf.withColumn("n_tokens",
-      sum(col("tf")).over(Window.partitionBy("doc_id")))
-    withN
-      .withColumn("bits", (length(bin(expr("n_tokens div tf"))) - 1).cast(LongType))
-      .groupBy("doc_id", "lang")
-      .agg(max(col("n_tokens")).as("n_tokens"),
-        count(lit(1)).as("vocab"),
-        sum(col("tf") * col("bits")).as("total_bits"))
+    tf.groupBy("doc_id", "lang")
+      .agg(collect_list(col("tf")).as("tfs"))
+      .withColumn("n_tokens", expr("aggregate(tfs, 0L, (a, x) -> a + x)"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        size(col("tfs")).cast(LongType).as("vocab"),
+        expr("""aggregate(transform(tfs, x ->
+                  x * (length(bin(n_tokens div x)) - 1)),
+                0L, (a, b) -> a + b)""").as("total_bits"))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("vocab"),
         col("total_bits"),
         round(col("total_bits").cast(DoubleType) / col("n_tokens"), 6)
