@@ -15,6 +15,12 @@ case class PpmStats(
     doc_id: Long, width: Long, height: Long,
     sum_r: Long, sum_g: Long, sum_b: Long)
 
+/** One sampled frame's decoded statistics (the video analog of
+  * [[PpmStats]], keyed by frame index within the container). */
+case class FrameStats(
+    doc_id: Long, frame_idx: Long, width: Long, height: Long,
+    sum_r: Long, sum_g: Long, sum_b: Long)
+
 /** Multimodal-column plumbing (north star): image/audio/video travel as
   * opaque `BinaryType` columns; decode/feature-extract runs as typed
   * per-partition batch work so any decoder drops in without touching
@@ -62,10 +68,11 @@ object Multimodal {
     }.toDF("doc_id", "media")
   }
 
-  /** Minimal Netpbm P6 header scan: returns (width, height, maxval,
-    * pixel-data offset). Canonical whitespace-separated header form. */
-  private def parseP6Header(bytes: Array[Byte]): (Int, Int, Int, Int) = {
-    var i = 0
+  /** Minimal Netpbm P6 header scan from `from`: returns (width, height,
+    * maxval, pixel-data offset — absolute). Canonical whitespace-
+    * separated header form. */
+  private def parseP6Header(bytes: Array[Byte], from: Int = 0): (Int, Int, Int, Int) = {
+    var i = from
     def skipWs(): Unit =
       while (i < bytes.length && Character.isWhitespace(bytes(i))) i += 1
     def token(): String = {
@@ -168,6 +175,89 @@ object Multimodal {
           (id, header ++ out)
         }
       }.toDF("doc_id", "media")
+  }
+
+  /** Deterministic multi-frame fixture — the video analog of
+    * [[syntheticPpm]]: doc `id` is a container of `id % 6 + 2` raw P6
+    * frames back-to-back (the concatenated-Netpbm animation form), all
+    * frames `(id%8+4) × (id%5+3)`, frame `f`'s pixel `(x, y, c)` =
+    * `(id*9349 + f*389 + y*193 + x*17 + c*71) % 256`. Pure arithmetic,
+    * so the oracle recomputes any sampled frame's statistics without
+    * touching bytes. */
+  def syntheticVideo(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val w = (id % 8 + 4).toInt; val h = (id % 5 + 3).toInt
+      val frames = (id % 6 + 2).toInt
+      val out = new java.io.ByteArrayOutputStream()
+      var f = 0
+      while (f < frames) {
+        out.write(s"P6\n$w $h\n255\n".getBytes("US-ASCII"))
+        val px = new Array[Byte](w * h * 3)
+        var i = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < 3) {
+              px(i) = ((id * 9349 + f * 389 + y * 193 + x * 17 + c * 71) % 256).toByte
+              i += 1; c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        out.write(px)
+        f += 1
+      }
+      (id, out.toByteArray)
+    }.toDF("doc_id", "media")
+  }
+
+  /** REAL frame sampling: keep every `k`-th frame of a multi-frame P6
+    * container and decode ONLY those — unsampled frames are skipped by
+    * arithmetic (offset += w·h·3), never read, which is the property
+    * that matters when a production container holds thousands of
+    * frames and the sampler wants 1%. Same typed mapPartitions shape
+    * as [[decodePpm]]; a real demuxer (MP4 atoms instead of P6
+    * headers) drops into the identical loop. */
+  def sampleFrames(media: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"sample stride must be >= 1: $k")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val out = scala.collection.mutable.ListBuffer[FrameStats]()
+          var off = 0
+          var f = 0
+          while (off < bytes.length) {
+            val (w, h, mx, px) = parseP6Header(bytes, off)
+            require(mx == 255, s"unsupported P6 maxval $mx (8-bit only)")
+            val end = px + w * h * 3
+            require(w > 0 && h > 0 && end <= bytes.length,
+              s"malformed frame $f: ${w}x$h needs $end bytes, got ${bytes.length}")
+            if (f % k == 0) {
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var i = px
+              while (i < end) {
+                sr += bytes(i) & 0xff
+                sg += bytes(i + 1) & 0xff
+                sb += bytes(i + 2) & 0xff
+                i += 3
+              }
+              out += FrameStats(id, f.toLong, w.toLong, h.toLong, sr, sg, sb)
+            }
+            off = end
+            f += 1
+          }
+          out
+        }
+      }
+      .toDF()
   }
 
   /** media(doc_id LONG, media BINARY) → per-item decoded metadata for

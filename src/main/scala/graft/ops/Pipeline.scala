@@ -344,6 +344,33 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** REAL frame sampling over multi-frame containers — the video leg of
+    * the multimodal story: every 2nd frame of each synthetic P6
+    * animation is decoded (exact per-channel sums), the others are
+    * SKIPPED by offset arithmetic without reading a pixel — the 1%-of-
+    * thousands-of-frames access pattern a production sampler needs.
+    * The oracle recomputes each sampled frame's sums from the pixel
+    * formula (f ∈ {0, 2, 4, ...}), so a hash match proves the
+    * container walk, the frame skip, and the decode bit-exact. */
+  val mediaFrames = Query(
+    "q_media_frames",
+    """WITH d AS (SELECT doc_id, doc_id % 8 + 4 AS w, doc_id % 5 + 3 AS h,
+      |             doc_id % 6 + 2 AS nf FROM documents),
+      |px AS (SELECT doc_id, w, h, f.range AS f, x.range AS x, y.range AS y
+      |       FROM d, range(0, 7) f, range(0, 11) x, range(0, 7) y
+      |       WHERE f.range < nf AND f.range % 2 = 0 AND x.range < w AND y.range < h)
+      |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(sum((doc_id*9349 + f*389 + y*193 + x*17) % 256) AS BIGINT) AS sum_r,
+      |  CAST(sum((doc_id*9349 + f*389 + y*193 + x*17 + 71) % 256) AS BIGINT) AS sum_g,
+      |  CAST(sum((doc_id*9349 + f*389 + y*193 + x*17 + 142) % 256) AS BIGINT) AS sum_b
+      |FROM px GROUP BY doc_id, f, w, h
+      |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+    Multimodal.sampleFrames(
+        Multimodal.syntheticVideo(tbl(s, d, "documents")), 2)
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** C7 — sessionization (gaps-and-islands): new session when the gap to
     * the previous event exceeds 30 minutes; per-user session count and
     * max session size. Microsecond-exact gap math on both engines. */
@@ -1190,7 +1217,7 @@ object Pipeline {
 
   val queries: Seq[Query] = Seq(
     dedupExact, textTokens, textStats, langId, qualityScore, tokenCount,
-    fingerprint, multimodalMeta, mediaDecode, mediaResize, tokenizeRegex, bigrams, tfidf, sessionize, windowTumbling, windowSliding,
+    fingerprint, multimodalMeta, mediaDecode, mediaResize, mediaFrames, tokenizeRegex, bigrams, tfidf, sessionize, windowTumbling, windowSliding,
     redact, repetition, contamination, collocations, sessionPaths,
     mixSample, seqPack, bm25, chunkOverlap, rareTokens, bpePairs, chunkDedup,
     lmScore, hybridRrf, dedupNormalize, stratifiedSample, tokenEntropy)

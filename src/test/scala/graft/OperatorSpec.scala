@@ -134,6 +134,27 @@ class OperatorSpec extends SparkSpec {
       .select("n_triangles").as[Long].head() == 0L)
   }
 
+  test("frame sampling keeps every 2nd frame and skips the rest unread") {
+    // id 9: 9%6+2 = 5 frames → sampled {0, 2, 4}; id 4: 4%6+2 = 6
+    // frames → sampled {0, 2, 4}. Frame 0's pixel formula equals the
+    // single-image fixture's, so its sums must match decodePpm on
+    // syntheticPpm for the same ids — pinning sampler vs decoder.
+    val docs = Seq(9L, 4L).toDF("doc_id")
+    val frames = Multimodal.sampleFrames(Multimodal.syntheticVideo(docs), 2)
+      .select("doc_id", "frame_idx", "sum_r", "sum_g", "sum_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(frames.map(f => (f._1, f._2)) ==
+      Seq((4L, 0L), (4L, 2L), (4L, 4L), (9L, 0L), (9L, 2L), (9L, 4L)))
+    val f0 = frames.filter(_._2 == 0L).map(f => (f._1, f._3, f._4, f._5)).sorted
+    val img = Multimodal.decodePpm(Multimodal.syntheticPpm(docs))
+      .select("doc_id", "sum_r", "sum_g", "sum_b")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(f0 == img)
+    // stride 1 = every frame
+    assert(Multimodal.sampleFrames(Multimodal.syntheticVideo(docs), 1)
+      .count() == 5 + 6)
+  }
+
   test("ewma fixed-point weighted sum matches hand arithmetic") {
     // one series, three points 1.0, 2.0, 4.0 (micro-units 10000/20000/
     // 40000): window [all 3], weights 1,2,4 newest-heaviest →
