@@ -71,4 +71,49 @@ object PropertySpec extends Properties("graft") {
       val split = Gvcf.combineAtSites(Gvcf.splitBlocks(df, stride)).collect().toSeq
       direct == split
     }
+
+  private val genGraph: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.choose(4, 16)            // node ids 0..n-1
+    m <- Gen.choose(3, 40)
+    edges <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+  } yield edges
+
+  property("degree-ordered triangle count equals brute force") =
+    forAll(genGraph) { rawEdges =>
+      import spark.implicits._
+      spark.sparkContext.setLogLevel("ERROR")
+      val und = rawEdges.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val nodes = und.flatMap { case (u, v) => Seq(u, v) }.toSeq.sorted
+      def adj(a: Long, b: Long) = und((math.min(a, b), math.max(a, b)))
+      val brute = (for {
+        i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+        if adj(nodes(i), nodes(j)) && adj(nodes(j), nodes(k)) && adj(nodes(i), nodes(k))
+      } yield 1).size.toLong
+      val got = graft.ops.Extras.triangleSummary(rawEdges.toDF("a", "b"))
+        .select("n_triangles").collect().headOption.map(_.getLong(0)).getOrElse(0L)
+      // empty undirected edge set (all self-loops) → empty summary frame
+      und.isEmpty || got == brute
+    }
+
+  property("fixed-point ewma equals the reference weighted sum") =
+    forAll(Gen.choose(1, 12), Gen.listOfN(12, Gen.choose(0, 99999))) { (n, centsAll) =>
+      import spark.implicits._
+      spark.sparkContext.setLogLevel("ERROR")
+      val cents = centsAll.take(n)
+      val rows = cents.zipWithIndex.map { case (c, i) =>
+        ("t", 1L, java.sql.Timestamp.valueOf(f"2024-01-01 10:${i / 60}%02d:${i % 60}%02d"),
+          i.toLong, c / 100.0)
+      }
+      val df = rows.toDF("event_type", "user_id", "ts", "event_id", "value")
+      val got = graft.ops.Extras.ewmaOf(df)
+        .select("n_events", "ewma").as[(Long, Double)].head()
+      // reference: last up-to-8 micro-units, weight 2^j oldest→newest
+      val win = cents.takeRight(8).map(_ * 100L)
+      val numer = win.zipWithIndex.map { case (u, j) => u << j }.sum
+      val denom = (1L << win.size) - 1
+      val want = BigDecimal(numer.toDouble / denom / 10000)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      got == ((n.toLong, want))
+    }
 }
