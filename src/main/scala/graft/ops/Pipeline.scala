@@ -504,6 +504,62 @@ object Pipeline {
     }
   }
 
+  /** Benchmark DECONTAMINATION — the n-gram containment pass
+    * [[contamination]]'s substring screen is the cheap filter FOR (the
+    * GPT-3/FLAN eval-overlap method): treat the first five documents as
+    * the held-out eval set, shingle everything into word 3-grams, and
+    * score every corpus document by containment = |probe ∩ doc| / |probe|
+    * — asymmetric on the PROBE size, which is what catches a training
+    * document that swallowed a whole eval item ([[Dedup]]'s Jaccard
+    * would dilute it by the training doc's length). Shingles travel as
+    * portable 48-bit hashes ([[api.h48]]): the join ships 8-byte keys,
+    * never shingle text. The probe side is the eval set — fixed-size by
+    * construction — so it broadcasts; the corpus side never shuffles at
+    * all (broadcast hash join on the scan), and the per-(probe, doc)
+    * count is map-side combined. At 100 TB this is one corpus scan. */
+  val decontaminate = Query(
+    "q_decontaminate",
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+      |    ELSE [array_to_string(t, ' ')] END) AS s
+      |  FROM toks),
+      |v AS (SELECT DISTINCT doc_id, ${duckH48("s")} AS h FROM sh),
+      |probe AS (SELECT doc_id AS pid, h FROM v WHERE doc_id < 5),
+      |pn AS (SELECT pid, CAST(count(*) AS BIGINT) AS probe_n FROM probe GROUP BY pid),
+      |m AS (
+      |  SELECT p.pid, c.doc_id, CAST(count(*) AS BIGINT) AS hits
+      |  FROM probe p JOIN v c ON p.h = c.h AND c.doc_id >= 5
+      |  GROUP BY p.pid, c.doc_id)
+      |SELECT m.pid, m.doc_id, hits, probe_n,
+      |  round(CAST(hits AS DOUBLE) / probe_n, 6) AS containment
+      |FROM m JOIN pn ON m.pid = pn.pid
+      |ORDER BY containment DESC, m.pid, doc_id
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    // repartition BEFORE shingling: shinglesOf must see a materialized
+    // attribute or Catalyst inlines the tokenizer per element (O(words²)
+    // per row — the Dedup.shinglesOf contract)
+    val sh = tbl(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(Dedup.shinglesOf(col("toks"))).as("sh"))
+      .select(col("doc_id"), expr(h48("sh")).as("h"))
+      .distinct()
+    val probe = sh.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("pid"), col("h"))
+    val pn = probe.groupBy("pid").agg(count(lit(1)).as("probe_n"))
+    sh.filter(col("doc_id") >= 5)
+      .join(broadcast(probe), "h")
+      .groupBy("pid", "doc_id")
+      .agg(count(lit(1)).as("hits"))
+      .join(broadcast(pn), "pid")
+      .select(col("pid"), col("doc_id"), col("hits"), col("probe_n"),
+        round(col("hits").cast(DoubleType) / col("probe_n"), 6).as("containment"))
+      .orderBy(desc("containment"), col("pid"), col("doc_id"))
+      .limit(100)
+  }
+
   /** Collocation mining: top word pairs by Dice coefficient
     * `2·n(xy) / (n(x)+n(y))`, emitted as integer ppm so the score is
     * exact in both engines (no float division). Bigram and unigram
@@ -1218,7 +1274,7 @@ object Pipeline {
   val queries: Seq[Query] = Seq(
     dedupExact, textTokens, textStats, langId, qualityScore, tokenCount,
     fingerprint, multimodalMeta, mediaDecode, mediaResize, mediaFrames, tokenizeRegex, bigrams, tfidf, sessionize, windowTumbling, windowSliding,
-    redact, repetition, contamination, collocations, sessionPaths,
+    redact, repetition, contamination, decontaminate, collocations, sessionPaths,
     mixSample, seqPack, bm25, chunkOverlap, rareTokens, bpePairs, chunkDedup,
     lmScore, hybridRrf, dedupNormalize, stratifiedSample, tokenEntropy)
 }
