@@ -303,6 +303,44 @@ object VariantStore {
     ()
   }
 
+  /** Snapshot/clone — the HBase table-snapshot analog: copy the CURRENT
+    * manifest-listed generations (orphans from failed tasks are excluded
+    * by construction, exactly like the read path) into `dest` with a
+    * fresh manifest. The clone is fully isolated: later appends,
+    * deletes, or compactions of the SOURCE never change a read against
+    * the snapshot — the HBase snapshot guarantee, implemented the same
+    * way (generation files are immutable once manifested; only
+    * compaction removes them, and snapshot runs under the same
+    * single-compactor assumption as every reader).
+    *
+    * `asOf < Long.MaxValue` prunes the copied set to files whose version
+    * range starts at or before `asOf` (the [[asOfFiles]] manifest prune):
+    * the clone then serves any `readAsOf(t)`, `t <= asOf`, bit-
+    * identically to the source — a point-in-time snapshot that pays only
+    * for the files that instant could see. The manifest lines are
+    * copied VERBATIM (same file names, same extents), so every prune
+    * the source's reads enjoyed survives the clone.
+    *
+    * Driver-side file copy: generations are the unit of bulk I/O and a
+    * snapshot at 100 TB is a metadata + hard-link operation in any real
+    * object store / DFS (HBase snapshots are reference files, not data
+    * copies); the local-FS copy here is the portable stand-in. */
+  def snapshot(path: String, dest: String, asOf: Long = Long.MaxValue): Unit = {
+    val srcDir = java.nio.file.Paths.get(path)
+    val destDir = java.nio.file.Paths.get(dest)
+    java.nio.file.Files.createDirectories(destDir)
+    // consistent manifest snapshot under the lock (concurrent appenders
+    // cannot tear the line list mid-read)
+    val lines = StoreManifest.withManifestLock(srcDir) { StoreManifest.readLines(srcDir) }
+    val kept = lines.filter(l => StoreManifest.parse(l).minVer <= asOf)
+    kept.foreach { l =>
+      val f = StoreManifest.parse(l).file
+      java.nio.file.Files.copy(srcDir.resolve(f), destDir.resolve(f),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    StoreManifest.writeLines(destDir, kept.sorted)
+  }
+
   def compact(spark: SparkSession, path: String, schema: String,
       numRanges: Int = 8, horizon: Long = Long.MinValue): Unit = {
     val cols = colNames(schema)

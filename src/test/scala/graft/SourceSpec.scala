@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.sources.VariantStore
 
 /** Custom DSv2 source: row generation, predicate pushdown into the
   * scan (narrowed range visible in the scan description), and
@@ -513,5 +514,49 @@ class SourceSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
       .toSeq.sorted
     assert(live == refAsOf(Long.MaxValue, Set("s2")).filter(r => r._1 >= 5L && r._1 <= 24L))
+  }
+
+  test("snapshot clones the store and isolates it from later mutation") {
+    val dir = sinkDir("snapsrc")
+    def gen(ver: Long, rows: Seq[(Long, String)], mode: String): Unit =
+      rows.toDF("key", "payload")
+        .select($"key", org.apache.spark.sql.functions.lit(ver).as("ver"), $"payload")
+        .repartitionByRange(1, $"key").sortWithinPartitions("key")
+        .write.format("graft.sources.VariantStoreSink")
+        .option("path", dir).mode(mode).save()
+    gen(10L, Seq((1L, "a1"), (2L, "b1")), "overwrite")
+    gen(20L, Seq((2L, "b2"), (3L, "c2")), "append")
+    gen(30L, Seq((1L, "a3"), (2L, VariantStore.Tombstone)), "append")
+    val schema = "key LONG, ver LONG, payload STRING"
+    def live(d: String): Map[Long, String] =
+      VariantStore.readRange(spark, d, schema, Long.MinValue, Long.MaxValue)
+        .select("key", "payload").as[(Long, String)].collect().toMap
+    def asOf(d: String, t: Long): Map[Long, String] =
+      VariantStore.readAsOf(spark, d, schema, t)
+        .select("key", "payload").as[(Long, String)].collect().toMap
+
+    // full clone: live and every historical snapshot bit-identical
+    val full = sinkDir("snapfull")
+    VariantStore.snapshot(dir, full)
+    assert(live(full) == live(dir))
+    for (t <- Seq(10L, 20L, 30L)) assert(asOf(full, t) == asOf(dir, t))
+
+    // point-in-time clone at t=20: only the two generations an
+    // as-of-20 read can see are copied; reads at t <= 20 match
+    val pit = sinkDir("snappit")
+    VariantStore.snapshot(dir, pit, asOf = 20L)
+    assert(VariantStore.asOfFiles(pit, Long.MaxValue).size == 2,
+      "point-in-time snapshot copied generations newer than the bound")
+    for (t <- Seq(10L, 15L, 20L)) assert(asOf(pit, t) == asOf(dir, t))
+
+    // isolation (the HBase snapshot guarantee): mutate the SOURCE —
+    // append a newer generation, then compact it away entirely — and
+    // the clone must not move
+    val before = (live(full), asOf(full, 20L))
+    gen(40L, Seq((5L, "e4")), "append")
+    VariantStore.compact(spark, dir, schema, numRanges = 1, horizon = 35L)
+    assert(live(dir) != before._1, "sanity: source did change")
+    assert((live(full), asOf(full, 20L)) == before,
+      "snapshot changed after source mutation")
   }
 }
