@@ -560,6 +560,49 @@ object Pipeline {
       .limit(100)
   }
 
+  /** Feature hashing (the "hashing trick") — the fixed-dimension
+    * bag-of-words featurization a downstream trainer consumes without a
+    * vocabulary build: token → bucket h mod 16, signed by the next hash
+    * bit (the signed variant that keeps collision noise zero-mean).
+    * Hash is the portable 48-bit [[api.h48]], so features are seedless
+    * and engine-identical. Output is one dense `array<bigint>` row per
+    * document — counts, exactly summable. Scale: ONE map-side-combined
+    * aggregation over (doc, bucket); no vocabulary table, no join, no
+    * second pass — the entire point of hashing features at 100 TB is
+    * that dimensionality is fixed BEFORE the data is seen. */
+  val featureHash = Query(
+    "q_feature_hash",
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |h AS (SELECT doc_id, ${duckH48("t")} AS hv FROM tok),
+      |b AS (
+      |  SELECT doc_id, hv % 16 AS bucket,
+      |    CAST(sum(CASE WHEN (hv // 16) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+      |  FROM h GROUP BY doc_id, hv % 16)
+      |SELECT doc_id,
+      |  list_transform(range(0, 16), i ->
+      |    coalesce(list_extract(list(v ORDER BY bucket),
+      |      CAST(list_position(list(bucket ORDER BY bucket), i) AS INT)), 0))
+      |    AS features
+      |FROM b GROUP BY doc_id
+      |ORDER BY doc_id
+      |LIMIT 2000""".stripMargin) { (s, d) =>
+    val h = tbl(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), expr(h48("t")).as("hv"))
+    h.select(col("doc_id"), (col("hv") % 16).as("bucket"),
+        when((expr("hv div 16") % 2) === 0, 1L).otherwise(-1L).as("s"))
+      .groupBy("doc_id", "bucket")
+      .agg(sum(col("s")).as("v"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("v")))).as("m"))
+      .select(col("doc_id"),
+        expr("transform(sequence(0, 15), i -> coalesce(m[cast(i as bigint)], 0L))")
+          .as("features"))
+      .orderBy("doc_id")
+      .limit(2000)
+  }
+
   /** Collocation mining: top word pairs by Dice coefficient
     * `2·n(xy) / (n(x)+n(y))`, emitted as integer ppm so the score is
     * exact in both engines (no float division). Bigram and unigram
@@ -1274,7 +1317,7 @@ object Pipeline {
   val queries: Seq[Query] = Seq(
     dedupExact, textTokens, textStats, langId, qualityScore, tokenCount,
     fingerprint, multimodalMeta, mediaDecode, mediaResize, mediaFrames, tokenizeRegex, bigrams, tfidf, sessionize, windowTumbling, windowSliding,
-    redact, repetition, contamination, decontaminate, collocations, sessionPaths,
+    redact, repetition, contamination, decontaminate, featureHash, collocations, sessionPaths,
     mixSample, seqPack, bm25, chunkOverlap, rareTokens, bpePairs, chunkDedup,
     lmScore, hybridRrf, dedupNormalize, stratifiedSample, tokenEntropy)
 }
