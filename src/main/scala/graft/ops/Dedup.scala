@@ -258,45 +258,23 @@ object Dedup {
     * scale path (one per-row fold, zero fan-out, engine-specific
     * xxhash64) — same algorithm, different hash leaf; this variant
     * exists so the LSH chunk-blocking pipeline is oracle-checkable. */
-  def simhashHexSignatures(docs: DataFrame): DataFrame = {
-    val hexChars = "0123456789abcdef"
-    val toked = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .repartition(col("doc_id"))
-    // 4× fan-out, not 16×: each exploded row carries a 16-BIT GROUP
-    // (4 hex digits via one conv) and the aggregate counts its 16 bit
-    // lanes — same arithmetic as the old one-digit/4-lane shape at a
-    // quarter of the rows through explode+shuffle (the r8 rework;
-    // 16 agg columns stays far under the 64-column JIT blowup of r2).
-    val grp = toked
-      .select(col("doc_id"), size(col("toks")).as("n"), explode(col("toks")).as("t"))
-      .select(col("doc_id"), col("n"), substring(md5(col("t")), 1, 16).as("hx"))
-      .select(col("doc_id"), col("n"),
-        posexplode(expr("transform(sequence(0, 3), g -> " +
-          "CAST(conv(substring(hx, 4 * g + 1, 4), 16, 10) AS INT))"))
-          .as(Seq("g", "v4")))
-    val laneSums = (0 until 16).map(r =>
-      sum(shiftright(col("v4"), r).bitwiseAND(1)).as(s"b$r"))
-    // group g's digits j = 4g+1..4g+4; digit o's bit b is v4 lane
-    // (4-o)*4 + b (digit 4g+1 is the high nibble of the conv value)
-    def digitChar(o: Int) = {
-      val v = (0 until 4).map(b =>
-        when(col(s"b${(4 - o) * 4 + b}") * 2 > col("n"), 1 << b).otherwise(0))
-        .reduce(_ + _)
-      substr(lit(hexChars), v + 1, lit(1))
-    }
-    grp.groupBy("doc_id", "g")
-      // max, NOT first: n is constant per doc so the value is the same,
-      // but first() is flagged non-deterministic, which poisons plan
-      // canonicalization — any future consumer that branches this frame
-      // (joins, ReuseExchange, cached-plan matching) would silently
-      // recompute instead of reuse.
-      .agg(max(col("n")).as("n"), laneSums: _*)
-      .select(col("doc_id"), col("g"),
-        concat(digitChar(1), digitChar(2), digitChar(3), digitChar(4)).as("hc"))
+  def simhashHexSignatures(docs: DataFrame): DataFrame =
+    // ONE native 64-lane majority aggregate (graft_simhash_sig, r14) —
+    // the pre-r14 shape exploded each token into four 16-bit groups and
+    // chained TWO aggregations (16 lane-sum columns, then a string
+    // reassembly groupBy); now each token is ONE row carrying its full
+    // 64-bit md5 prefix (two 32-bit conv halves packed — a single conv
+    // of 16 hex chars would overflow BIGINT) and the per-doc state is a
+    // 65-long buffer, map-side combined. Same majority rule, same digit
+    // order, bit-identical signatures — DedupSpec pins them and the
+    // q_dedup_simhash oracle hash-matches unchanged. The exchange ships
+    // per-doc partial buffers instead of a 4×-token row stream.
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"),
+        expr("shiftleft(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT), 32) " +
+          "| CAST(conv(substring(md5(t), 9, 8), 16, 10) AS BIGINT)").as("v"))
       .groupBy("doc_id")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("g"), col("hc")))),
-        x => x.getField("hc")), "").as("sig"))
-  }
+      .agg(graft.functions.SketchAggregates.simhashSig(col("v")).as("sig"))
 
   /** SimHash near-dup candidates: 16-bit-chunk-blocked pairs (4-hex-char
     * substring equality ≙ Hamming LSH banding) ranked by Hamming
