@@ -537,27 +537,34 @@ object Pipeline {
       |FROM m JOIN pn ON m.pid = pn.pid
       |ORDER BY containment DESC, m.pid, doc_id
       |LIMIT 100""".stripMargin) { (s, d) =>
+    containmentOf(tbl(s, d, "documents"), probeBelow = 5)
+      .orderBy(desc("containment"), col("pid"), col("doc_id"))
+      .limit(100)
+  }
+
+  /** The containment core over a `(doc_id, text, ...)` frame: docs with
+    * `doc_id < probeBelow` form the eval set. Factored out so
+    * OperatorSpec can pin hand-computed containments. */
+  private[graft] def containmentOf(docs: DataFrame, probeBelow: Long): DataFrame = {
     // repartition BEFORE shingling: shinglesOf must see a materialized
     // attribute or Catalyst inlines the tokenizer per element (O(words²)
     // per row — the Dedup.shinglesOf contract)
-    val sh = tbl(s, d, "documents")
+    val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(Dedup.shinglesOf(col("toks"))).as("sh"))
       .select(col("doc_id"), expr(h48("sh")).as("h"))
       .distinct()
-    val probe = sh.filter(col("doc_id") < 5)
+    val probe = sh.filter(col("doc_id") < probeBelow)
       .select(col("doc_id").as("pid"), col("h"))
     val pn = probe.groupBy("pid").agg(count(lit(1)).as("probe_n"))
-    sh.filter(col("doc_id") >= 5)
+    sh.filter(col("doc_id") >= probeBelow)
       .join(broadcast(probe), "h")
       .groupBy("pid", "doc_id")
       .agg(count(lit(1)).as("hits"))
       .join(broadcast(pn), "pid")
       .select(col("pid"), col("doc_id"), col("hits"), col("probe_n"),
         round(col("hits").cast(DoubleType) / col("probe_n"), 6).as("containment"))
-      .orderBy(desc("containment"), col("pid"), col("doc_id"))
-      .limit(100)
   }
 
   /** Feature hashing (the "hashing trick") — the fixed-dimension

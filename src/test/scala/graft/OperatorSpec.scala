@@ -196,6 +196,25 @@ class OperatorSpec extends SparkSpec {
       (3L, 4L, 2L, 2L, 0.5)))
   }
 
+  test("containment scores |probe ∩ doc| / |probe| on word 3-grams") {
+    // probe doc 0: "a b c d e" → shingles {abc, bcd, cde} (3)
+    // corpus doc 10: "x a b c d y" → {xab, abc, bcd, cdy} → hits {abc, bcd}
+    // corpus doc 11: "a b c d e" verbatim → hits all 3
+    // corpus doc 12: disjoint → no row at all
+    val docs = Seq(
+      (0L, "a b c d e"),
+      (10L, "x a b c d y"),
+      (11L, "a b c d e"),
+      (12L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val out = Pipeline.containmentOf(docs, probeBelow = 5)
+      .select("pid", "doc_id", "hits", "probe_n", "containment")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(out == Seq(
+      (0L, 10L, 2L, 3L, 0.666667),
+      (0L, 11L, 3L, 3L, 1.0)))
+  }
+
   test("stratified sample draws exactly the per-language quota, deterministically") {
     val docs = (1 to 23).map(i => (i.toLong, if (i <= 20) "en" else "fr"))
       .toDF("doc_id", "lang").withColumn("text", lit("t"))
