@@ -21,6 +21,11 @@ case class FrameStats(
     doc_id: Long, frame_idx: Long, width: Long, height: Long,
     sum_r: Long, sum_g: Long, sum_b: Long)
 
+/** One audio chunk's exact statistics (the audio analog, keyed by
+  * chunk index): sample count + exact integer energy Σ s². */
+case class AudioChunk(
+    doc_id: Long, chunk_idx: Long, n_samples: Long, energy: Long)
+
 /** Multimodal-column plumbing (north star): image/audio/video travel as
   * opaque `BinaryType` columns; decode/feature-extract runs as typed
   * per-partition batch work so any decoder drops in without touching
@@ -255,6 +260,85 @@ object Multimodal {
             f += 1
           }
           out
+        }
+      }
+      .toDF()
+  }
+
+  /** Deterministic PCM audio fixture — the audio leg of the multimodal
+    * triad: doc `id` is a canonical 44-byte-header RIFF/WAVE payload
+    * (PCM, mono, 16-bit little-endian, 8000 Hz declared) carrying
+    * `id % 5000 + 2000` samples, sample `i` = `(id*7919 + i*31) % 4096
+    * − 2048`. Pure integer arithmetic, so any chunk statistic is
+    * recomputable without touching bytes. */
+  def syntheticWav(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      val n = (id % 5000 + 2000).toInt
+      val dataBytes = n * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1)        // PCM, mono
+        .putInt(8000).putInt(16000)     // sample rate, byte rate
+        .putShort(2).putShort(16)       // block align, bits/sample
+        .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+      var i = 0
+      while (i < n) {
+        bb.putShort(((id * 7919 + i * 31) % 4096 - 2048).toShort)
+        i += 1
+      }
+      (id, bb.array())
+    }.toDF("doc_id", "media")
+  }
+
+  /** One audio chunk's exact statistics: sample count and the exact
+    * integer energy Σ s² — no float, no window function drift. */
+  private def parseWavHeader(bytes: Array[Byte]): Int = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 44 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE payload")
+    require(bb.getShort(20) == 1 && bb.getShort(22) == 1 && bb.getShort(34) == 16,
+      "only PCM mono 16-bit supported")
+    val dataLen = bb.getInt(40)
+    require(44 + dataLen <= bytes.length, s"truncated data chunk: $dataLen")
+    dataLen / 2
+  }
+
+  /** REAL audio chunking: split each WAV's sample stream into fixed
+    * `chunkSamples` windows (the feature-extraction frames an audio
+    * pipeline feeds downstream) and emit per-chunk EXACT integer
+    * statistics — count and energy Σ s² (fits a BIGINT by orders of
+    * magnitude: 2¹¹-bounded samples, thousands per chunk). Same typed
+    * mapPartitions shape as the image/video decoders; a real codec
+    * (MP3/FLAC demux) drops into the identical loop. */
+  def chunkWav(media: DataFrame, chunkSamples: Int): DataFrame = {
+    require(chunkSamples >= 1, s"chunk size must be >= 1: $chunkSamples")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val n = parseWavHeader(bytes)
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          (0 until (n + chunkSamples - 1) / chunkSamples).map { c =>
+            val lo = c * chunkSamples
+            val hi = math.min(lo + chunkSamples, n)
+            var e = 0L
+            var i = lo
+            while (i < hi) {
+              val s = bb.getShort(44 + 2 * i).toLong
+              e += s * s
+              i += 1
+            }
+            AudioChunk(id, c.toLong, (hi - lo).toLong, e)
+          }
         }
       }
       .toDF()

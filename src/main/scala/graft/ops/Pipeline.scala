@@ -371,6 +371,29 @@ object Pipeline {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** REAL audio chunking — the audio leg of the multimodal triad: each
+    * synthetic RIFF/WAVE payload (PCM mono 16-bit) is split into
+    * 1000-sample frames with EXACT integer energy Σ s² per frame — the
+    * feature-extraction windows an audio pipeline feeds downstream, and
+    * the same typed mapPartitions shape as the image decoder and video
+    * sampler. The oracle recomputes every frame's energy from the
+    * sample formula, so a hash match proves the RIFF header walk, the
+    * 16-bit little-endian decode, and the chunk boundaries bit-exact. */
+  val audioChunks = Query(
+    "q_audio_chunks",
+    """WITH d AS (SELECT doc_id, doc_id % 5000 + 2000 AS n FROM documents),
+      |s AS (SELECT doc_id, n, i.range AS i,
+      |        (doc_id*7919 + i.range*31) % 4096 - 2048 AS v
+      |      FROM d, range(0, 7000) i WHERE i.range < n)
+      |SELECT doc_id, CAST(i // 1000 AS BIGINT) AS chunk_idx,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(sum(v * v) AS BIGINT) AS energy
+      |FROM s GROUP BY doc_id, i // 1000
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    Multimodal.chunkWav(Multimodal.syntheticWav(tbl(s, d, "documents")), 1000)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** C7 — sessionization (gaps-and-islands): new session when the gap to
     * the previous event exceeds 30 minutes; per-user session count and
     * max session size. Microsecond-exact gap math on both engines. */
@@ -1323,7 +1346,7 @@ object Pipeline {
 
   val queries: Seq[Query] = Seq(
     dedupExact, textTokens, textStats, langId, qualityScore, tokenCount,
-    fingerprint, multimodalMeta, mediaDecode, mediaResize, mediaFrames, tokenizeRegex, bigrams, tfidf, sessionize, windowTumbling, windowSliding,
+    fingerprint, multimodalMeta, mediaDecode, mediaResize, mediaFrames, audioChunks, tokenizeRegex, bigrams, tfidf, sessionize, windowTumbling, windowSliding,
     redact, repetition, contamination, decontaminate, featureHash, collocations, sessionPaths,
     mixSample, seqPack, bm25, chunkOverlap, rareTokens, bpePairs, chunkDedup,
     lmScore, hybridRrf, dedupNormalize, stratifiedSample, tokenEntropy)

@@ -155,6 +155,25 @@ class OperatorSpec extends SparkSpec {
       .count() == 5 + 6)
   }
 
+  test("wav chunking recovers exact per-chunk energies from the RIFF payload") {
+    // differential vs the sample formula computed directly in Scala
+    val ids = Seq(0L, 3L, 4999L)
+    val out = Multimodal.chunkWav(Multimodal.syntheticWav(ids.toDF("doc_id")), 1000)
+      .select("doc_id", "chunk_idx", "n_samples", "energy")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val want = ids.sorted.flatMap { id =>
+      val n = (id % 5000 + 2000).toInt
+      (0 until (n + 999) / 1000).map { c =>
+        val lo = c * 1000; val hi = math.min(lo + 1000, n)
+        val e = (lo until hi).map { i =>
+          val s = (id * 7919 + i * 31) % 4096 - 2048; s * s
+        }.sum
+        (id, c.toLong, (hi - lo).toLong, e)
+      }
+    }
+    assert(out == want)
+  }
+
   test("ewma fixed-point weighted sum matches hand arithmetic") {
     // one series, three points 1.0, 2.0, 4.0 (micro-units 10000/20000/
     // 40000): window [all 3], weights 1,2,4 newest-heaviest →
