@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.api._
@@ -516,7 +517,58 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** kNN CLASSIFICATION — the labeling composition the similarity ops
+    * exist for: every 50th vector plays the unlabeled probe, its label
+    * is predicted by majority vote over the 5 nearest labeled vectors
+    * (cosine; round-6 scores so rank boundaries are engine-identical;
+    * vote ties break to the smallest label — fully deterministic).
+    * Brute-force scoring here because the probe set is the BROADCAST
+    * side (fixed-size by construction) — the corpus never shuffles; at
+    * real scale the neighbor search swaps to the IVF path (q_ann_ivf)
+    * without touching the vote/predict stage. The output carries the
+    * probe's true label beside the prediction — the holdout-accuracy
+    * frame a labeling pipeline reports on. */
+  val knnClassify = Query(
+    "q_knn_classify",
+    s"""WITH e AS (SELECT vec_id, embedding AS v, label FROM embeddings),
+       |p AS (SELECT vec_id AS probe_id, v AS pv, label AS true_label
+       |      FROM e WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT probe_id, true_label, e.vec_id, e.label,
+       |    round(${duckDot("v", "pv")} / (${duckNorm("v")} * ${duckNorm("pv")}), 6) AS sim
+       |  FROM e, p WHERE e.vec_id % 50 <> 0
+       |  QUALIFY row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY sim DESC, e.vec_id) <= 5),
+       |votes AS (
+       |  SELECT probe_id, true_label, label, CAST(count(*) AS BIGINT) AS n_votes
+       |  FROM scored GROUP BY probe_id, true_label, label
+       |  QUALIFY row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY n_votes DESC, label) = 1)
+       |SELECT probe_id, CAST(label AS BIGINT) AS pred_label, n_votes,
+       |  CAST(true_label AS BIGINT) AS true_label
+       |FROM votes ORDER BY probe_id""".stripMargin) { (s, d) =>
+    val e = tbl(s, d, "embeddings")
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        col("label").as("true_label"))
+    val byProbe = Window.partitionBy("probe_id")
+    e.filter(col("vec_id") % 50 =!= 0)
+      .crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("true_label"), col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("pv")), 6).as("sim"))
+      .withColumn("rn", row_number().over(byProbe.orderBy(desc("sim"), col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .groupBy("probe_id", "true_label", "label")
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(byProbe.orderBy(desc("n_votes"), col("label"))))
+      .filter(col("vr") === 1)
+      .select(col("probe_id"), col("label").cast(LongType).as("pred_label"),
+        col("n_votes"), col("true_label").cast(LongType).as("true_label"))
+      .orderBy("probe_id")
+  }
+
   val queries: Seq[Query] =
     Seq(similarityTopk, centroidByLabel, annIvf, dedupEmbed, kmeansIter, annRecall,
-      embedQuantize, similarityQuantized, centroidPairs, annLsh, embedTruncate)
+      embedQuantize, similarityQuantized, centroidPairs, annLsh, embedTruncate,
+      knnClassify)
 }
