@@ -234,6 +234,38 @@ class OperatorSpec extends SparkSpec {
       (0L, 11L, 3L, 3L, 1.0)))
   }
 
+  test("feature hashing is a signed bucket-count decomposition of the token stream") {
+    // differential vs a direct Scala reference over the same h48 hash
+    val docs = Seq((1L, "a b a c"), (2L, "x"), (3L, "a a a a a")).toDF("doc_id", "text")
+    val h = docs
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .select($"doc_id", expr(graft.api.h48("t")).as("hv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = h.groupBy(_._1).map { case (id, rows) =>
+      val f = new Array[Long](16)
+      rows.foreach { case (_, hv) =>
+        f((hv % 16).toInt) += (if ((hv / 16) % 2 == 0) 1L else -1L)
+      }
+      id -> f.toSeq
+    }
+    val out = docs
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .select($"doc_id", expr(graft.api.h48("t")).as("hv"))
+      .select($"doc_id", ($"hv" % 16).as("bucket"),
+        when((expr("hv div 16") % 2) === 0, 1L).otherwise(-1L).as("s"))
+      .groupBy("doc_id", "bucket").agg(sum($"s").as("v"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct($"bucket", $"v"))).as("m"))
+      .select($"doc_id",
+        expr("transform(sequence(0, 15), i -> coalesce(m[cast(i as bigint)], 0L))")
+          .as("features"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(out == want)
+    // every token lands in exactly one bucket: L1 of |features| = token count
+    assert(out.map { case (id, f) => id -> f.map(math.abs).sum }.toSeq.sorted
+      .map(_._2).sum <= h.length) // signs may cancel within a bucket
+  }
+
   test("stratified sample draws exactly the per-language quota, deterministically") {
     val docs = (1 to 23).map(i => (i.toLong, if (i <= 20) "en" else "fr"))
       .toDF("doc_id", "lang").withColumn("text", lit("t"))
