@@ -567,8 +567,102 @@ object Similarity {
       .orderBy("probe_id")
   }
 
+  /** MMR diversity reranking (maximal marginal relevance, λ = 0.7) —
+    * the rerank stage between retrieval and a context window: from the
+    * top-20 cosine candidates of probe 0, greedily pick 5, each step
+    * maximizing λ·relevance − (1−λ)·max-similarity-to-already-picked,
+    * so near-duplicate passages can't crowd the context. The greedy
+    * recursion is UNROLLED into five declarative stages (each an
+    * anti-join + penalty aggregate + argmax over the ≤20-row pool) —
+    * no driver loop, no recursion, and the oracle replays the same
+    * five stages as chained CTEs, so a hash match proves every pick
+    * and tie-break. All scores are round-6 cosines; the MMR arithmetic
+    * is two IEEE ops on those — bit-identical in both engines.
+    * Scale: the POOL is fixed-size (TakeOrdered 20), so every stage is
+    * K-row work regardless of corpus size — the corpus is touched once,
+    * by the relevance TakeOrdered; at real scale that leg swaps to the
+    * IVF path like q_knn_classify's. The 20-row pool and its 380-row
+    * pairwise-sim frame are localCheckpointed (the Ivf-centroid class
+    * of documented K-row lineage break — 5 stages would otherwise
+    * re-run the corpus TakeOrdered per reference). */
+  val mmrRerank = Query(
+    "q_mmr_rerank",
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+       |cands AS (
+       |  SELECT vec_id,
+       |    round(${duckDot("v", "pv")} / (${duckNorm("v")} * ${duckNorm("pv")}), 6) AS rel,
+       |    v
+       |  FROM e, p WHERE vec_id <> 0
+       |  QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) <= 20),
+       |sims AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b,
+       |    round(${duckDot("x.v", "y.v")} / (${duckNorm("x.v")} * ${duckNorm("y.v")}), 6) AS sim
+       |  FROM cands x JOIN cands y ON x.vec_id <> y.vec_id),
+       |s1 AS (SELECT vec_id, rel, 1 AS rank, rel AS mmr
+       |       FROM cands ORDER BY rel DESC, vec_id LIMIT 1),
+       |r2 AS (SELECT c.vec_id, c.rel, 0.7 * c.rel - 0.3 * max(s.sim) AS mmr
+       |       FROM cands c JOIN sims s ON s.a = c.vec_id
+       |         AND s.b IN (SELECT vec_id FROM s1)
+       |       WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+       |       GROUP BY c.vec_id, c.rel ORDER BY mmr DESC, c.vec_id LIMIT 1),
+       |s2 AS (SELECT * FROM s1 UNION ALL SELECT vec_id, rel, 2, mmr FROM r2),
+       |r3 AS (SELECT c.vec_id, c.rel, 0.7 * c.rel - 0.3 * max(s.sim) AS mmr
+       |       FROM cands c JOIN sims s ON s.a = c.vec_id
+       |         AND s.b IN (SELECT vec_id FROM s2)
+       |       WHERE c.vec_id NOT IN (SELECT vec_id FROM s2)
+       |       GROUP BY c.vec_id, c.rel ORDER BY mmr DESC, c.vec_id LIMIT 1),
+       |s3 AS (SELECT * FROM s2 UNION ALL SELECT vec_id, rel, 3, mmr FROM r3),
+       |r4 AS (SELECT c.vec_id, c.rel, 0.7 * c.rel - 0.3 * max(s.sim) AS mmr
+       |       FROM cands c JOIN sims s ON s.a = c.vec_id
+       |         AND s.b IN (SELECT vec_id FROM s3)
+       |       WHERE c.vec_id NOT IN (SELECT vec_id FROM s3)
+       |       GROUP BY c.vec_id, c.rel ORDER BY mmr DESC, c.vec_id LIMIT 1),
+       |s4 AS (SELECT * FROM s3 UNION ALL SELECT vec_id, rel, 4, mmr FROM r4),
+       |r5 AS (SELECT c.vec_id, c.rel, 0.7 * c.rel - 0.3 * max(s.sim) AS mmr
+       |       FROM cands c JOIN sims s ON s.a = c.vec_id
+       |         AND s.b IN (SELECT vec_id FROM s4)
+       |       WHERE c.vec_id NOT IN (SELECT vec_id FROM s4)
+       |       GROUP BY c.vec_id, c.rel ORDER BY mmr DESC, c.vec_id LIMIT 1),
+       |s5 AS (SELECT * FROM s4 UNION ALL SELECT vec_id, rel, 5, mmr FROM r5)
+       |SELECT CAST(rank AS BIGINT) AS rank, vec_id, rel, round(mmr, 6) AS mmr
+       |FROM s5 ORDER BY rank""".stripMargin) { (s, d) =>
+    val e = tbl(s, d, "embeddings")
+    val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("pv"))
+    val cands = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("pv")), 6).as("rel"), col("embedding"))
+      .orderBy(desc("rel"), col("vec_id")).limit(20)
+      .localCheckpoint()
+    val sims = cands.select(col("vec_id").as("a"), col("embedding").as("va"))
+      .crossJoin(cands.select(col("vec_id").as("b"), col("embedding").as("vb")))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("sim"))
+      .localCheckpoint()
+    val first = cands
+      .orderBy(desc("rel"), col("vec_id")).limit(1)
+      .select(col("vec_id"), col("rel"), lit(1).as("rank"), col("rel").as("mmr"))
+    val selected = (2 to 5).foldLeft(first) { (sel, k) =>
+      val selIds = sel.select(col("vec_id").as("sid"))
+      val pick = cands
+        .join(selIds, col("vec_id") === col("sid"), "left_anti")
+        .join(sims, col("vec_id") === col("a"))
+        .join(selIds.withColumnRenamed("sid", "sid2"), col("b") === col("sid2"), "left_semi")
+        .groupBy("vec_id", "rel")
+        .agg((lit(0.7) * col("rel") - lit(0.3) * max(col("sim"))).as("mmr"))
+        .orderBy(desc("mmr"), col("vec_id")).limit(1)
+        .select(col("vec_id"), col("rel"), lit(k).as("rank"), col("mmr"))
+      sel.unionByName(pick)
+    }
+    selected
+      .select(col("rank").cast(LongType).as("rank"), col("vec_id"), col("rel"),
+        round(col("mmr"), 6).as("mmr"))
+      .orderBy("rank")
+  }
+
   val queries: Seq[Query] =
     Seq(similarityTopk, centroidByLabel, annIvf, dedupEmbed, kmeansIter, annRecall,
       embedQuantize, similarityQuantized, centroidPairs, annLsh, embedTruncate,
-      knnClassify)
+      knnClassify, mmrRerank)
 }
