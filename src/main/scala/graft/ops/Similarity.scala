@@ -571,20 +571,22 @@ object Similarity {
     * the rerank stage between retrieval and a context window: from the
     * top-20 cosine candidates of probe 0, greedily pick 5, each step
     * maximizing λ·relevance − (1−λ)·max-similarity-to-already-picked,
-    * so near-duplicate passages can't crowd the context. The greedy
-    * recursion is UNROLLED into five declarative stages (each an
-    * anti-join + penalty aggregate + argmax over the ≤20-row pool) —
-    * no driver loop, no recursion, and the oracle replays the same
-    * five stages as chained CTEs, so a hash match proves every pick
-    * and tie-break. All scores are round-6 cosines; the MMR arithmetic
-    * is two IEEE ops on those — bit-identical in both engines.
-    * Scale: the POOL is fixed-size (TakeOrdered 20), so every stage is
-    * K-row work regardless of corpus size — the corpus is touched once,
-    * by the relevance TakeOrdered; at real scale that leg swaps to the
-    * IVF path like q_knn_classify's. The 20-row pool and its 380-row
-    * pairwise-sim frame are localCheckpointed (the Ivf-centroid class
-    * of documented K-row lineage break — 5 stages would otherwise
-    * re-run the corpus TakeOrdered per reference). */
+    * so near-duplicate passages can't crowd the context. The corpus is
+    * touched exactly once (the relevance TakeOrdered; at real scale
+    * that leg swaps to the IVF path like q_knn_classify's); the
+    * pairwise round-6 cosines over the ≤20-row pool are computed in
+    * Spark, then BOTH bounded frames (≤20 cands, ≤380 sims) collect to
+    * the driver and the inherently-sequential greedy runs there — the
+    * Ivf-centroid class of documented K-row collect. (The previous
+    * shape unrolled the recursion into five declarative anti-join +
+    * argmax stages; correct, but each stage referenced the growing
+    * selection twice, so Spark scheduled ~20 micro-jobs over 20-row
+    * inputs — 2 s of pure scheduling. Greedy selection over a
+    * fixed-size pool is driver work by construction.) The MMR
+    * arithmetic is two IEEE double ops on round-6 scores — identical
+    * in JVM and DuckDB — and the oracle replays the same five stages
+    * as chained CTEs, so the hash match proves every pick and
+    * tie-break. */
   val mmrRerank = Query(
     "q_mmr_rerank",
     s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
@@ -635,27 +637,32 @@ object Similarity {
         round(cosine(col("embedding"), col("pv")), 6).as("rel"), col("embedding"))
       .orderBy(desc("rel"), col("vec_id")).limit(20)
       .localCheckpoint()
-    val sims = cands.select(col("vec_id").as("a"), col("embedding").as("va"))
+    // Bounded collects: ≤20 pool rows + ≤380 pairwise sims, regardless
+    // of corpus size. Scores are round-6 BEFORE collection so the
+    // driver-side greedy works on exactly the doubles the oracle sees.
+    val simRows = cands.select(col("vec_id").as("a"), col("embedding").as("va"))
       .crossJoin(cands.select(col("vec_id").as("b"), col("embedding").as("vb")))
       .filter(col("a") =!= col("b"))
       .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("sim"))
-      .localCheckpoint()
-    val first = cands
-      .orderBy(desc("rel"), col("vec_id")).limit(1)
-      .select(col("vec_id"), col("rel"), lit(1).as("rank"), col("rel").as("mmr"))
-    val selected = (2 to 5).foldLeft(first) { (sel, k) =>
-      val selIds = sel.select(col("vec_id").as("sid"))
-      val pick = cands
-        .join(selIds, col("vec_id") === col("sid"), "left_anti")
-        .join(sims, col("vec_id") === col("a"))
-        .join(selIds.withColumnRenamed("sid", "sid2"), col("b") === col("sid2"), "left_semi")
-        .groupBy("vec_id", "rel")
-        .agg((lit(0.7) * col("rel") - lit(0.3) * max(col("sim"))).as("mmr"))
-        .orderBy(desc("mmr"), col("vec_id")).limit(1)
-        .select(col("vec_id"), col("rel"), lit(k).as("rank"), col("mmr"))
-      sel.unionByName(pick)
+      .collect()
+    val sim = simRows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pool = cands.select(col("vec_id"), col("rel")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, rel) => (-rel, id) }
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    picked += ((1, pool.head._1, pool.head._2, pool.head._2))
+    for (k <- 2 to 5) {
+      val selIds = picked.map(_._2).toSet
+      val (id, rel, mmr) = pool.iterator
+        .filterNot { case (id, _) => selIds(id) }
+        .map { case (id, rel) =>
+          (id, rel, 0.7 * rel - 0.3 * selIds.iterator.map(sid => sim((id, sid))).max)
+        }
+        .minBy { case (id, _, mmr) => (-mmr, id) }
+      picked += ((k, id, rel, mmr))
     }
-    selected
+    import s.implicits._
+    picked.toSeq.toDF("rank", "vec_id", "rel", "mmr")
       .select(col("rank").cast(LongType).as("rank"), col("vec_id"), col("rel"),
         round(col("mmr"), 6).as("mmr"))
       .orderBy("rank")
