@@ -1033,11 +1033,77 @@ object Extras {
       .orderBy("event_type", "user_id")
   }
 
+  /** Pairwise Pearson correlation (quantity/discount/tax) — the
+    * corr/covar aggregate family, done portably: doubles are scaled to
+    * exact cent integers, all five moment sums accumulate in BIGINT
+    * (every sum < 2^53, so the one double conversion is exact in both
+    * engines), and the corr formula is a fixed-order chain of IEEE ops
+    * on those exact doubles. Correlation is scale-invariant, so the
+    * cent scaling cancels. One map-side-combined single-row aggregate —
+    * the 100 TB plan is a full scan + one 9-number reduce; never a
+    * second pass (the textbook two-pass centered formula is the
+    * numerically nicer but shuffle-heavier shape; n·Σxy−ΣxΣy on exact
+    * integers has NO cancellation error, which is the whole point of
+    * the cents trick). */
+  val corrStats = Query(
+    "q_corr_stats",
+    """WITH c AS (
+      |  SELECT CAST(CAST(l_quantity AS DECIMAL(18,4)) * 100 AS BIGINT) AS q,
+      |    CAST(CAST(l_discount AS DECIMAL(18,4)) * 100 AS BIGINT) AS dd,
+      |    CAST(CAST(l_tax AS DECIMAL(18,4)) * 100 AS BIGINT) AS t
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) AS sq,
+      |    CAST(CAST(sum(dd) AS BIGINT) AS DOUBLE) AS sdsc,
+      |    CAST(CAST(sum(t) AS BIGINT) AS DOUBLE) AS stx,
+      |    CAST(CAST(sum(q * q) AS BIGINT) AS DOUBLE) AS sqq,
+      |    CAST(CAST(sum(dd * dd) AS BIGINT) AS DOUBLE) AS sdd,
+      |    CAST(CAST(sum(t * t) AS BIGINT) AS DOUBLE) AS stt,
+      |    CAST(CAST(sum(q * dd) AS BIGINT) AS DOUBLE) AS sqd,
+      |    CAST(CAST(sum(q * t) AS BIGINT) AS DOUBLE) AS sqt,
+      |    CAST(CAST(sum(dd * t) AS BIGINT) AS DOUBLE) AS sdt
+      |  FROM c)
+      |SELECT CAST(n AS BIGINT) AS n_rows,
+      |  round((n * sqd - sq * sdsc) /
+      |    (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sdsc * sdsc)), 6) AS corr_qty_disc,
+      |  round((n * sqt - sq * stx) /
+      |    (sqrt(n * sqq - sq * sq) * sqrt(n * stt - stx * stx)), 6) AS corr_qty_tax,
+      |  round((n * sdt - sdsc * stx) /
+      |    (sqrt(n * sdd - sdsc * sdsc) * sqrt(n * stt - stx * stx)), 6) AS corr_disc_tax
+      |FROM g""".stripMargin) { (s, d) =>
+    def cents(name: String): Column = (dec(name) * 100).cast(LongType)
+    val g = tbl(s, d, "lineitem")
+      .select(cents("l_quantity").as("q"), cents("l_discount").as("dd"),
+        cents("l_tax").as("t"))
+      .agg(count(lit(1)).cast(DoubleType).as("n"),
+        sum("q").cast(DoubleType).as("sq"),
+        sum("dd").cast(DoubleType).as("sdsc"),
+        sum("t").cast(DoubleType).as("stx"),
+        sum(col("q") * col("q")).cast(DoubleType).as("sqq"),
+        sum(col("dd") * col("dd")).cast(DoubleType).as("sdd"),
+        sum(col("t") * col("t")).cast(DoubleType).as("stt"),
+        sum(col("q") * col("dd")).cast(DoubleType).as("sqd"),
+        sum(col("q") * col("t")).cast(DoubleType).as("sqt"),
+        sum(col("dd") * col("t")).cast(DoubleType).as("sdt"))
+    def corr(n: Column, sx: Column, sy: Column, sxy: Column,
+             sxx: Column, syy: Column): Column =
+      round((n * sxy - sx * sy) /
+        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+    g.select(col("n").cast(LongType).as("n_rows"),
+      corr(col("n"), col("sq"), col("sdsc"), col("sqd"), col("sqq"), col("sdd"))
+        .as("corr_qty_disc"),
+      corr(col("n"), col("sq"), col("stx"), col("sqt"), col("sqq"), col("stt"))
+        .as("corr_qty_tax"),
+      corr(col("n"), col("sdsc"), col("stx"), col("sdt"), col("sdd"), col("stt"))
+        .as("corr_disc_tax"))
+  }
+
   val queries: Seq[Query] = Seq(
     pivotWide, unpivot, percentile, sampleSplit, aggSalted, windowNav,
     regexpExtract, mergeUpsert, histogram, scalarSubquery, boolAggs,
     funnel, retention, graphReach, bloomPrefilter, windowNtile, zorderLayout,
     cdcDiff, topkPerGroup, summaryStats, gapFill, shareOfTotal, notInNulls,
     anomalyHours, pageRank, stringAgg, joinSalted, minmaxBy, windowRange,
-    triangleCount, ewma)
+    triangleCount, ewma, corrStats)
 }

@@ -1344,10 +1344,76 @@ object Pipeline {
           .as("bits_per_token"))
   }
 
+  /** Inverted-index build (postings lists) — the index-side counterpart
+    * of the BM25/RRF scoring ops: per token, document frequency, total
+    * term frequency, and the top-5 postings by (tf DESC, doc_id) as a
+    * doc_id array; top-100 tokens by df. Shape: one exchange for the
+    * (token, doc) tf reduce, one for the per-token rank window — and the
+    * per-token aggregate reuses the window's hash partitioning, so no
+    * third shuffle (pinned in PlanSpec). The collect_list is FILTERED to
+    * rank ≤ 5 before aggregation (`when` → nulls dropped), so per-token
+    * state is 5 structs even for stopword-grade tokens — bounded the way
+    * a real 100 TB index build caps posting blocks, never an unbounded
+    * hot-token array. */
+  val invertedIndex = Query(
+    "q_inverted_index",
+    """WITH tf AS (
+      |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY token, doc_id),
+      |rk AS (
+      |  SELECT token, doc_id, tf,
+      |    row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id) AS rn
+      |  FROM tf)
+      |SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+      |  list(doc_id ORDER BY rn) FILTER (WHERE rn <= 5) AS postings
+      |FROM rk GROUP BY token
+      |ORDER BY df DESC, token LIMIT 100""".stripMargin) { (s, d) =>
+    val byToken = Window.partitionBy("token")
+    tbl(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("rn", row_number().over(byToken.orderBy(desc("tf"), col("doc_id"))))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"),
+        transform(
+          sort_array(collect_list(when(col("rn") <= 5,
+            struct(col("rn"), col("doc_id"))))),
+          x => x.getField("doc_id")).as("postings"))
+      .orderBy(desc("df"), col("token"))
+      .limit(100)
+  }
+
+  /** Boilerplate-prefix clustering — the curation pass that surfaces
+    * shared headers/templates exact dedup misses (documents that START
+    * identically but diverge later): cluster on the normalized 40-char
+    * prefix, report clusters of ≥2 with the surviving representative
+    * (min doc_id). The exchange ships 40-char prefixes — bounded like
+    * q_dedup_exact's digests, never whole documents — and the group-by
+    * map-side combines, so at 100 TB the shuffle is cluster-count-sized. */
+  val prefixDedup = Query(
+    "q_prefix_dedup",
+    """WITH p AS (
+      |  SELECT doc_id, substr(lower(trim(text)), 1, 40) AS prefix FROM documents)
+      |SELECT min(doc_id) AS rep_doc, CAST(count(*) AS BIGINT) AS n_docs, prefix
+      |FROM p GROUP BY prefix HAVING count(*) >= 2
+      |ORDER BY n_docs DESC, rep_doc LIMIT 200""".stripMargin) { (s, d) =>
+    tbl(s, d, "documents")
+      .select(col("doc_id"), substring(lower(trim(col("text"))), 1, 40).as("prefix"))
+      .groupBy("prefix")
+      .agg(min("doc_id").as("rep_doc"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select("rep_doc", "n_docs", "prefix")
+      .orderBy(desc("n_docs"), col("rep_doc"))
+      .limit(200)
+  }
+
   val queries: Seq[Query] = Seq(
     dedupExact, textTokens, textStats, langId, qualityScore, tokenCount,
     fingerprint, multimodalMeta, mediaDecode, mediaResize, mediaFrames, audioChunks, tokenizeRegex, bigrams, tfidf, sessionize, windowTumbling, windowSliding,
     redact, repetition, contamination, decontaminate, featureHash, collocations, sessionPaths,
     mixSample, seqPack, bm25, chunkOverlap, rareTokens, bpePairs, chunkDedup,
-    lmScore, hybridRrf, dedupNormalize, stratifiedSample, tokenEntropy)
+    lmScore, hybridRrf, dedupNormalize, stratifiedSample, tokenEntropy,
+    invertedIndex, prefixDedup)
 }

@@ -372,4 +372,32 @@ class PlanSpec extends SparkSpec {
         s"stream (no token-grouped aggregate below the join):\n$child")
     }
   }
+
+  test("q_inverted_index builds postings in two exchanges, topk without a global sort") {
+    // the per-token aggregate must reuse the rank window's hash
+    // partitioning on token — a third exchange means the postings build
+    // re-shuffles the tf frame it just ranked (pure waste at index scale).
+    val p = plan(Pipeline.invertedIndex)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"postings build should shuffle exactly twice (tf reduce + token window):\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"), "df top-100 fell back to a global sort")
+  }
+
+  test("q_prefix_dedup clusters on one exchange and keeps the top-k sort bounded") {
+    val p = plan(Pipeline.prefixDedup)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"prefix clustering should shuffle once, on the prefix key:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"), "cluster top-200 fell back to a global sort")
+  }
+
+  test("q_corr_stats is one map-side-combined single-row aggregate") {
+    // the whole corr matrix must come from one scan + one 9-number
+    // reduce: a partial HashAggregate below the single-partition
+    // exchange, and no hash-keyed exchange anywhere.
+    val p = plan(Extras.corrStats)
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 1 &&
+      !p.contains("Exchange hashpartitioning"),
+      s"corr sums should reduce through one single-partition exchange:\n${p.take(2000)}")
+    assert("HashAggregate".r.findAllIn(p).size == 2, "missing map-side partial aggregate")
+  }
 }
