@@ -1099,11 +1099,44 @@ object Extras {
         .as("corr_disc_tax"))
   }
 
+  /** Rolling exact median (50-event trailing window per event_type) —
+    * the robust de-noising filter a mean-based rolling stat can't give
+    * a heavy-tailed metric stream; also the one window/quantile combo
+    * the surface lacked (q_percentile is global, q_window_range is
+    * sum/avg). Total order inside each partition is (ts, event_id) —
+    * ties on ts are broken by id, so the frame contents are
+    * engine-identical. Reported on every 100th event to keep the gate
+    * output bounded; the window itself computes for all rows. Scale:
+    * one exchange on event_type; within a partition the ROWS frame is
+    * a bounded 50-row buffer per step. At 100 TB a single event_type
+    * outgrows one task's sort — the shape then range-partitions on
+    * (event_type, time-bucket) and carries 49 boundary rows per bucket,
+    * leaving the frame math untouched. */
+  val rollingMedian = Query(
+    "q_rolling_median",
+    """WITH w AS (
+      |  SELECT event_id, event_type, value,
+      |    round(quantile_cont(value, 0.5) OVER (
+      |      PARTITION BY event_type ORDER BY ts, event_id
+      |      ROWS BETWEEN 49 PRECEDING AND CURRENT ROW), 6) AS med50
+      |  FROM events)
+      |SELECT event_id, event_type, round(value, 6) AS value, med50
+      |FROM w WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-49, 0)
+    tbl(s, d, "events")
+      .withColumn("med50", round(expr("percentile(value, 0.5)").over(w), 6))
+      .filter(col("event_id") % 100 === 0)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 6).as("value"), col("med50"))
+      .orderBy("event_id")
+  }
+
   val queries: Seq[Query] = Seq(
     pivotWide, unpivot, percentile, sampleSplit, aggSalted, windowNav,
     regexpExtract, mergeUpsert, histogram, scalarSubquery, boolAggs,
     funnel, retention, graphReach, bloomPrefilter, windowNtile, zorderLayout,
     cdcDiff, topkPerGroup, summaryStats, gapFill, shareOfTotal, notInNulls,
     anomalyHours, pageRank, stringAgg, joinSalted, minmaxBy, windowRange,
-    triangleCount, ewma, corrStats)
+    triangleCount, ewma, corrStats, rollingMedian)
 }

@@ -390,6 +390,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "cluster top-200 fell back to a global sort")
   }
 
+  test("q_rolling_median computes the frame on one event_type exchange") {
+    // a partitioned ROWS-frame window: exactly one hash exchange (the
+    // event_type partitioning); a second would mean the filter/report
+    // stage re-shuffled the stream the window just ordered.
+    val p = plan(Extras.rollingMedian)
+    assert(p.contains("Window"), "rolling median lost its window")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"rolling window should shuffle once, on event_type:\n${p.take(2000)}")
+  }
+
   test("q_corr_stats is one map-side-combined single-row aggregate") {
     // the whole corr matrix must come from one scan + one 9-number
     // reduce: a partial HashAggregate below the single-partition
