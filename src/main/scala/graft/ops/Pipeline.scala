@@ -1409,11 +1409,106 @@ object Pipeline {
       .limit(200)
   }
 
+  /** Chi-square independence decomposition (lang × source) — the
+    * distribution-drift check a curation pipeline runs before blending
+    * sources: per-cell observed vs expected counts and the cell's
+    * χ² contribution. All shared arithmetic is exact integers — cell,
+    * row, column, and grand totals are BIGINT counts, the contribution
+    * numerator (O·N − R·C)² stays under 2^53 through sf0.1 so its one
+    * double conversion is engine-exact, and each cell's divide is a
+    * single IEEE op. Per-CELL output (no cross-cell float sum — the
+    * consumer sums the contributions; a float total would depend on
+    * accumulation order). Shape: one exchange for the cell counts;
+    * row/col/grand totals are K-row aggregates OF the cells (cells ≙
+    * langs × sources = metadata scale), joined back broadcast. */
+  val chiSquare = Query(
+    "q_chi_square",
+    """WITH cells AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS observed
+      |  FROM documents GROUP BY lang, source),
+      |rt AS (SELECT source, CAST(sum(observed) AS BIGINT) AS row_tot FROM cells GROUP BY source),
+      |ct AS (SELECT lang, CAST(sum(observed) AS BIGINT) AS col_tot FROM cells GROUP BY lang),
+      |n AS (SELECT CAST(sum(observed) AS BIGINT) AS n_tot FROM cells)
+      |SELECT c.lang, c.source, c.observed,
+      |  round(CAST(row_tot * col_tot AS DOUBLE) / n_tot, 6) AS expected,
+      |  round(CAST((c.observed * n_tot - row_tot * col_tot) *
+      |             (c.observed * n_tot - row_tot * col_tot) AS DOUBLE) /
+      |        (CAST(n_tot AS DOUBLE) * CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)), 6)
+      |    AS chi2_contrib
+      |FROM cells c JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN n
+      |ORDER BY c.source, c.lang""".stripMargin) { (s, d) =>
+    val cells = tbl(s, d, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("observed"))
+    val rt = cells.groupBy("source").agg(sum("observed").as("row_tot"))
+    val ct = cells.groupBy("lang").agg(sum("observed").as("col_tot"))
+    val n = cells.agg(sum("observed").as("n_tot"))
+    val dev = col("observed") * col("n_tot") - col("row_tot") * col("col_tot")
+    cells.join(broadcast(rt), "source").join(broadcast(ct), "lang")
+      .crossJoin(broadcast(n))
+      .select(col("lang"), col("source"), col("observed"),
+        round((col("row_tot") * col("col_tot")).cast(DoubleType) / col("n_tot"), 6)
+          .as("expected"),
+        round((dev * dev).cast(DoubleType) /
+          (col("n_tot").cast(DoubleType) * col("row_tot").cast(DoubleType) *
+            col("col_tot").cast(DoubleType)), 6).as("chi2_contrib"))
+      .orderBy("source", "lang")
+  }
+
+  /** Corpus drift between two sources as total-variation distance over
+    * token distributions — the sensitive-but-cheap alternative to
+    * KL/JS divergence whose logs are not bit-portable across engines:
+    * TV = Σ|c1·N2 − c2·N1| / (2·N1·N2) is EXACT integer arithmetic up
+    * to a single final division (the BIGINT deviation sum is bounded by
+    * 2·N1·N2 < 2^53 through sf1). The per-source token totals come
+    * from a doc-level pass (size of the token array — no explode), so
+    * the token-level frame is referenced once and nothing needs a
+    * checkpoint. Shape: scan (source-pruned, filter pushed) → one
+    * map-side-combined token exchange → vocab-sized reduce; the 1-row
+    * totals broadcast. */
+  val sourceDrift = Query(
+    "q_source_drift",
+    """WITH c AS (
+      |  SELECT token,
+      |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+      |        FROM documents WHERE source IN ('src0', 'src1'))
+      |  GROUP BY token),
+      |t AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN source = 'src0' THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN source = 'src1' THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS n2
+      |  FROM documents WHERE source IN ('src0', 'src1'))
+      |SELECT n1, n2, CAST(count(*) AS BIGINT) AS vocab,
+      |  round(CAST(CAST(sum(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS DOUBLE) /
+      |        (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS tv_distance
+      |FROM c, t GROUP BY n1, n2""".stripMargin) { (s, d) =>
+    val two = tbl(s, d, "documents").filter(col("source").isin("src0", "src1"))
+    val cells = two
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c2"))
+    val totals = two.agg(
+      sum(when(col("source") === "src0", size(split(col("text"), " ")).cast(LongType))
+        .otherwise(0L)).as("n1"),
+      sum(when(col("source") === "src1", size(split(col("text"), " ")).cast(LongType))
+        .otherwise(0L)).as("n2"))
+    cells.crossJoin(broadcast(totals))
+      .groupBy("n1", "n2")
+      .agg(count(lit(1)).as("vocab"),
+        sum(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("sdev"))
+      .select(col("n1"), col("n2"), col("vocab"),
+        round(col("sdev").cast(DoubleType) /
+          (lit(2) * col("n1").cast(DoubleType) * col("n2").cast(DoubleType)), 6)
+          .as("tv_distance"))
+  }
+
   val queries: Seq[Query] = Seq(
     dedupExact, textTokens, textStats, langId, qualityScore, tokenCount,
     fingerprint, multimodalMeta, mediaDecode, mediaResize, mediaFrames, audioChunks, tokenizeRegex, bigrams, tfidf, sessionize, windowTumbling, windowSliding,
     redact, repetition, contamination, decontaminate, featureHash, collocations, sessionPaths,
     mixSample, seqPack, bm25, chunkOverlap, rareTokens, bpePairs, chunkDedup,
     lmScore, hybridRrf, dedupNormalize, stratifiedSample, tokenEntropy,
-    invertedIndex, prefixDedup)
+    invertedIndex, prefixDedup, chiSquare, sourceDrift)
 }

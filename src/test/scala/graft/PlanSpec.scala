@@ -390,6 +390,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "cluster top-200 fell back to a global sort")
   }
 
+  test("q_chi_square broadcasts the K-row marginals back onto the cells") {
+    // row/col/grand totals are aggregates OF the lang×source cell frame
+    // (metadata scale) — they must come back as broadcasts; a sort-merge
+    // join here would shuffle the cell frame three more times.
+    val p = plan(Pipeline.chiSquare)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"marginal joins did not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"chi-square cells took a shuffle join:\n${p.take(2000)}")
+  }
+
+  test("q_source_drift pushes the source filter and shuffles tokens once") {
+    // the two-source restriction must reach the parquet scan, and the
+    // token frame is exchanged once; the (n1, n2) reduce of the
+    // vocab-sized frame is the only other exchange.
+    val p = plan(Pipeline.sourceDrift)
+    assert(p.contains("PushedFilters") && p.contains("In(source"),
+      s"source IN filter not pushed to the scan:\n${p.take(2000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"drift should exchange tokens once + the vocab reduce once:\n${p.take(2000)}")
+  }
+
   test("q_rolling_median computes the frame on one event_type exchange") {
     // a partitioned ROWS-frame window: exactly one hash exchange (the
     // event_type partitioning); a second would mean the filter/report
