@@ -287,4 +287,73 @@ class OperatorSpec extends SparkSpec {
     assert(fpMean(df1) == fpMean(df2))
     assert(math.abs(fpMean(df1) - vals.map(_.toDouble).sum / vals.size) < 1e-6)
   }
+
+  // ---- differentials for the exact-arithmetic stats trio (r14 close):
+  // each query's distributed integer-sum + fixed-order IEEE formula is
+  // replayed as a direct Scala loop over the collected sf0.001 fixture;
+  // equality must be EXACT (the whole claim is that no result depends
+  // on partitioning or accumulation order).
+
+  private val sfDiff = "/root/testdata/sf0.001"
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q_corr_stats equals a driver-side exact-cents correlation") {
+    val rows = graft.api.tbl(spark, sfDiff, "lineitem")
+      .select("l_quantity", "l_discount", "l_tax")
+      .as[(Double, Double, Double)].collect()
+      .map { case (q, d, t) =>
+        (math.round(q * 100), math.round(d * 100), math.round(t * 100)) }
+    val n = rows.length.toDouble
+    def corrOf(xs: Array[Long], ys: Array[Long]): Double = {
+      val sx = xs.sum.toDouble; val sy = ys.sum.toDouble
+      val sxx = xs.map(v => v * v).sum.toDouble
+      val syy = ys.map(v => v * v).sum.toDouble
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum.toDouble
+      round6((n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)))
+    }
+    val (qs, ds, ts) = (rows.map(_._1), rows.map(_._2), rows.map(_._3))
+    val got = Extras.corrStats.run(spark, sfDiff)
+      .as[(Long, Double, Double, Double)].head()
+    assert(got == ((rows.length.toLong, corrOf(qs, ds), corrOf(qs, ts), corrOf(ds, ts))))
+  }
+
+  test("q_source_drift equals a driver-side exact TV distance") {
+    val docs = graft.api.tbl(spark, sfDiff, "documents")
+      .filter($"source".isin("src0", "src1"))
+      .select("source", "text").as[(String, String)].collect()
+    val counts = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    var n1 = 0L; var n2 = 0L
+    for ((src, text) <- docs; tok <- text.split(" ", -1)) {
+      val (a, b) = counts.getOrElse(tok, (0L, 0L))
+      if (src == "src0") { counts(tok) = (a + 1, b); n1 += 1 }
+      else { counts(tok) = (a, b + 1); n2 += 1 }
+    }
+    val sdev = counts.valuesIterator.map { case (c1, c2) =>
+      math.abs(c1 * n2 - c2 * n1) }.sum
+    val tv = round6(sdev.toDouble / (2 * n1.toDouble * n2.toDouble))
+    val got = Pipeline.sourceDrift.run(spark, sfDiff)
+      .as[(Long, Long, Long, Double)].head()
+    assert(got == ((n1, n2, counts.size.toLong, tv)))
+  }
+
+  test("q_chi_square cells equal a driver-side exact decomposition") {
+    val pairs = graft.api.tbl(spark, sfDiff, "documents")
+      .select("lang", "source").as[(String, String)].collect()
+    val cells = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rowT = pairs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val colT = pairs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nT = pairs.length.toLong
+    val want = cells.toSeq.map { case ((lang, src), o) =>
+      val (r, c) = (rowT(src), colT(lang))
+      val dev = o * nT - r * c
+      (lang, src, o,
+        round6((r * c).toDouble / nT),
+        round6((dev * dev).toDouble / (nT.toDouble * r.toDouble * c.toDouble)))
+    }.sortBy(x => (x._2, x._1))
+    val got = Pipeline.chiSquare.run(spark, sfDiff)
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    assert(got == want)
+  }
 }
