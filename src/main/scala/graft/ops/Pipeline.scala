@@ -1504,11 +1504,66 @@ object Pipeline {
           .as("tv_distance"))
   }
 
+  /** Kolmogorov–Smirnov drift between two sources' document-LENGTH
+    * distributions — TV (q_source_drift) watches the token space, KS
+    * watches the numeric shape (a source that starts emitting truncated
+    * docs moves KS long before token TV notices). Exact to the last
+    * step: D = max|cum1·N2 − cum2·N1| / (N1·N2), where the cumulative
+    * counts ride one ordered window over the DISTINCT-length frame
+    * (distinct lengths ≙ value-domain scale, thousands at most — the
+    * window partitions on a constant via the pmod idiom, so WindowExec
+    * is a deliberate single-partition pass over a bounded frame and the
+    * warning channel stays clean). The BIGINT max is order-free;
+    * the one IEEE division happens once, after the max. N1/N2 come from
+    * an unordered frame over the SAME constant partitioning — no second
+    * reference to the corpus subtree, no checkpoint. */
+  val ksDrift = Query(
+    "q_ks_drift",
+    """WITH cells AS (
+      |  SELECT n_chars,
+      |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY n_chars),
+      |cum AS (
+      |  SELECT n_chars,
+      |    CAST(sum(c1) OVER (ORDER BY n_chars) AS BIGINT) AS cum1,
+      |    CAST(sum(c2) OVER (ORDER BY n_chars) AS BIGINT) AS cum2,
+      |    CAST(sum(c1) OVER () AS BIGINT) AS n1,
+      |    CAST(sum(c2) OVER () AS BIGINT) AS n2
+      |  FROM cells)
+      |SELECT n1, n2, CAST(count(*) AS BIGINT) AS n_lengths,
+      |  round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE) /
+      |        (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks_stat
+      |FROM cum GROUP BY n1, n2""".stripMargin) { (s, d) =>
+    // one materialized constant key + one select for all four window
+    // expressions: the two specs (ordered cumsum, whole-frame total)
+    // share a single exchange on g — per-expression withColumns would
+    // each mint a fresh pmod projection and re-exchange (4 extra)
+    val wOrd = Window.partitionBy("g").orderBy("n_chars")
+    val wAll = Window.partitionBy("g")
+    tbl(s, d, "documents")
+      .filter(col("source").isin("src0", "src1"))
+      .groupBy("n_chars")
+      .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c2"))
+      .withColumn("g", pmod(col("n_chars"), lit(1)))
+      .select(
+        sum("c1").over(wOrd).as("cum1"), sum("c2").over(wOrd).as("cum2"),
+        sum("c1").over(wAll).as("n1"), sum("c2").over(wAll).as("n2"))
+      .groupBy("n1", "n2")
+      .agg(count(lit(1)).as("n_lengths"),
+        max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("maxdev"))
+      .select(col("n1"), col("n2"), col("n_lengths"),
+        round(col("maxdev").cast(DoubleType) /
+          (col("n1").cast(DoubleType) * col("n2").cast(DoubleType)), 6)
+          .as("ks_stat"))
+  }
+
   val queries: Seq[Query] = Seq(
     dedupExact, textTokens, textStats, langId, qualityScore, tokenCount,
     fingerprint, multimodalMeta, mediaDecode, mediaResize, mediaFrames, audioChunks, tokenizeRegex, bigrams, tfidf, sessionize, windowTumbling, windowSliding,
     redact, repetition, contamination, decontaminate, featureHash, collocations, sessionPaths,
     mixSample, seqPack, bm25, chunkOverlap, rareTokens, bpePairs, chunkDedup,
     lmScore, hybridRrf, dedupNormalize, stratifiedSample, tokenEntropy,
-    invertedIndex, prefixDedup, chiSquare, sourceDrift)
+    invertedIndex, prefixDedup, chiSquare, sourceDrift, ksDrift)
 }

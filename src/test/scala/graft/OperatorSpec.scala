@@ -338,6 +338,25 @@ class OperatorSpec extends SparkSpec {
     assert(got == ((n1, n2, counts.size.toLong, tv)))
   }
 
+  test("q_ks_drift equals a driver-side exact KS statistic") {
+    val docs = graft.api.tbl(spark, sfDiff, "documents")
+      .filter($"source".isin("src0", "src1"))
+      .select("source", "n_chars").as[(String, Long)].collect()
+    val l1 = docs.filter(_._1 == "src0").map(_._2).sorted
+    val l2 = docs.filter(_._1 == "src1").map(_._2).sorted
+    val (n1, n2) = (l1.length.toLong, l2.length.toLong)
+    val lengths = (l1 ++ l2).distinct.sorted
+    val maxdev = lengths.map { x =>
+      val cum1 = l1.count(_ <= x).toLong
+      val cum2 = l2.count(_ <= x).toLong
+      math.abs(cum1 * n2 - cum2 * n1)
+    }.max
+    val ks = round6(maxdev.toDouble / (n1.toDouble * n2.toDouble))
+    val got = Pipeline.ksDrift.run(spark, sfDiff)
+      .as[(Long, Long, Long, Double)].head()
+    assert(got == ((n1, n2, lengths.length.toLong, ks)))
+  }
+
   test("q_chi_square cells equal a driver-side exact decomposition") {
     val pairs = graft.api.tbl(spark, sfDiff, "documents")
       .select("lang", "source").as[(String, String)].collect()

@@ -412,6 +412,20 @@ class PlanSpec extends SparkSpec {
       s"drift should exchange tokens once + the vocab reduce once:\n${p.take(2000)}")
   }
 
+  test("q_ks_drift pushes the source filter; cumulative window stays bounded") {
+    // the two-source restriction reaches the scan; the ordered cumsum
+    // runs over the distinct-length frame on a constant partition (the
+    // pmod idiom) — two hash exchanges total (length reduce + window).
+    val p = plan(Pipeline.ksDrift)
+    assert(p.contains("PushedFilters") && p.contains("In(source"),
+      s"source IN filter not pushed to the scan:\n${p.take(2000)}")
+    assert(p.contains("Window"), "KS lost its cumulative window")
+    // length reduce + the shared constant window key + the (n1, n2)
+    // final reduce of the distinct-length frame = exactly three
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 3,
+      s"KS cumsum windows must share one exchange on the constant key:\n${p.take(2500)}")
+  }
+
   test("q_rolling_median computes the frame on one event_type exchange") {
     // a partitioned ROWS-frame window: exactly one hash exchange (the
     // event_type partitioning); a second would mean the filter/report
