@@ -15,6 +15,7 @@ import sys
 from decimal import Decimal
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -35,7 +36,22 @@ def normalize(v):
     return v
 
 
+def nested_cols(table):
+    """Top-level array/map/struct result columns — the driver's pandas
+    compare (sort_values -> factorize -> hash) cannot sort or hash them,
+    so a query emitting one passes no driver check. Reject here so
+    green-local implies green-driver."""
+    return [f.name for f in table.schema
+            if pa.types.is_nested(f.type)]
+
+
 def rows_of(table):
+    bad = nested_cols(table)
+    if bad:
+        raise ValueError(
+            f"nested-typed result column(s) {bad}: the driver's compare "
+            "cannot hash arrays/maps/structs — serialize to a string "
+            "(concat_ws / array_to_string) or unpack to scalar rows")
     cols = sorted(table.column_names)
     pydata = {c: table.column(c).to_pylist() for c in cols}
     return cols, [tuple(normalize(pydata[c][i]) for c in cols)

@@ -610,9 +610,9 @@ object Pipeline {
       |    CAST(sum(CASE WHEN (hv // 16) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
       |  FROM h GROUP BY doc_id, hv % 16)
       |SELECT doc_id,
-      |  list_transform(range(0, 16), i ->
+      |  array_to_string(list_transform(range(0, 16), i ->
       |    coalesce(list_extract(list(v ORDER BY bucket),
-      |      CAST(list_position(list(bucket ORDER BY bucket), i) AS INT)), 0))
+      |      CAST(list_position(list(bucket ORDER BY bucket), i) AS INT)), 0)), ',')
       |    AS features
       |FROM b GROUP BY doc_id
       |ORDER BY doc_id
@@ -626,8 +626,13 @@ object Pipeline {
       .agg(sum(col("s")).as("v"))
       .groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("bucket"), col("v")))).as("m"))
+      // The vector rides as a canonical comma-joined string: the driver's
+      // oracle compare sorts/hashes scalar cells only, and a 16-bucket CSV
+      // is byte-identical across both engines. Downstream trainers split
+      // on ',' — the densification cost is unchanged.
       .select(col("doc_id"),
-        expr("transform(sequence(0, 15), i -> coalesce(m[cast(i as bigint)], 0L))")
+        expr("""array_join(transform(sequence(0, 15),
+                  i -> cast(coalesce(m[cast(i as bigint)], 0L) as string)), ',')""")
           .as("features"))
       .orderBy("doc_id")
       .limit(2000)
@@ -1366,7 +1371,8 @@ object Pipeline {
       |    row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id) AS rn
       |  FROM tf)
       |SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
-      |  list(doc_id ORDER BY rn) FILTER (WHERE rn <= 5) AS postings
+      |  array_to_string(list(doc_id ORDER BY rn) FILTER (WHERE rn <= 5), ',')
+      |    AS postings
       |FROM rk GROUP BY token
       |ORDER BY df DESC, token LIMIT 100""".stripMargin) { (s, d) =>
     val byToken = Window.partitionBy("token")
@@ -1376,11 +1382,16 @@ object Pipeline {
       .agg(count(lit(1)).as("tf"))
       .withColumn("rn", row_number().over(byToken.orderBy(desc("tf"), col("doc_id"))))
       .groupBy("token")
+      // Postings ride as a rank-ordered comma-joined string — same bounded
+      // 5-struct aggregation state, but scalar-typed output the driver's
+      // oracle compare can sort and hash (top-level arrays cannot be).
       .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"),
-        transform(
-          sort_array(collect_list(when(col("rn") <= 5,
-            struct(col("rn"), col("doc_id"))))),
-          x => x.getField("doc_id")).as("postings"))
+        array_join(
+          transform(
+            sort_array(collect_list(when(col("rn") <= 5,
+              struct(col("rn"), col("doc_id"))))),
+            x => x.getField("doc_id").cast("string")),
+          ",").as("postings"))
       .orderBy(desc("df"), col("token"))
       .limit(100)
   }
@@ -1431,8 +1442,8 @@ object Pipeline {
       |n AS (SELECT CAST(sum(observed) AS BIGINT) AS n_tot FROM cells)
       |SELECT c.lang, c.source, c.observed,
       |  round(CAST(row_tot * col_tot AS DOUBLE) / n_tot, 6) AS expected,
-      |  round(CAST((c.observed * n_tot - row_tot * col_tot) *
-      |             (c.observed * n_tot - row_tot * col_tot) AS DOUBLE) /
+      |  round(CAST(c.observed * n_tot - row_tot * col_tot AS DOUBLE) *
+      |        CAST(c.observed * n_tot - row_tot * col_tot AS DOUBLE) /
       |        (CAST(n_tot AS DOUBLE) * CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)), 6)
       |    AS chi2_contrib
       |FROM cells c JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN n
@@ -1442,13 +1453,19 @@ object Pipeline {
     val rt = cells.groupBy("source").agg(sum("observed").as("row_tot"))
     val ct = cells.groupBy("lang").agg(sum("observed").as("col_tot"))
     val n = cells.agg(sum("observed").as("n_tot"))
-    val dev = col("observed") * col("n_tot") - col("row_tot") * col("col_tot")
+    // dev is cast to double BEFORE squaring: dev itself staying < 2^53 is
+    // the only exactness invariant needed, and squaring a representable
+    // double is one deterministic IEEE op in both engines — squaring in
+    // BIGINT would silently wrap in Spark (DuckDB raises) on a strongly
+    // dependent contingency at larger scale factors.
+    val dev = (col("observed") * col("n_tot") - col("row_tot") * col("col_tot"))
+      .cast(DoubleType)
     cells.join(broadcast(rt), "source").join(broadcast(ct), "lang")
       .crossJoin(broadcast(n))
       .select(col("lang"), col("source"), col("observed"),
         round((col("row_tot") * col("col_tot")).cast(DoubleType) / col("n_tot"), 6)
           .as("expected"),
-        round((dev * dev).cast(DoubleType) /
+        round((dev * dev) /
           (col("n_tot").cast(DoubleType) * col("row_tot").cast(DoubleType) *
             col("col_tot").cast(DoubleType)), 6).as("chi2_contrib"))
       .orderBy("source", "lang")

@@ -586,7 +586,13 @@ object Similarity {
     * arithmetic is two IEEE double ops on round-6 scores — identical
     * in JVM and DuckDB — and the oracle replays the same five stages
     * as chained CTEs, so the hash match proves every pick and
-    * tie-break. */
+    * tie-break.
+    *
+    * NOTE: building this query EXECUTES Spark jobs (localCheckpoint +
+    * two bounded collects) at DataFrame-construction time — any
+    * plan-only consumer iterating all queries triggers the corpus
+    * TakeOrdered as a side effect (PlanDump already special-cases
+    * this name; new tooling must too). */
   val mmrRerank = Query(
     "q_mmr_rerank",
     s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
@@ -649,9 +655,12 @@ object Similarity {
     val pool = cands.select(col("vec_id"), col("rel")).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
       .sortBy { case (id, rel) => (-rel, id) }
+    // Guarded for degenerate pools (< 5 candidates, or none at all): the
+    // greedy emits min(5, |pool|) rows, matching the declarative shape's
+    // graceful degradation on tiny fixtures.
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
-    picked += ((1, pool.head._1, pool.head._2, pool.head._2))
-    for (k <- 2 to 5) {
+    if (pool.nonEmpty) picked += ((1, pool.head._1, pool.head._2, pool.head._2))
+    for (k <- 2 to math.min(5, pool.length)) {
       val selIds = picked.map(_._2).toSet
       val (id, rel, mmr) = pool.iterator
         .filterNot { case (id, _) => selIds(id) }
