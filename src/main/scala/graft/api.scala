@@ -95,6 +95,39 @@ object api {
       .take(6).map("%02x".format(_)).mkString
   }
 
+  /** Build-once, atomically-published fixture/index directory: when
+    * `dirPath` is not yet ready (missing, or missing `marker` when one
+    * is given), run `build` into a fresh temp directory and ATOMIC_MOVE
+    * it into place, so a concurrent Verify/Bench pair can never observe
+    * a half-built directory — the loser of the rename race discards its
+    * build and reads the winner's. Callers key `dirPath` by content
+    * fingerprint ([[contentFingerprint]]) so a testdata regeneration
+    * rebuilds while a warm host reuses. Shared by the store read-path
+    * fixtures (ops/Sources) and the incremental-combine store
+    * (ops/Gvcf). */
+  def buildOnce(dirPath: String, marker: Option[String] = None)
+      (build: String => Unit): String = {
+    val dir = new java.io.File(dirPath)
+    def ready =
+      marker.fold(dir.exists())(m => new java.io.File(dir, m).exists())
+    if (!ready) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_build_once_")
+      build(tmp.toString)
+      try java.nio.file.Files.move(tmp, dir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e: java.nio.file.FileSystemException =>
+          // lost the build race (target exists) — keep the winner's
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(tmp.toFile)
+          if (!ready) throw e
+      }
+    }
+    dirPath
+  }
+
   /** 48-bit uniform hash from md5 hex — engine-portable: same digest,
     * same first-12-hex-chars window in Spark and DuckDB. THE single
     * definition; Sketches/Dedup/Pipeline all call these so the two

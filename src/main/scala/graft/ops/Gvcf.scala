@@ -528,7 +528,12 @@ object Gvcf {
     * covered sample's remapped genotype — genuinely changes in the
     * touched buckets. */
   def deltaSample(s: SparkSession, n: Long): DataFrame =
-    s.range(0, n / 30).selectExpr(
+    // partitions sized to the delta (~100k rows each), not the session
+    // default: one added sample is delta-scale by construction, and 32
+    // near-empty range tasks would dominate the incremental path's cost
+    // at bench scale while the count still grows with n for a real
+    // cohort-sized delta.
+    s.range(0, n / 30, 1, math.max(1, (n / 30 / 100000L).toInt + 1)).selectExpr(
       "'s3' AS sample",
       "concat('chr', 1 + id % 2) AS contig",
       "id * 10 + 1 AS start",
@@ -547,36 +552,45 @@ object Gvcf {
   /** Position-bucket width of the incremental store. */
   val IncBucketW = 1000L
 
-  /** Fixture dir key carries the cohort size: unlike the fixed-n VCF
-    * fixture, this store's CONTENT is data-dependent (n = |orders|/5),
-    * so a version constant alone would serve a stale fixture if the
-    * testdata at the same path were regenerated with a different
-    * cardinality. */
-  private[graft] def incDir(d: String, which: String, n: Long): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_inc_${which}_v${IncStoreVersion}_n${n}_" +
+  /** Fixture parent dir, keyed by version + cohort size + CONTENT
+    * fingerprint of the deriving `orders` table (the Sources.cachedStore
+    * pattern): unlike the fixed-n VCF fixture, this store's content is
+    * data-dependent (n = |orders|/5), so a version constant alone would
+    * serve a stale fixture if the testdata at the same path were
+    * regenerated — the fingerprint catches even a same-cardinality
+    * regeneration. `raw/` and `comb/` live under ONE parent so the
+    * atomic publish covers both. */
+  private def incParent(d: String, n: Long): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_inc_v${IncStoreVersion}_n${n}_" +
+      graft.api.contentFingerprint(s"$d/orders.parquet") + "_" +
       d.replaceAll("[^a-zA-Z0-9]", "_")
 
-  /** Write-once incremental-store fixtures per (session, sf): the raw
+  private[graft] def incDir(d: String, which: String, n: Long): String =
+    s"${incParent(d, n)}/$which"
+
+  /** Write-once incremental-store fixtures per (sf, content): the raw
     * cohort exploded into every position bucket a record SPANS (the
     * reference's spanning-block duplication at region boundaries,
     * `GVCFHBase.java:~95 (unverified)`), and the combined output
     * bucketed by site position — both `partitionBy(bucket)` so reads
-    * prune at the directory level. */
-  private[ops] def incrementalStore(s: SparkSession, d: String): (String, String) = {
+    * prune at the directory level. Built into a temp dir and
+    * ATOMICALLY renamed in ([[graft.api.buildOnce]]), so a concurrent
+    * Verify/Bench pair can never read a half-built store; the bench
+    * then measures the incremental READ path the query exists to
+    * prove, not its setup writes. */
+  private[graft] def incrementalStore(s: SparkSession, d: String): (String, String) = {
     val n = cohortN(s, d)
-    val (rawDir, combDir) = (incDir(d, "raw", n), incDir(d, "comb", n))
-    if (!new java.io.File(rawDir, "_SUCCESS").exists() ||
-        !new java.io.File(combDir, "_SUCCESS").exists()) {
+    graft.api.buildOnce(incParent(d, n)) { tmp =>
       val base = syntheticVariants(s, n)
       base.withColumn("bucket",
           explode(sequence(col("start") / IncBucketW cast LongType, col("end") / IncBucketW cast LongType)))
-        .write.mode("overwrite").partitionBy("bucket").parquet(rawDir)
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$tmp/raw")
       combineSites(base)
         .withColumn("calls", array_join(col("calls"), ";"))
         .withColumn("bucket", (col("pos") / IncBucketW).cast(LongType))
-        .write.mode("overwrite").partitionBy("bucket").parquet(combDir)
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$tmp/comb")
     }
-    (rawDir, combDir)
+    (incDir(d, "raw", n), incDir(d, "comb", n))
   }
 
   /** Bucket-pruned INCREMENTAL combine — the reference's raison d'être
@@ -633,11 +647,14 @@ object Gvcf {
        |ORDER BY r.contig, r.pos""".stripMargin) { (s, d) =>
     val (rawDir, combDir) = incrementalStore(s, d)
     val delta = deltaSample(s, cohortN(s, d))
-    // touched buckets from the delta — K rows to the driver
+    // touched buckets from the delta — K rows to the driver. distinct()
+    // bounds the collect at bucket-count rows; the K-row sort runs
+    // driver-side (an orderBy here would add a range exchange + a whole
+    // extra stage to a metadata-scale frame).
     val touched = delta
       .select((col("start") / IncBucketW).cast(LongType).as("bucket"))
-      .distinct().orderBy("bucket")
-      .collect().map(_.getLong(0)).toSeq
+      .distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
     val rawTouched = s.read.parquet(rawDir)
       .filter(col("bucket").isin(touched: _*))
       .drop("bucket")

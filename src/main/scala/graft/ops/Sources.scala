@@ -36,23 +36,8 @@ object Sources {
   private def cachedStore(s: SparkSession, d: String, name: String,
       srcTable: String)(build: String => Unit): String = {
     val fp = graft.api.contentFingerprint(s"$d/$srcTable.parquet")
-    val dir = new java.io.File(s"${outDir(s, d, name)}_$fp")
-    if (!new java.io.File(dir, "_MANIFEST").exists()) {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_store_build_")
-      build(tmp.toString)
-      try java.nio.file.Files.move(tmp, dir.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case e: java.nio.file.FileSystemException =>
-          // lost the build race (target exists) — keep the winner's
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(tmp.toFile)
-          if (!new java.io.File(dir, "_MANIFEST").exists()) throw e
-      }
-    }
-    dir.toString
+    graft.api.buildOnce(s"${outDir(s, d, name)}_$fp",
+      marker = Some("_MANIFEST"))(build)
   }
 
   /** Shared slice: exact-integer projection of lineitem. */

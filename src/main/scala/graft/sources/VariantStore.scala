@@ -262,7 +262,18 @@ object VariantStore {
     * merged generation, leaves the store untouched) instead of
     * double-splicing the same rows. */
   def compactMinor(spark: SparkSession, path: String, schema: String,
-      keepGenerations: Int = 4, numRanges: Int = 1): Unit = {
+      keepGenerations: Int = 4, numRanges: Int = 1): Unit =
+    compactMinorImpl(spark, path, schema, keepGenerations, numRanges, () => ())
+
+  /** Test seam for the compactor-race abort: `beforeSplice` runs after
+    * this pass's merged generation is staged in the store directory but
+    * BEFORE the locked splice — the window in which a concurrent
+    * compactor can win. Specs inject a competing (real) compaction here
+    * to drive the abort branch deterministically; production callers go
+    * through [[compactMinor]], whose hook is a no-op. */
+  private[graft] def compactMinorImpl(spark: SparkSession, path: String,
+      schema: String, keepGenerations: Int, numRanges: Int,
+      beforeSplice: () => Unit): Unit = {
     require(keepGenerations >= 1, s"keepGenerations must be >= 1: $keepGenerations")
     val dir = java.nio.file.Paths.get(path)
     // consistent manifest snapshot for fold-set selection
@@ -282,6 +293,7 @@ object VariantStore {
     mergedLines.map(StoreManifest.parse).foreach { e =>
       java.nio.file.Files.move(tmpDir.resolve(e.file), dir.resolve(e.file))
     }
+    beforeSplice()
     val spliced = StoreManifest.withManifestLock(dir) {
       val current = StoreManifest.readLines(dir)
       val currentFiles = current.map(StoreManifest.parse(_).file).toSet

@@ -383,7 +383,9 @@ class GvcfSpec extends SparkSpec {
           (s.relation.location.rootPaths.mkString,
             s.selectedPartitions.toPartitionArray.map(_.urlEncodedPath).toSeq)
       }
-    val combFiles = scans.filter(_._1.contains("graft_inc_comb_")).flatMap(_._2)
+    val combFiles = scans
+      .filter(p => p._1.contains("graft_inc_") && p._1.contains("/comb"))
+      .flatMap(_._2)
     assert(combFiles.nonEmpty)
     assert(combFiles.map(bucketOf).forall(b => !touched(b)),
       "passthrough side rescanned a touched combined bucket")

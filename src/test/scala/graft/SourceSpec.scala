@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import graft.sources.VariantStore
 
@@ -402,6 +404,70 @@ class SourceSpec extends SparkSpec {
     // below-threshold call is a no-op
     graft.sources.VariantStore.compactMinor(spark, dir, schema, keepGenerations = 3)
     assert(files().size == 3)
+  }
+
+  test("minor compaction aborts cleanly when a concurrent compactor wins the splice") {
+    // The single-compactor contract's one guard: the locked splice
+    // re-checks that every folded file is still in the CURRENT manifest
+    // and un-publishes its merged generation if a competitor already
+    // folded one of them — the failure mode it prevents is SILENT ROW
+    // DUPLICATION (both compactors splicing merges of the same rows).
+    // Drive the race deterministically via the compactMinorImpl seam:
+    // a REAL competing compactMinor runs to completion inside the
+    // window between the loser's merge staging and its locked splice.
+    val dir = sinkDir("minorrace")
+    val schema = "key LONG, ver LONG, payload STRING"
+    def gen(ver: Long, rows: Seq[(Long, String)], mode: String): Unit =
+      rows.toDF("key", "payload")
+        .select($"key", lit(ver).as("ver"), $"payload")
+        .coalesce(1).sortWithinPartitions("key")
+        .write.format("graft.sources.VariantStoreSink")
+        .option("path", dir).mode(mode).save()
+    gen(10L, (1L to 50L).map(k => (k, s"base$k")), "overwrite")
+    gen(20L, Seq((2L, "v20")), "append")
+    gen(30L, Seq((3L, "v30")), "append")
+    gen(40L, Seq((4L, "v40")), "append")
+    gen(50L, Seq((5L, "v50")), "append")
+    def manifestFiles() =
+      VariantStore.rangeFiles(dir, Long.MinValue, Long.MaxValue)
+        .map(f => java.nio.file.Paths.get(f).getFileName.toString).toSet
+    def diskParquet() =
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    def live() = VariantStore
+      .readRange(spark, dir, schema, Long.MinValue, Long.MaxValue)
+      .select("key", "payload").as[(Long, String)].collect().toSet
+    def snap(t: Long) = VariantStore.readAsOf(spark, dir, schema, t)
+      .select("key", "payload").as[(Long, String)].collect().toSet
+    val (liveBefore, s35) = (live(), snap(35L))
+
+    // loser pass: its fold set (the 4 smallest gens) is stolen by the
+    // winner, a real compactMinor that completes inside the race window
+    VariantStore.compactMinorImpl(spark, dir, schema,
+      keepGenerations = 2, numRanges = 1,
+      beforeSplice =
+        () => VariantStore.compactMinor(spark, dir, schema, keepGenerations = 2))
+
+    // the winner's splice stands: base + its one merged generation
+    val after = manifestFiles()
+    assert(after.size == 2,
+      s"expected base + the winner's merged generation, got $after")
+    // no manifest-listed file is lost
+    assert(after.forall(f => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir).resolve(f))), "manifest lists a missing file")
+    // the loser un-published its merged generation: no orphan parquet
+    // on disk beyond the manifest (orphans would re-enter via a later
+    // directory listing or leak forever)
+    assert(diskParquet() == after,
+      s"orphan generation files left by the aborted pass: ${diskParquet() -- after}")
+    // reads are bit-identical — and row counts too (duplication from a
+    // double-splice would survive a set-compare of distinct cells)
+    assert(live() == liveBefore, "live view changed across the aborted race")
+    assert(snap(35L) == s35, "as-of snapshot changed across the aborted race")
+    val liveRows = VariantStore
+      .readRange(spark, dir, schema, Long.MinValue, Long.MaxValue).count()
+    assert(liveRows == liveBefore.size,
+      s"duplicated rows after compactor race: $liveRows != ${liveBefore.size}")
   }
 
   test("randomized generation lifecycle matches a driver-side version-resolution reference") {
