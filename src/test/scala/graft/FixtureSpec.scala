@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.types._
 
 /** Fixture-drift canary (VERDICT r12 task #2).
@@ -26,6 +28,47 @@ class FixtureSpec extends SparkSpec {
     * both dirs with the same encoding. Schema-only assertions (footer
     * reads, no scans), so the extra dir costs milliseconds. */
   private val gateDir = "/root/testdata/sf0.01"
+
+  test("buildOnce publishes atomically; concurrent builders race to one winner") {
+    // The helper behind every cached fixture/store build (api.buildOnce):
+    // N concurrent builders must yield exactly one published directory,
+    // readable and complete, with every loser's temp build discarded —
+    // the Verify/Bench-pair interleaving the atomic rename exists to
+    // prevent. Each builder writes a distinct payload so the test can
+    // prove all readers observe ONE winner, not a splice of builds.
+    val target = java.nio.file.Files.createTempDirectory("graft_bo_").resolve("fixture")
+    val built = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(Future.sequence((1 to 8).map(i => Future {
+      graft.api.buildOnce(target.toString) { tmp =>
+        built.add(i)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp, "payload.txt"),
+          s"builder-$i".getBytes("UTF-8"))
+        // widen the race window so builders genuinely overlap
+        Thread.sleep(50)
+      }
+      new String(java.nio.file.Files.readAllBytes(
+        target.resolve("payload.txt")), "UTF-8")
+    })), 60.seconds)
+    assert(results.toSet.size == 1,
+      s"readers observed more than one winner: ${results.toSet}")
+    assert(built.size >= 1)
+    // idempotent re-entry: ready dir short-circuits, build not re-run
+    val before = built.size
+    graft.api.buildOnce(target.toString) { _ => built.add(99) }
+    assert(built.size == before, "buildOnce re-ran a build for a ready dir")
+    // no abandoned temp builds: losers cleaned up after themselves
+    val leftovers = java.nio.file.Files.list(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+      .iterator()
+      .asScala.filter(p => p.getFileName.toString.startsWith("graft_build_once_"))
+      .filter(p => java.nio.file.Files.list(p).iterator().hasNext)
+      .toSeq
+    assert(leftovers.isEmpty, s"abandoned temp builds left behind: $leftovers")
+  }
 
   /** expected (column, type) contract per table, post-`api.tbl`. */
   private val expected: Map[String, Seq[(String, DataType)]] = Map(
