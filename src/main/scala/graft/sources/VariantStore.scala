@@ -220,7 +220,13 @@ object VariantStore {
     * reads below the horizon are no longer supported (their history is
     * gone — the same contract HBase major compaction gives a timerange
     * scan below the purge bound). The default `Long.MinValue` horizon
-    * purges nothing, preserving every historical snapshot. */
+    * purges nothing, preserving every historical snapshot.
+    *
+    * Commits through [[spliceCompacted]] (r15): the manifest swap drops
+    * exactly the folded snapshot's lines, so a generation APPENDED
+    * while the rewrite ran survives with its rows intact (it waits for
+    * the next pass), and a concurrent compactor aborts this pass
+    * rather than double-splicing. */
   /** MINOR (incremental) compaction — the HBase minor-compaction analog
     * and the missing middle between per-epoch memstore flushes and
     * [[compact]]'s full rewrite (which re-reads EVERY byte of the store:
@@ -275,16 +281,39 @@ object VariantStore {
       schema: String, keepGenerations: Int, numRanges: Int,
       beforeSplice: () => Unit): Unit = {
     require(keepGenerations >= 1, s"keepGenerations must be >= 1: $keepGenerations")
-    val dir = java.nio.file.Paths.get(path)
     // consistent manifest snapshot for fold-set selection
-    val entries = StoreManifest.withManifestLock(dir) { manifest(path) }
+    val entries = StoreManifest.withManifestLock(
+      java.nio.file.Paths.get(path)) { manifest(path) }
     if (entries.size <= keepGenerations) return
-    val keyCol = colNames(schema)(0)
     val smallestFirst = entries.sortBy(e => (e.rows, e.file))
     val fold = smallestFirst.take(entries.size - keepGenerations + 1)
+    spliceCompacted(path, fold,
+      spark.read.schema(schema).parquet(fold.map(e => s"$path/${e.file}"): _*),
+      colNames(schema)(0), numRanges, beforeSplice)
+  }
+
+  /** Shared compaction commit ([[compact]] folds every snapshot
+    * generation, [[compactMinorImpl]] the size-tiered smallest): write
+    * `merged` through the sink into a TEMP store (so ver ranges and
+    * sample extents are re-tracked by the writer), stage its generation
+    * files into the store directory, and swap the manifest under the
+    * manifest lock — dropping exactly `fold`'s lines from the CURRENT
+    * manifest rather than rewriting from a snapshot, so a concurrent
+    * APPENDER's committed generation always survives the splice (rows
+    * it added are simply not compacted this pass). If any fold file
+    * already left the manifest — a concurrent COMPACTOR won — the pass
+    * ABORTS: it un-publishes its staged generation and leaves the store
+    * untouched, the guard against silent double-splice row duplication.
+    * Fold files are deleted only after the new manifest is live (crash
+    * in between leaves a readable store + orphans, the batch-commit
+    * ordering contract). */
+  private def spliceCompacted(path: String, fold: Seq[ManifestEntry],
+      merged: DataFrame, keyCol: String, numRanges: Int,
+      beforeSplice: () => Unit): Unit = {
+    val dir = java.nio.file.Paths.get(path)
     val foldSet = fold.map(_.file).toSet
-    val tmpDir = java.nio.file.Files.createTempDirectory("graft_minor_")
-    spark.read.schema(schema).parquet(fold.map(e => s"$path/${e.file}"): _*)
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_compact_")
+    merged
       .repartitionByRange(numRanges, col(keyCol))
       .sortWithinPartitions(keyCol)
       .write.format("graft.sources.VariantStoreSink")
@@ -354,20 +383,34 @@ object VariantStore {
   }
 
   def compact(spark: SparkSession, path: String, schema: String,
-      numRanges: Int = 8, horizon: Long = Long.MinValue): Unit = {
+      numRanges: Int = 8, horizon: Long = Long.MinValue): Unit =
+    compactImpl(spark, path, schema, numRanges, horizon, () => ())
+
+  /** Test seam, mirroring [[compactMinorImpl]]'s: `beforeSplice` runs
+    * in the window a concurrent writer can land. Major compaction used
+    * to commit through the sink's overwrite mode (wholesale manifest
+    * replace + reap of every pre-overwrite file) — correct for bulk
+    * load, but a generation APPENDED between fold selection and that
+    * commit was silently replaced and its file REAPED: lost rows from
+    * an appender + major-compactor overlap the docs declare safe. It
+    * now commits through the same [[spliceCompacted]] path as minor
+    * compaction: concurrent appends survive (their lines stay in the
+    * spliced manifest, their rows simply wait for the next pass), and
+    * a concurrent compactor aborts the pass instead of double-splicing. */
+  private[graft] def compactImpl(spark: SparkSession, path: String,
+      schema: String, numRanges: Int, horizon: Long,
+      beforeSplice: () => Unit): Unit = {
     val cols = colNames(schema)
-    val keyCol = cols(0)
-    val files = manifest(path).map(e => s"$path/${e.file}")
-    require(files.nonEmpty, s"nothing to compact: no manifest at $path")
-    val raw = spark.read.schema(schema).parquet(files: _*)
+    // consistent manifest snapshot for fold-set selection
+    val fold = StoreManifest.withManifestLock(
+      java.nio.file.Paths.get(path)) { manifest(path) }
+    require(fold.nonEmpty, s"nothing to compact: no manifest at $path")
+    val raw = spark.read.schema(schema)
+      .parquet(fold.map(e => s"$path/${e.file}"): _*)
     val kept =
       if (!isVersioned(cols) || horizon == Long.MinValue) raw
       else raw.filter(col("ver") > horizon).unionByName(
         dropTombstones(latestPerKey(raw.filter(col("ver") <= horizon), cols), cols))
-    kept
-      .repartitionByRange(numRanges, col(keyCol))
-      .sortWithinPartitions(keyCol)
-      .write.format("graft.sources.VariantStoreSink")
-      .option("path", path).mode("overwrite").save()
+    spliceCompacted(path, fold, kept, cols(0), numRanges, beforeSplice)
   }
 }

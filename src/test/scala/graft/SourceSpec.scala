@@ -470,6 +470,86 @@ class SourceSpec extends SparkSpec {
       s"duplicated rows after compactor race: $liveRows != ${liveBefore.size}")
   }
 
+  test("a generation appended during major compaction survives with its rows") {
+    // THE data-loss race the r15 splice rework closes: major compaction
+    // used to commit via the sink's overwrite mode, which replaced the
+    // manifest wholesale and reaped every pre-overwrite file under the
+    // lock — a generation appended between fold selection and that
+    // commit lost its manifest line AND its file. The splice commit
+    // drops only the folded snapshot's lines, so the concurrent append
+    // must survive verbatim.
+    val dir = sinkDir("majorappend")
+    val schema = "key LONG, ver LONG, payload STRING"
+    def gen(ver: Long, rows: Seq[(Long, String)], mode: String): Unit =
+      rows.toDF("key", "payload")
+        .select($"key", lit(ver).as("ver"), $"payload")
+        .coalesce(1).sortWithinPartitions("key")
+        .write.format("graft.sources.VariantStoreSink")
+        .option("path", dir).mode(mode).save()
+    gen(10L, (1L to 30L).map(k => (k, s"base$k")), "overwrite")
+    gen(20L, Seq((2L, "v20")), "append")
+    def live() = VariantStore
+      .readRange(spark, dir, schema, Long.MinValue, Long.MaxValue)
+      .select("key", "payload").as[(Long, String)].collect().toSet
+    val liveBefore = live()
+
+    // the appender lands INSIDE the compaction's race window
+    VariantStore.compactImpl(spark, dir, schema, numRanges = 1,
+      horizon = Long.MinValue,
+      beforeSplice = () => gen(30L, Seq((99L, "concurrent")), "append"))
+
+    val files = VariantStore.rangeFiles(dir, Long.MinValue, Long.MaxValue)
+    assert(files.size == 2,
+      s"expected compacted generation + surviving append, got $files")
+    assert(live() == liveBefore + ((99L, "concurrent")),
+      "concurrently appended rows were lost by major compaction")
+    // and the appended generation still compacts away on the NEXT pass
+    VariantStore.compact(spark, dir, schema, numRanges = 1)
+    assert(VariantStore.rangeFiles(dir, Long.MinValue, Long.MaxValue).size == 1)
+    assert(live() == liveBefore + ((99L, "concurrent")))
+  }
+
+  test("major compaction aborts cleanly when a concurrent compactor wins") {
+    // Same double-splice guard as the minor path, driven through
+    // compactImpl's seam: a real competing major compaction completes
+    // inside the window; the loser must un-publish and change nothing.
+    val dir = sinkDir("majorrace")
+    val schema = "key LONG, ver LONG, payload STRING"
+    def gen(ver: Long, rows: Seq[(Long, String)], mode: String): Unit =
+      rows.toDF("key", "payload")
+        .select($"key", lit(ver).as("ver"), $"payload")
+        .coalesce(1).sortWithinPartitions("key")
+        .write.format("graft.sources.VariantStoreSink")
+        .option("path", dir).mode(mode).save()
+    gen(10L, (1L to 20L).map(k => (k, s"base$k")), "overwrite")
+    gen(20L, Seq((3L, "v20")), "append")
+    def manifestFiles() =
+      VariantStore.rangeFiles(dir, Long.MinValue, Long.MaxValue)
+        .map(f => java.nio.file.Paths.get(f).getFileName.toString).toSet
+    def diskParquet() =
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    def live() = VariantStore
+      .readRange(spark, dir, schema, Long.MinValue, Long.MaxValue)
+      .select("key", "payload").as[(Long, String)].collect().toSet
+    val liveBefore = live()
+
+    VariantStore.compactImpl(spark, dir, schema, numRanges = 1,
+      horizon = Long.MinValue,
+      beforeSplice =
+        () => VariantStore.compact(spark, dir, schema, numRanges = 1))
+
+    val after = manifestFiles()
+    assert(after.size == 1, s"expected the winner's single generation, got $after")
+    assert(diskParquet() == after,
+      s"orphan generation files left by the aborted pass: ${diskParquet() -- after}")
+    assert(live() == liveBefore, "live view changed across the aborted race")
+    val liveRows = VariantStore
+      .readRange(spark, dir, schema, Long.MinValue, Long.MaxValue).count()
+    assert(liveRows == liveBefore.size,
+      s"duplicated rows after compactor race: $liveRows != ${liveBefore.size}")
+  }
+
   test("randomized generation lifecycle matches a driver-side version-resolution reference") {
     // Differential guard for the whole versioned-read contract: a seeded
     // random sequence of append generations — overlapping ver ranges,
