@@ -341,7 +341,23 @@ object VariantStore {
     // temp-store leftovers (manifest, lock sidecar, dir) — best-effort
     Option(tmpDir.toFile.listFiles()).foreach(_.foreach(_.delete()))
     java.nio.file.Files.deleteIfExists(tmpDir)
-    ()
+    // Aged orphan sweep (compaction is the store's maintenance pass, and
+    // since the splice rework the sink's truncate-commit sweep no longer
+    // runs against the REAL store dir): files no CURRENT manifest line
+    // references — crashed-writer tasks, a staged-but-never-spliced
+    // generation from a compactor that died in the race window — are
+    // reaped once aged past the same 1-hour grace the sink uses. The
+    // keep set is read under the lock; fresh files are protected because
+    // a concurrent writer's task files exist on disk before its
+    // (lock-blocked) driver commit publishes them.
+    val keep = StoreManifest.withManifestLock(dir) {
+      StoreManifest.readLines(dir).map(StoreManifest.parse(_).file).toSet
+    } + StoreManifest.FileName + (StoreManifest.FileName + ".lck")
+    val cutoff = System.currentTimeMillis() - 3600000
+    Option(dir.toFile.listFiles()).foreach(_
+      .filterNot(f => keep(f.getName))
+      .filter(_.lastModified < cutoff)
+      .foreach(_.delete()))
   }
 
   /** Snapshot/clone — the HBase table-snapshot analog: copy the CURRENT

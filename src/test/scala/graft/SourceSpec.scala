@@ -550,6 +550,57 @@ class SourceSpec extends SparkSpec {
       s"duplicated rows after compactor race: $liveRows != ${liveBefore.size}")
   }
 
+  test("compactor crash leaves a readable store; compaction sweeps aged orphans only") {
+    // Crash contract: a compactor dying between staging its merged
+    // generation and the locked splice leaves orphan files no manifest
+    // references — reads are unchanged (manifest-driven, never a
+    // directory listing). Maintenance contract: the next compaction
+    // reaps orphans aged past the 1-hour grace, and ONLY those — a
+    // fresh file could be a concurrent writer's not-yet-committed task
+    // output.
+    val dir = sinkDir("crashsweep")
+    val schema = "key LONG, ver LONG, payload STRING"
+    def gen(ver: Long, rows: Seq[(Long, String)], mode: String): Unit =
+      rows.toDF("key", "payload")
+        .select($"key", lit(ver).as("ver"), $"payload")
+        .coalesce(1).sortWithinPartitions("key")
+        .write.format("graft.sources.VariantStoreSink")
+        .option("path", dir).mode(mode).save()
+    gen(10L, (1L to 20L).map(k => (k, s"base$k")), "overwrite")
+    gen(20L, Seq((5L, "v20")), "append")
+    def manifestFiles() =
+      VariantStore.rangeFiles(dir, Long.MinValue, Long.MaxValue)
+        .map(f => java.nio.file.Paths.get(f).getFileName.toString).toSet
+    def diskParquet() =
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    def live() = VariantStore
+      .readRange(spark, dir, schema, Long.MinValue, Long.MaxValue)
+      .select("key", "payload").as[(Long, String)].collect().toSet
+    val liveBefore = live()
+
+    val boom = intercept[RuntimeException] {
+      VariantStore.compactImpl(spark, dir, schema, numRanges = 1,
+        horizon = Long.MinValue,
+        beforeSplice = () => throw new RuntimeException("compactor died"))
+    }
+    assert(boom.getMessage == "compactor died")
+    val orphans = diskParquet() -- manifestFiles()
+    assert(orphans.nonEmpty, "crash should leave the staged generation as orphans")
+    assert(live() == liveBefore, "orphans leaked into manifest-driven reads")
+
+    // age the crash orphans past the grace; drop a FRESH orphan beside them
+    orphans.foreach(f => new java.io.File(dir, f)
+      .setLastModified(System.currentTimeMillis() - 7200000L))
+    val fresh = new java.io.File(dir, "part-fresh-orphan.parquet")
+    java.nio.file.Files.write(fresh.toPath, Array[Byte](1, 2, 3))
+    VariantStore.compact(spark, dir, schema, numRanges = 1)
+    val leftOver = diskParquet() -- manifestFiles()
+    assert(leftOver == Set("part-fresh-orphan.parquet"),
+      s"sweep should reap exactly the AGED orphans, left: $leftOver")
+    assert(live() == liveBefore)
+  }
+
   test("randomized generation lifecycle matches a driver-side version-resolution reference") {
     // Differential guard for the whole versioned-read contract: a seeded
     // random sequence of append generations — overlapping ver ranges,
