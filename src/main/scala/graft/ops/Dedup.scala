@@ -595,8 +595,11 @@ object Dedup {
         else {
           val docs = tbl(s, d, "documents")
           val lab = connectedComponents(docs.select("doc_id"), candidateEdges(docs))
-          scala.util.Try(lab.write.mode("overwrite").parquet(dir))
-            .map(_ => s.read.parquet(dir))
+          // atomic publish (buildOnce): a concurrent builder can never
+          // serve a half-written label set
+          scala.util.Try(graft.api.buildOnce(dir, marker = Some("_SUCCESS")) {
+              tmp => lab.write.mode("overwrite").parquet(tmp) })
+            .map(p => s.read.parquet(p))
             // if the scratch dir is unwritable, serve the checkpointed
             // in-memory result — correctness never depends on the cache
             .getOrElse(lab.localCheckpoint())

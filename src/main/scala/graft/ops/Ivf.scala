@@ -116,25 +116,26 @@ object Ivf {
   }
 
   /** Materialize the index once per (session, sf): `vectors/` partitioned
-    * by bucket (the inverted lists), `centroids/` alongside. */
-  def buildIndex(s: SparkSession, d: String): String = {
-    val dir = indexDir(d)
-    if (!new java.io.File(s"$dir/vectors", "_SUCCESS").exists()) {
+    * by bucket (the inverted lists), `centroids/` alongside — published
+    * atomically ([[graft.api.buildOnce]]) so a concurrent Verify/Bench
+    * pair can never read a half-built index or have one process's
+    * overwrite delete files the other is scanning. */
+  def buildIndex(s: SparkSession, d: String): String =
+    graft.api.buildOnce(indexDir(d),
+      marker = Some("vectors/_SUCCESS")) { tmp =>
       val e = graft.api.tbl(s, d, "embeddings")
       val cents = trainCentroids(e)
       // K centroids are a handful of rows — one file, not 32 shards.
-      cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+      cents.coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
       // Cluster by bucket before the partitioned write so each inverted
       // list is ONE file per shuffle partition, not tasks x buckets tiny
       // files — the same layout a 100 TB build needs for DPP-prunable,
       // sanely-sized list files.
-      assignToNearest(e, s.read.parquet(s"$dir/centroids"))
+      assignToNearest(e, s.read.parquet(s"$tmp/centroids"))
         .select(col("vec_id"), col("embedding"), col("bucket"))
         .repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/vectors")
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$tmp/vectors")
     }
-    dir
-  }
 
   /** nprobe-bucket cosine top-k against the materialized index. The
     * bucket list is a 2-row broadcast, so the join against the

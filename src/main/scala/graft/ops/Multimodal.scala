@@ -102,20 +102,20 @@ object Multimodal {
   def ppmFileDir(s: org.apache.spark.sql.SparkSession, d: String): String = {
     val fp = graft.api.contentFingerprint(s"$d/documents.parquet")
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ppm_${d.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
-    val marker = new java.io.File(dir, "_SUCCESS")
-    if (!marker.exists()) {
-      new java.io.File(dir).mkdirs()
+    // atomic publish (buildOnce): a concurrent binaryFile reader can
+    // never list a partially-written image set
+    graft.api.buildOnce(dir, marker = Some("_SUCCESS")) { tmp =>
       syntheticPpm(graft.api.tbl(s, d, "documents").filter(col("doc_id") < 2000))
         .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
           rows.foreach { r =>
             java.nio.file.Files.write(
-              java.nio.file.Paths.get(dir, f"img_${r.getLong(0)}%05d.ppm"),
+              java.nio.file.Paths.get(tmp, f"img_${r.getLong(0)}%05d.ppm"),
               r.getAs[Array[Byte]](1))
           }
         }
-      marker.createNewFile()
+      new java.io.File(tmp, "_SUCCESS").createNewFile()
+      ()
     }
-    dir
   }
 
   /** REAL decode: media(doc_id LONG, media BINARY) → parsed dimensions +

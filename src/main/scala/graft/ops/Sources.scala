@@ -137,13 +137,16 @@ object Sources {
       .orderBy("y", "o_orderpriority")
   }
 
-  /** Write-once-per-(session,sf) partitioned copy of orders, read back. */
+  /** Write-once partitioned copy of orders, read back — fingerprint-
+    * keyed (a regenerated orders.parquet rebuilds) and atomically
+    * published like every other cached artifact. */
   def partitionedOrdersDf(s: SparkSession, d: String): DataFrame = {
-    val dir = outDir(s, d, "part_orders")
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+    val fp = graft.api.contentFingerprint(s"$d/orders.parquet")
+    val dir = graft.api.buildOnce(s"${outDir(s, d, "part_orders")}_$fp",
+      marker = Some("_SUCCESS")) { tmp =>
       tbl(s, d, "orders")
         .withColumn("y", year(col("o_orderdate")).cast(LongType))
-        .write.mode("overwrite").partitionBy("y").parquet(dir)
+        .write.mode("overwrite").partitionBy("y").parquet(tmp)
     }
     s.read.parquet(dir)
   }

@@ -179,19 +179,17 @@ object Vcf {
     s"${System.getProperty("java.io.tmpdir")}/graft_vcf_v${SyntheticFormatVersion}_" +
       d.replaceAll("[^a-zA-Z0-9]", "_")
 
-  /** Write-once synthetic gVCF (headers + 2000 body lines) per (session, sf). */
-  def syntheticGvcfPath(s: SparkSession, d: String): String = {
-    val dir = vcfDir(d)
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+  /** Write-once synthetic gVCF (headers + 2000 body lines) per (session,
+    * sf), atomically published ([[graft.api.buildOnce]]). */
+  def syntheticGvcfPath(s: SparkSession, d: String): String =
+    graft.api.buildOnce(vcfDir(d), marker = Some("_SUCCESS")) { tmp =>
       import s.implicits._
       val header = Seq(
         "##fileformat=VCFv4.2",
         "##INFO=<ID=END,Number=1,Type=Integer,Description=\"End position\">",
         "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1").toDF("value")
-      header.coalesce(1).union(syntheticLines(s, 2000)).write.mode("overwrite").text(dir)
+      header.coalesce(1).union(syntheticLines(s, 2000)).write.mode("overwrite").text(tmp)
     }
-    dir
-  }
 
   /** Ingest round trip: parse the synthetic gVCF and aggregate every
     * parsed field; the oracle re-derives the lines and parses them with

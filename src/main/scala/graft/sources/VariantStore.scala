@@ -382,20 +382,52 @@ object VariantStore {
     * snapshot at 100 TB is a metadata + hard-link operation in any real
     * object store / DFS (HBase snapshots are reference files, not data
     * copies); the local-FS copy here is the portable stand-in. */
-  def snapshot(path: String, dest: String, asOf: Long = Long.MaxValue): Unit = {
+  def snapshot(path: String, dest: String, asOf: Long = Long.MaxValue): Unit =
+    snapshotImpl(path, dest, asOf, () => ())
+
+  /** Test seam: `afterManifestRead` runs between the locked manifest
+    * read and the file copies — the window in which a concurrent
+    * compactor can delete a listed generation. Production callers go
+    * through [[snapshot]] (no-op hook). The copy loop RETRIES against a
+    * fresh manifest when a listed file vanished mid-copy (the compactor
+    * published its merge and reaped the fold set): files staged by the
+    * failed attempt are discarded and the attempt restarts, so a
+    * snapshot taken DURING compaction lands on a consistent post-splice
+    * manifest instead of failing — reads against the clone stay
+    * bit-identical either way, because both pre- and post-splice file
+    * sets resolve the same cells. Bounded retries: a store compacting
+    * faster than three copy passes is pathological, and the final
+    * attempt's NoSuchFileException propagates loudly. */
+  private[graft] def snapshotImpl(path: String, dest: String, asOf: Long,
+      afterManifestRead: () => Unit): Unit = {
     val srcDir = java.nio.file.Paths.get(path)
     val destDir = java.nio.file.Paths.get(dest)
     java.nio.file.Files.createDirectories(destDir)
-    // consistent manifest snapshot under the lock (concurrent appenders
-    // cannot tear the line list mid-read)
-    val lines = StoreManifest.withManifestLock(srcDir) { StoreManifest.readLines(srcDir) }
-    val kept = lines.filter(l => StoreManifest.parse(l).minVer <= asOf)
-    kept.foreach { l =>
-      val f = StoreManifest.parse(l).file
-      java.nio.file.Files.copy(srcDir.resolve(f), destDir.resolve(f),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      // consistent manifest snapshot under the lock (concurrent
+      // appenders cannot tear the line list mid-read)
+      val lines = StoreManifest.withManifestLock(srcDir) { StoreManifest.readLines(srcDir) }
+      val kept = lines.filter(l => StoreManifest.parse(l).minVer <= asOf)
+      if (attempt == 1) afterManifestRead()
+      try {
+        kept.foreach { l =>
+          val f = StoreManifest.parse(l).file
+          java.nio.file.Files.copy(srcDir.resolve(f), destDir.resolve(f),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        StoreManifest.writeLines(destDir, kept.sorted)
+        done = true
+      } catch {
+        case _: java.nio.file.NoSuchFileException if attempt < 3 =>
+          // a compactor reaped a listed file mid-copy: discard this
+          // attempt's staged copies and retry on the fresh manifest
+          kept.foreach(l => java.nio.file.Files.deleteIfExists(
+            destDir.resolve(StoreManifest.parse(l).file)))
+      }
     }
-    StoreManifest.writeLines(destDir, kept.sorted)
   }
 
   def compact(spark: SparkSession, path: String, schema: String,

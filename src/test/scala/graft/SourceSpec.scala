@@ -601,6 +601,41 @@ class SourceSpec extends SparkSpec {
     assert(live() == liveBefore)
   }
 
+  test("snapshot taken during compaction retries onto the post-splice manifest") {
+    // A compactor publishing its merge and reaping the fold set between
+    // snapshot's manifest read and its file copies used to fail the
+    // snapshot with NoSuchFileException. The retry loop must land the
+    // clone on the fresh post-splice manifest, with reads bit-identical
+    // to the source (both file sets resolve the same cells).
+    val dir = sinkDir("snaprace")
+    val schema = "key LONG, ver LONG, payload STRING"
+    def gen(ver: Long, rows: Seq[(Long, String)], mode: String): Unit =
+      rows.toDF("key", "payload")
+        .select($"key", lit(ver).as("ver"), $"payload")
+        .coalesce(1).sortWithinPartitions("key")
+        .write.format("graft.sources.VariantStoreSink")
+        .option("path", dir).mode(mode).save()
+    gen(10L, (1L to 20L).map(k => (k, s"base$k")), "overwrite")
+    gen(20L, Seq((7L, "v20")), "append")
+    def live(d: String) = VariantStore
+      .readRange(spark, d, schema, Long.MinValue, Long.MaxValue)
+      .select("key", "payload").as[(Long, String)].collect().toSet
+    val liveBefore = live(dir)
+    val dest = sinkDir("snapraceclone")
+
+    // the compactor completes INSIDE snapshot's manifest-read → copy window
+    VariantStore.snapshotImpl(dir, dest, Long.MaxValue,
+      afterManifestRead =
+        () => VariantStore.compact(spark, dir, schema, numRanges = 1))
+
+    assert(live(dest) == liveBefore, "clone diverged after snapshot retry")
+    // the clone carries the post-splice manifest: one compacted generation
+    assert(VariantStore.rangeFiles(dest, Long.MinValue, Long.MaxValue).size == 1)
+    // isolation still holds: mutate the source, clone unchanged
+    gen(30L, Seq((1L, "post-snap")), "append")
+    assert(live(dest) == liveBefore)
+  }
+
   test("randomized generation lifecycle matches a driver-side version-resolution reference") {
     // Differential guard for the whole versioned-read contract: a seeded
     // random sequence of append generations — overlapping ver ranges,
