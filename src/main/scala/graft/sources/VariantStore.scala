@@ -260,13 +260,19 @@ object VariantStore {
     * the batch commit).
     *
     * Compaction expects a SINGLE compactor per store (the HBase analog:
-    * one region server owns a region's compactions) — appenders and
-    * readers are safe concurrently, a second simultaneous compactor is
-    * not coordinated. As a guard, the locked splice re-checks that
-    * every folded file is still in the CURRENT manifest; if another
-    * compactor already folded one of them, this pass ABORTS (drops its
-    * merged generation, leaves the store untouched) instead of
-    * double-splicing the same rows. */
+    * one region server owns a region's compactions) — appenders are
+    * safe concurrently (the splice preserves their manifest lines), a
+    * second simultaneous compactor is not coordinated. As a guard, the
+    * locked splice re-checks that every folded file is still in the
+    * CURRENT manifest; if another compactor already folded one of them,
+    * this pass ABORTS (drops its merged generation, leaves the store
+    * untouched) instead of double-splicing the same rows. Readers never
+    * see WRONG data across a splice (generation files are immutable and
+    * the manifest swap is atomic), but a read that listed files before
+    * the splice can fail LOUDLY if it executes after the fold set is
+    * deleted — the retry-the-read contract every snapshot-isolated file
+    * store without reference counting has ([[snapshotImpl]] implements
+    * that retry for clones). */
   def compactMinor(spark: SparkSession, path: String, schema: String,
       keepGenerations: Int = 4, numRanges: Int = 1): Unit =
     compactMinorImpl(spark, path, schema, keepGenerations, numRanges, () => ())

@@ -691,6 +691,86 @@ class SourceSpec extends SparkSpec {
     assert(live == refAsOf(Long.MaxValue).filter(r => r._1 >= 10L && r._1 <= 39L))
   }
 
+  test("randomized maintenance schedule with seam-injected races loses and duplicates nothing") {
+    // The concurrency complement of the lifecycle differential: a seeded
+    // random sequence of appends where EVERY maintenance pass runs with
+    // a race injected into its splice window — a concurrent append (must
+    // survive with its rows), a competing compaction (exactly one
+    // splices, the loser aborts), or a compactor crash (orphans stay,
+    // reads unaffected). Two invariants swept after every event, both on
+    // CONTENT: (1) the raw row multiset across all manifest-listed
+    // generations equals the write log exactly — the no-loss /
+    // no-duplication property every splice guard exists for (no horizon,
+    // so compaction must preserve every version verbatim); (2) resolved
+    // as-of reads match the driver-side reference at every boundary.
+    import graft.sources.VariantStore
+    val schema = "key LONG, ver LONG, payload STRING"
+    val dir = sinkDir("randrace")
+    val rnd = new scala.util.Random(20260815)
+    var log = Vector.empty[(Long, Long, String)]
+    def writeGen(g: Int, mode: String): Unit = {
+      val rows = (0L until 40L).filter(_ => rnd.nextInt(10) < 4).map { k =>
+        val payload =
+          if (rnd.nextInt(100) < 15) VariantStore.Tombstone
+          else s"p$g-$k"
+        (k, g * 10L + rnd.nextInt(3), payload)
+      }
+      log ++= rows
+      rows.toDF("key", "ver", "payload")
+        .repartitionByRange(2, $"key").sortWithinPartitions("key")
+        .write.format("graft.sources.VariantStoreSink")
+        .option("path", dir).mode(mode).save()
+    }
+    def rawRows(): Seq[(Long, Long, String)] = {
+      val files = VariantStore.rangeFiles(dir, Long.MinValue, Long.MaxValue)
+      spark.read.schema(schema).parquet(files: _*)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSeq.sorted
+    }
+    def refAsOf(t: Long): Seq[(Long, Long, String)] =
+      log.filter(_._2 <= t).groupBy(_._1).values
+        .map(_.maxBy(r => (r._2, r._3)))
+        .filter(_._3 != VariantStore.Tombstone)
+        .toSeq.sortBy(r => (r._1, r._2, r._3))
+    def engineAsOf(t: Long): Seq[(Long, Long, String)] =
+      VariantStore.readAsOf(spark, dir, schema, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSeq.sortBy(r => (r._1, r._2, r._3))
+
+    writeGen(0, "overwrite")
+    var nextRaceGen = 100
+    for (g <- 1 until 8) {
+      writeGen(g, "append")
+      val race = rnd.nextInt(4)
+      val inject: () => Unit = race match {
+        case 0 => () => { writeGen(nextRaceGen, "append"); nextRaceGen += 1 }
+        case 1 => () => VariantStore.compactMinor(spark, dir, schema, keepGenerations = 2)
+        case 2 => () => VariantStore.compact(spark, dir, schema, numRanges = 2)
+        case _ => () => throw new RuntimeException("compactor crash")
+      }
+      // minor only when >2 generations exist — below that it early-returns
+      // WITHOUT opening the race window, and the crash interception
+      // below requires the inject to actually fire
+      val canMinor =
+        VariantStore.rangeFiles(dir, Long.MinValue, Long.MaxValue).size > 2
+      val maintenance: () => Unit =
+        if (rnd.nextBoolean() && canMinor)
+          () => VariantStore.compactMinorImpl(spark, dir, schema,
+            keepGenerations = 2, numRanges = 1, beforeSplice = inject)
+        else
+          () => VariantStore.compactImpl(spark, dir, schema,
+            numRanges = 2, horizon = Long.MinValue, beforeSplice = inject)
+      if (race == 3)
+        assert(intercept[RuntimeException](maintenance()).getMessage == "compactor crash")
+      else maintenance()
+      assert(rawRows() == log.sorted,
+        s"raw row multiset diverged after generation $g (race kind $race)")
+      for (t <- Seq(5L, g * 10L - 5L, g * 10L + 2L, Long.MaxValue))
+        assert(engineAsOf(t) == refAsOf(t),
+          s"as-of $t diverged after generation $g (race kind $race)")
+    }
+  }
+
   test("randomized per-cell lifecycle with a sample qualifier matches the reference") {
     // The sample-qualified variant of the lifecycle differential:
     // version stacks are per (key, sample) CELL — one sample's re-put or
