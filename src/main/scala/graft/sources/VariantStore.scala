@@ -358,7 +358,8 @@ object VariantStore {
     // (lock-blocked) driver commit publishes them.
     val keep = StoreManifest.withManifestLock(dir) {
       StoreManifest.readLines(dir).map(StoreManifest.parse(_).file).toSet
-    } + StoreManifest.FileName + (StoreManifest.FileName + ".lck")
+    } + StoreManifest.FileName + (StoreManifest.FileName + ".lck") +
+      StoreManifest.EpochHwmFile
     val cutoff = System.currentTimeMillis() - 3600000
     Option(dir.toFile.listFiles()).foreach(_
       .filterNot(f => keep(f.getName))
@@ -425,6 +426,13 @@ object VariantStore {
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
         StoreManifest.writeLines(destDir, kept.sorted)
+        // the epoch high-water mark rides along: a clone that later
+        // resumes streaming ingest keeps the replay-after-fold guard
+        val hwm = srcDir.resolve(StoreManifest.EpochHwmFile)
+        if (java.nio.file.Files.exists(hwm))
+          java.nio.file.Files.copy(hwm,
+            destDir.resolve(StoreManifest.EpochHwmFile),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         done = true
       } catch {
         case _: java.nio.file.NoSuchFileException if attempt < 3 =>

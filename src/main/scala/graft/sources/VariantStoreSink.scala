@@ -58,11 +58,11 @@ private[sources] class StoreTable(path: String, tschema: StructType)
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new StoreWriteBuilder(path, info.schema())
+    new StoreWriteBuilder(path, info.schema(), info.queryId())
 }
 
-private[sources] class StoreWriteBuilder(path: String, schema: StructType)
-    extends WriteBuilder with SupportsTruncate {
+private[sources] class StoreWriteBuilder(path: String, schema: StructType,
+    queryId: String) extends WriteBuilder with SupportsTruncate {
   private var truncating = false
   override def truncate(): WriteBuilder = { truncating = true; this }
   override def build(): Write = {
@@ -79,7 +79,8 @@ private[sources] class StoreWriteBuilder(path: String, schema: StructType)
         * of files appended to the manifest (bulk load replaces; puts
         * accumulate). Epoch re-commits are idempotent — the manifest
         * keeps one record set per epoch. */
-      override def toStreaming: StreamingWrite = new StoreStreamingWrite(path, schema)
+      override def toStreaming: StreamingWrite =
+        new StoreStreamingWrite(path, schema, queryId)
     }
   }
 }
@@ -186,6 +187,45 @@ private[sources] object StoreManifest {
     }
   }
 
+  /** Streaming epoch high-water mark sidecar (the Delta/Iceberg
+    * txn-appId+version analog, underscore-prefixed so directory parquet
+    * reads skip it): the writing QUERY's id plus the highest epoch it
+    * ever committed to this store. Needed because epoch idempotence by
+    * generation-name replacement alone breaks once COMPACTION folds an
+    * epoch's generation away — a replayed commit (driver died after the
+    * sink commit but before the streaming commit log recorded it) would
+    * find no `gen-<epoch>-` lines to replace and append its rows a
+    * second time. Scoped by queryId because a FRESH query (new
+    * checkpoint) restarts epoch numbering at 0 — an unscoped mark would
+    * silently drop its early epochs. One ACTIVE streaming writer per
+    * store (the single-compactor analog); a superseded query must be
+    * stopped before a new one starts. Read/written only under the
+    * manifest lock. */
+  val EpochHwmFile = "_EPOCH_HWM"
+
+  def readEpochHwm(dir: java.nio.file.Path): Option[(String, Long)] = {
+    val f = dir.resolve(EpochHwmFile)
+    if (!java.nio.file.Files.exists(f)) None
+    else scala.util.Try {
+      val Array(qid, e) =
+        new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.split("\\n", 2)
+      (qid, e.toLong)
+    }.toOption
+  }
+
+  def writeEpochHwm(dir: java.nio.file.Path, queryId: String, epoch: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempFile(dir, EpochHwmFile, ".tmp")
+    java.nio.file.Files.write(tmp, s"$queryId\n$epoch".getBytes("UTF-8"))
+    try java.nio.file.Files.move(tmp, dir.resolve(EpochHwmFile),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(tmp, dir.resolve(EpochHwmFile),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   def writeLines(dir: java.nio.file.Path, lines: Seq[String]): Unit = {
     val tmp = java.nio.file.Files.createTempFile(dir, FileName, ".tmp")
     java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
@@ -252,7 +292,8 @@ private[sources] class StoreBatchWrite(
     // grace protects in-flight concurrent writers — their files are
     // seconds old between task write and driver commit, while a
     // GC-paused writer's manifest temp lives milliseconds.
-    val keepMeta = keep + StoreManifest.FileName + (StoreManifest.FileName + ".lck")
+    val keepMeta = keep + StoreManifest.FileName +
+      (StoreManifest.FileName + ".lck") + StoreManifest.EpochHwmFile
     val old = dir.toFile.listFiles()
     if (old != null)
       old.filterNot(f => keepMeta(f.getName))
@@ -470,8 +511,8 @@ private[sources] final class SampleExtent {
   * driver-side epoch commit is idempotent — a retried epoch replaces
   * exactly its own generation's manifest records, so the store is
   * exactly-once downstream of Spark's epoch tracking. */
-private[sources] class StoreStreamingWrite(path: String, schema: StructType)
-    extends StreamingWrite {
+private[sources] class StoreStreamingWrite(path: String, schema: StructType,
+    queryId: String) extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
@@ -487,10 +528,30 @@ private[sources] class StoreStreamingWrite(path: String, schema: StructType)
     // Locked: this is a read-modify-write against manifests a batch
     // appender may be updating concurrently.
     StoreManifest.withManifestLock(dir) {
-      val existing = StoreManifest.readLines(dir)
-        .filterNot(l => StoreManifest.parse(l).file.startsWith(prefix))
-      val added = commits.map(StoreManifest.render)
-      StoreManifest.writeLines(dir, (existing ++ added).sorted)
+      val lines = StoreManifest.readLines(dir)
+      val hasOwn = lines.exists(l => StoreManifest.parse(l).file.startsWith(prefix))
+      def marked: Boolean = StoreManifest.readEpochHwm(dir)
+        .exists { case (qid, e) => qid == queryId && e >= epochId }
+      if (!hasOwn && marked) {
+        // Replay of an epoch whose generation COMPACTION already folded
+        // into a merge (driver died after this sink committed but before
+        // the streaming commit log recorded it, then a compactor ran):
+        // the rows are durable inside the merged generation — replacing
+        // by name finds nothing and appending would DUPLICATE them. The
+        // high-water mark is the durable witness; discard the replay's
+        // task files and leave the manifest untouched.
+        commits.foreach(m =>
+          java.nio.file.Files.deleteIfExists(dir.resolve(m.file)))
+      } else {
+        val existing = lines.filterNot(l => StoreManifest.parse(l).file.startsWith(prefix))
+        val added = commits.map(StoreManifest.render)
+        StoreManifest.writeLines(dir, (existing ++ added).sorted)
+        // manifest FIRST, then the mark: a crash in between replays as
+        // the lines-present case (replace, idempotent), never as a skip
+        // of rows the manifest doesn't carry. A DIFFERENT queryId (fresh
+        // query, epoch numbering restarted) simply takes over the mark.
+        if (!marked) StoreManifest.writeEpochHwm(dir, queryId, epochId)
+      }
     }
   }
 

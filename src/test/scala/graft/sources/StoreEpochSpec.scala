@@ -30,7 +30,7 @@ class StoreEpochSpec extends graft.SparkSpec {
 
   test("re-committed epoch replaces exactly its own generation") {
     val dir = java.nio.file.Files.createTempDirectory("graft_epoch").toString
-    val write = new StoreStreamingWrite(dir, schema)
+    val write = new StoreStreamingWrite(dir, schema, "test-query")
     // epoch 5 commits, epoch 6 commits on top
     val m5a = epochFiles(dir, 5L, Seq((1L, 5L, "a5"), (2L, 5L, "b5")))
     write.commit(5L, Array(m5a))
@@ -53,5 +53,96 @@ class StoreEpochSpec extends graft.SparkSpec {
     val back = VariantStore.readAsOf(spark, dir, "key LONG, ver LONG, payload STRING", 6L)
       .collect().map(r => (r.getLong(0), r.getString(2))).toMap
     assert(back == Map(1L -> "a6", 2L -> "b5"), s"wrong resolved state: $back")
+  }
+
+  private val ddl = "key LONG, ver LONG, payload STRING"
+
+  private def rawRows(dir: String): Seq[(Long, Long, String)] = {
+    val files = StoreManifest.readLines(java.nio.file.Paths.get(dir))
+      .map(l => s"$dir/${StoreManifest.parse(l).file}")
+    spark.read.schema(ddl).parquet(files: _*)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq.sorted
+  }
+
+  test("epoch replay after compaction folded its generation does not duplicate rows") {
+    // The exactly-once hole name-replacement alone leaves open: the sink
+    // commits epoch 6, the driver dies BEFORE the streaming commit log
+    // records it, a compactor folds gen-6 into a merge, the restarted
+    // query replays epoch 6 — no `gen-000000006-` manifest line exists
+    // to replace, so a naive commit appends the rows a SECOND time. The
+    // epoch high-water mark is the durable witness that must turn the
+    // replay into a no-op (and reap the replay's task files).
+    val dir = java.nio.file.Files.createTempDirectory("graft_epoch_fold").toString
+    val write = new StoreStreamingWrite(dir, schema, "test-query")
+    write.commit(5L, Array(epochFiles(dir, 5L, Seq((1L, 5L, "a5"), (2L, 5L, "b5")))))
+    write.commit(6L, Array(epochFiles(dir, 6L, Seq((1L, 6L, "a6"), (3L, 6L, "c6")))))
+    val before = rawRows(dir)
+    VariantStore.compact(spark, dir, ddl, numRanges = 1) // folds gen-5 + gen-6
+    assert(manifestFiles(dir).size == 1)
+    assert(rawRows(dir) == before, "compaction must preserve every version")
+
+    write.commit(6L, Array(epochFiles(dir, 6L, Seq((1L, 6L, "a6"), (3L, 6L, "c6")))))
+    assert(rawRows(dir) == before,
+      "replayed epoch after fold duplicated its rows")
+    assert(manifestFiles(dir).size == 1, "replay must not add a manifest line")
+    // the replay's task files were reaped, not left as orphans
+    import scala.jdk.CollectionConverters._
+    val orphans = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet --
+      manifestFiles(dir).toSet
+    assert(orphans.isEmpty, s"replay left orphan task files: $orphans")
+
+    // a genuinely NEW epoch still commits normally on the compacted store
+    write.commit(7L, Array(epochFiles(dir, 7L, Seq((4L, 7L, "d7")))))
+    assert(rawRows(dir) == (before :+ ((4L, 7L, "d7"))).sorted)
+    // and replay-before-durable-ack still REPLACES in place (lines present)
+    write.commit(7L, Array(epochFiles(dir, 7L, Seq((4L, 7L, "d7")))))
+    assert(rawRows(dir) == (before :+ ((4L, 7L, "d7"))).sorted,
+      "in-place epoch re-commit must stay idempotent")
+  }
+
+  test("a fresh query's restarted epoch numbering is never skipped by an old mark") {
+    // Epoch ids restart at 0 for a new query (fresh checkpoint), so the
+    // high-water mark is scoped by queryId (the Delta txn-appId model):
+    // an UNscoped mark left by the previous query would silently drop
+    // the new query's early epochs — data loss, the exact inverse of
+    // the duplication the mark exists to prevent.
+    val dir = java.nio.file.Files.createTempDirectory("graft_epoch_fresh").toString
+    val q1 = new StoreStreamingWrite(dir, schema, "query-1")
+    q1.commit(5L, Array(epochFiles(dir, 5L, Seq((1L, 5L, "a5")))))
+    VariantStore.compact(spark, dir, ddl, numRanges = 1) // mark: (query-1, 5)
+    val before = rawRows(dir)
+
+    // query-1 stopped; a new query takes over with epoch numbering at 0
+    val q2 = new StoreStreamingWrite(dir, schema, "query-2")
+    q2.commit(0L, Array(epochFiles(dir, 0L, Seq((2L, 10L, "q2-e0")))))
+    assert(rawRows(dir) == (before :+ ((2L, 10L, "q2-e0"))).sorted,
+      "fresh query's epoch 0 was skipped by the previous query's mark")
+    // and the new query's OWN replay-after-fold guard is armed
+    VariantStore.compact(spark, dir, ddl, numRanges = 1)
+    val folded = rawRows(dir)
+    q2.commit(0L, Array(epochFiles(dir, 0L, Seq((2L, 10L, "q2-e0")))))
+    assert(rawRows(dir) == folded,
+      "query-2's replayed epoch duplicated rows after fold")
+  }
+
+  test("an epoch commit landing inside a compaction splice window survives") {
+    // The streaming twin of the batch append-in-window spec: the splice
+    // drops only the fold set's manifest lines, so an epoch committed
+    // between staging and splice keeps its line and rows.
+    val dir = java.nio.file.Files.createTempDirectory("graft_epoch_splice").toString
+    val write = new StoreStreamingWrite(dir, schema, "test-query")
+    write.commit(1L, Array(epochFiles(dir, 1L, Seq((1L, 1L, "a1"), (2L, 1L, "b1")))))
+    write.commit(2L, Array(epochFiles(dir, 2L, Seq((3L, 2L, "c2")))))
+    val before = rawRows(dir)
+    VariantStore.compactImpl(spark, dir, ddl, numRanges = 1,
+      horizon = Long.MinValue,
+      beforeSplice = () =>
+        write.commit(3L, Array(epochFiles(dir, 3L, Seq((9L, 3L, "z3"))))))
+    assert(rawRows(dir) == (before :+ ((9L, 3L, "z3"))).sorted,
+      "epoch committed in the splice window lost rows")
+    assert(manifestFiles(dir).size == 2,
+      "expected the merged generation plus the in-window epoch")
   }
 }
