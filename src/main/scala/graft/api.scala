@@ -113,16 +113,34 @@ object api {
     if (!ready) {
       val tmp = java.nio.file.Files.createTempDirectory("graft_build_once_")
       build(tmp.toString)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
       try java.nio.file.Files.move(tmp, dir.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case e: java.nio.file.FileSystemException =>
-          // lost the build race (target exists) — keep the winner's
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        case e: java.nio.file.FileSystemException if !ready =>
+          // target exists but is NOT ready: a stale partial directory
+          // from a crashed pre-atomic writer, which would otherwise make
+          // every future call fail forever. Retire it ATOMICALLY (a
+          // rename only one contender wins — never an rm, which could
+          // tear down a racer's just-published tree) and retry once.
+          val grave = dir.toPath.resolveSibling(
+            s"${dir.getName}.stale-${System.nanoTime()}")
+          try {
+            java.nio.file.Files.move(dir.toPath, grave,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            java.nio.file.Files.move(tmp, dir.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            rm(grave.toFile)
+          } catch {
+            case _: java.nio.file.FileSystemException =>
+              rm(tmp.toFile)
+              if (!ready) throw e
           }
+        case _: java.nio.file.FileSystemException =>
+          // lost the build race (target is ready) — keep the winner's
           rm(tmp.toFile)
-          if (!ready) throw e
       }
     }
     dirPath

@@ -70,6 +70,33 @@ class FixtureSpec extends SparkSpec {
     assert(leftovers.isEmpty, s"abandoned temp builds left behind: $leftovers")
   }
 
+  test("buildOnce self-heals a stale partial directory from a crashed writer") {
+    // A pre-atomic (or killed) writer can leave the target existing
+    // WITHOUT its marker; buildOnce must retire it atomically and
+    // publish a fresh build rather than failing forever.
+    val target = java.nio.file.Files.createTempDirectory("graft_bo_stale_")
+      .resolve("fixture")
+    java.nio.file.Files.createDirectories(target)
+    java.nio.file.Files.write(target.resolve("half-written.bin"), Array[Byte](9))
+    // no _SUCCESS marker → stale
+    graft.api.buildOnce(target.toString, marker = Some("_SUCCESS")) { tmp =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "payload.txt"), "good".getBytes("UTF-8"))
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, "_SUCCESS"))
+      ()
+    }
+    assert(java.nio.file.Files.exists(target.resolve("_SUCCESS")))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      target.resolve("payload.txt")), "UTF-8") == "good")
+    assert(!java.nio.file.Files.exists(target.resolve("half-written.bin")),
+      "stale partial contents leaked into the healed directory")
+    // the retired stale tree is gone, not parked forever
+    import scala.jdk.CollectionConverters.IteratorHasAsScala
+    val parked = java.nio.file.Files.list(target.getParent).iterator().asScala
+      .map(_.getFileName.toString).filter(_.contains(".stale-")).toSeq
+    assert(parked.isEmpty, s"stale graveyard left behind: $parked")
+  }
+
   /** expected (column, type) contract per table, post-`api.tbl`. */
   private val expected: Map[String, Seq[(String, DataType)]] = Map(
     "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
