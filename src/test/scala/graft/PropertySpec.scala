@@ -116,4 +116,34 @@ object PropertySpec extends Properties("graft") {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       got == ((n.toLong, want))
     }
+
+  private val genVec: Gen[Seq[Option[Float]]] = for {
+    n <- Gen.choose(0, 12)
+    v <- Gen.listOfN(n, Gen.frequency(
+      9 -> Gen.choose(-100, 100).map(i => Some(i / 7.0f)),
+      1 -> Gen.const(Option.empty[Float])))
+  } yield v
+
+  property("graft_dot codegen == interpreted == driver fold, nulls included") =
+    forAll(genVec, genVec) { (a, b) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      spark.sparkContext.setLogLevel("ERROR")
+      val df = Seq((a, b)).toDF("a", "b")
+      // reference: shorter-prefix fold, null elements contribute nothing
+      val want = a.zip(b).collect {
+        case (Some(x), Some(y)) => x.toDouble * y.toDouble
+      }.foldLeft(0.0)(_ + _)
+      val cg = df.select(
+        graft.functions.VectorExpressions.dotp(col("a"), col("b"))).as[Double].head()
+      val interp =
+        try {
+          spark.conf.set("spark.sql.codegen.wholeStage", "false")
+          df.select(graft.functions.VectorExpressions.dotp(col("a"), col("b")))
+            .as[Double].head()
+        } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      // bit-equality across all three: the determinism claim every
+      // similarity oracle rests on
+      cg == want && interp == want
+    }
 }
