@@ -36,7 +36,7 @@ object Bench {
     // under measurement.
     for (w <- Seq("q_agg_count_by_key", "q_text_stats", "q_similarity_topk",
         "q_ann_ivf", "q_dedup_cluster", "q_bucketed_join", "q_minmax_by",
-        "q_combine_incremental"))
+        "q_combine_incremental", "q_partition_prune"))
       try SparkEntry.queries(w)(spark, sfDir).count() catch {
         case e: Throwable => System.err.println(s"WARMUP FAILED $w: $e")
       }
