@@ -616,4 +616,59 @@ class GvcfSpec extends SparkSpec {
       .toSeq.sorted
     assert(gotBand == refBand, s"\ngot  $gotBand\nwant $refBand")
   }
+
+  test("reference loop: cohort bulk-load, sample-add generation, compaction, versioned combine") {
+    // The reference's actual usage story composed over the PERSISTED
+    // store, not in-memory frames: bulk-load a 3-sample cohort as
+    // generation 1, add sample s3 as an appended generation (the
+    // incremental-sample path the store exists for), run maintenance
+    // (minor compaction folding everything), and prove on the STORED
+    // cohort that (a) readAsOf(1) reconstructs the pre-add combine
+    // exactly — sample-add is a VERSIONED event, time travel works at
+    // cohort level; (b) the live combine equals the in-memory combine
+    // of cohort + delta; (c) gVCF export from the stored cohort is
+    // line-identical to export from the in-memory one. Alleles ride as
+    // a joined string (the sink is scalar-typed) and reconstruct by
+    // split — the round trip is part of what is proven.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_refloop").toString
+    val ddl = "key LONG, ver LONG, sample STRING, contig STRING, vstart LONG, " +
+      "vend LONG, kind STRING, alleles STRING, gq INT, gt STRING"
+    def toStore(df: DataFrame, ver: Long, mode: String): Unit =
+      df.select(col("start").as("key"), lit(ver).as("ver"), col("sample"),
+          col("contig"), col("start").as("vstart"), col("end").as("vend"),
+          col("kind"), array_join(col("alleles"), ",").as("alleles"),
+          col("gq"), col("gt"))
+        .repartitionByRange(2, col("key")).sortWithinPartitions("key")
+        .write.format("graft.sources.VariantStoreSink")
+        .option("path", dir).mode(mode).save()
+    val cohort = Gvcf.syntheticVariants(spark, 300)
+    val delta = Gvcf.deltaSample(spark, 300)
+    toStore(cohort, 1L, "overwrite")
+    toStore(delta, 2L, "append")
+    graft.sources.VariantStore.compactMinor(spark, dir, ddl, keepGenerations = 1)
+    assert(graft.sources.VariantStore
+      .rangeFiles(dir, Long.MinValue, Long.MaxValue).size == 1,
+      "maintenance should fold both generations")
+    def storedAsOf(t: Long): DataFrame = graft.sources.VariantStore
+      .readAsOf(spark, dir, ddl, t)
+      .select(col("sample"), col("contig"), col("vstart").as("start"),
+        col("vend").as("end"), col("kind"),
+        split(col("alleles"), ",").as("alleles"), col("gq"), col("gt"))
+    def combined(df: DataFrame): Seq[String] =
+      Gvcf.combineSites(df)
+        .withColumn("calls", array_join(col("calls"), ";"))
+        .collect().map(_.toString).toSeq
+    assert(combined(storedAsOf(1L)) == combined(cohort),
+      "as-of-1 stored combine diverged from the pre-add cohort")
+    assert(combined(storedAsOf(Long.MaxValue)) ==
+      combined(cohort.unionByName(delta)),
+      "live stored combine diverged from the in-memory cohort + delta")
+    def exported(df: DataFrame): Seq[String] =
+      Gvcf.exportLines(df).orderBy("contig", "pos")
+        .select("line").as[String].collect().toSeq
+    assert(exported(storedAsOf(Long.MaxValue)) ==
+      exported(cohort.unionByName(delta)),
+      "gVCF export from the stored cohort is not line-identical")
+  }
 }
