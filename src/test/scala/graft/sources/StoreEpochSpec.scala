@@ -127,6 +127,28 @@ class StoreEpochSpec extends graft.SparkSpec {
       "query-2's replayed epoch duplicated rows after fold")
   }
 
+  test("crash between manifest write and mark write replays as the replace case") {
+    // The commit orders manifest FIRST, then the high-water mark — so
+    // the only crash-reachable inconsistent state is lines-present +
+    // stale mark. Construct that state directly: epoch 6's lines are in
+    // the manifest but the mark still says 5. The replay must take the
+    // replace path (no duplication, no skip) and repair the mark.
+    val dir = java.nio.file.Files.createTempDirectory("graft_epoch_crash").toString
+    val write = new StoreStreamingWrite(dir, schema, "test-query")
+    write.commit(5L, Array(epochFiles(dir, 5L, Seq((1L, 5L, "a5")))))
+    write.commit(6L, Array(epochFiles(dir, 6L, Seq((2L, 6L, "b6")))))
+    // regress the mark to what a crash mid-epoch-6-commit leaves behind
+    StoreManifest.writeEpochHwm(java.nio.file.Paths.get(dir), "test-query", 5L)
+    val before = rawRows(dir)
+    write.commit(6L, Array(epochFiles(dir, 6L, Seq((2L, 6L, "b6")))))
+    assert(rawRows(dir) == before,
+      "replay over a stale mark duplicated or dropped rows")
+    assert(manifestFiles(dir).count(_.startsWith("gen-000000006-")) == 1,
+      "replay must hold exactly one gen-6 record set")
+    assert(StoreManifest.readEpochHwm(java.nio.file.Paths.get(dir))
+      .contains(("test-query", 6L)), "replay did not repair the mark")
+  }
+
   test("an epoch commit landing inside a compaction splice window survives") {
     // The streaming twin of the batch append-in-window spec: the splice
     // drops only the fold set's manifest lines, so an epoch committed
