@@ -671,6 +671,54 @@ class StreamingSpec extends SparkSpec {
       s"store content differs from the no-crash run: $live")
   }
 
+  test("restart replay of an epoch compaction folded away does not re-append it") {
+    // The end-to-end proof that the epoch high-water mark survives a
+    // REAL restart: Spark hands the sink LogicalWriteInfo.queryId — the
+    // STABLE query id persisted in the checkpoint's metadata file, not
+    // the per-start runId — so the mark written by run 1 must still
+    // match in run 2. Sequence: epoch 0 commits, crash before the
+    // commit-log marker, a compactor folds gen-0 into a merge, the
+    // restarted query replays epoch 0 against a manifest with no gen-0
+    // lines. Only the mark can stop the re-append.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_restart_fold").toString
+    val input = MemoryStream[(Long, String)]
+    def start() = input.toDF().toDF("key", "payload")
+      .writeStream.format("graft.sources.VariantStoreSink")
+      .option("path", s"$dir/store").option("checkpointLocation", s"$dir/chk")
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData((10L, "a"), (20L, "b"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // crash window: sink committed, commit-log marker never written
+    assert(new java.io.File(s"$dir/chk/commits/0").delete())
+    new java.io.File(s"$dir/chk/commits/.0.crc").delete()
+    // maintenance runs while the query is down: gen-0 folds into a merge
+    graft.sources.VariantStore.compact(spark, s"$dir/store",
+      "key LONG, payload STRING", numRanges = 1)
+    val manifest0 = scala.io.Source.fromFile(s"$dir/store/_MANIFEST")
+      .getLines().toSeq
+    assert(!manifest0.exists(_.startsWith("gen-")), s"fold did not run: $manifest0")
+
+    val q2 = start()
+    try {
+      input.addData((30L, "c"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val lines = scala.io.Source.fromFile(s"$dir/store/_MANIFEST").getLines().toSeq
+    assert(lines.map(_.split(",")(1).toLong).sum == 3L,
+      s"replayed epoch re-appended rows the merge already holds:\n$lines")
+    val live = graft.sources.VariantStore
+      .readRange(spark, s"$dir/store", "key LONG, payload STRING",
+        Long.MinValue, Long.MaxValue)
+      .as[(Long, String)].collect().toMap
+    assert(live == Map(10L -> "a", 20L -> "b", 30L -> "c"),
+      s"store content differs from the no-crash run: $live")
+  }
+
   test("streamingCombine state + store survive a checkpoint restart with epoch replay") {
     // The stateful half of restart recovery: flatMapGroupsWithState
     // reloads the pre-crash state-store version when the checkpoint
