@@ -1,0 +1,133 @@
+package graft
+
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Evidence tool: measure the SHUFFLE ECONOMY of the heavy queries — per
+  * query, bytes exchanged through shuffles, bytes spilled, tasks run —
+  * so the 100 TB scale claims ("dedup shuffles fixed-width signatures,
+  * never the corpus"; "the probe side broadcasts, the corpus never
+  * moves"; "candidate generation is bucketed, never all-pairs") are
+  * backed by measured numbers, not plan reading alone.
+  *
+  * `sbt "runMain graft.ShuffleAudit /root/testdata/sf0.1 [q_name ...]"`
+  *
+  * The decisive signal is CROSS-SCALE GROWTH, not a single absolute
+  * number: run this at sf0.01 and sf0.1 and compare SHUFFLE_AUDIT.json
+  * pairs. On the 10× data step a linear plan shuffles ~10× the bytes, a
+  * broadcast-probe plan stays ~flat, and an accidental all-pairs plan
+  * would show ~100× — the blowup this tool exists to catch. Absolute
+  * per-row shuffle bytes are the row-width constant (signature/digest
+  * size), independent of document length by construction.
+  *
+  * Each query runs once un-timed (warm codegen + build-once fixtures)
+  * and once measured. Task metrics are summed by a listener; the
+  * listener bus is async, so after each query the tool polls until the
+  * counters are stable before snapshotting. Output: one JSON line per
+  * query on stdout and the full map in SHUFFLE_AUDIT.json (snapshot it
+  * per sf before re-running — the file is overwritten).
+  */
+object ShuffleAudit {
+
+  /** The default audit set: every query whose 100 TB story depends on a
+    * shuffle-volume claim (dedup/similarity/decontamination corpus ops,
+    * the wide gVCF cohort, the salted-skew pair), plus q_sorted_write as
+    * the deliberate data-bound contrast (its shuffle IS the operator). */
+  private val DefaultSet = Seq(
+    "q_dedup_exact", "q_dedup_near", "q_dedup_ngram", "q_dedup_simhash",
+    "q_corpus_clean", "q_dedup_embed", "q_decontaminate",
+    "q_similarity_topk", "q_ann_ivf", "q_knn_classify",
+    "q_feature_hash", "q_inverted_index", "q_token_entropy",
+    "q_combine_wide", "q_genotype_wide",
+    "q_join_salted", "q_agg_salted", "q_tpch_q21",
+    "q_sorted_write")
+
+  private final class TaskMetricsListener extends SparkListener {
+    val input = new LongAdder
+    val shuffleWrite = new LongAdder
+    val shuffleRead = new LongAdder
+    val spill = new LongAdder
+    val tasks = new LongAdder
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        input.add(m.inputMetrics.bytesRead)
+        shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
+        shuffleRead.add(m.shuffleReadMetrics.totalBytesRead)
+        spill.add(m.memoryBytesSpilled + m.diskBytesSpilled)
+        tasks.increment()
+      }
+    }
+    def snapshot: Seq[Long] =
+      Seq(input.sum, shuffleWrite.sum, shuffleRead.sum, spill.sum, tasks.sum)
+    /** Poll until no event has landed for two consecutive 100 ms windows
+      * (the listener bus delivers asynchronously; a fixed sleep either
+      * wastes time or under-counts on a loaded host). */
+    def settle(): Seq[Long] = {
+      var prev = snapshot
+      var stable = 0
+      while (stable < 2) {
+        Thread.sleep(100)
+        val cur = snapshot
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      prev
+    }
+  }
+
+  private def f3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  private def mb(bytes: Long): String = f3(bytes / 1e6)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq else DefaultSet
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+
+    val lines = names.flatMap { name =>
+      SparkEntry.queries.get(name) match {
+        case None =>
+          System.err.println(s"UNKNOWN QUERY $name"); None
+        case Some(q) =>
+          // Warm pass: codegen, parquet footers, build-once fixtures —
+          // the measured pass must see only the steady-state work.
+          try q(spark, sfDir).count() catch {
+            case e: Throwable =>
+              System.err.println(s"WARM PASS FAILED $name: $e")
+          }
+          val before = listener.settle()
+          val t0 = System.nanoTime()
+          val rows =
+            try q(spark, sfDir).count() catch {
+              case e: Throwable =>
+                System.err.println(s"MEASURED PASS FAILED $name: $e"); -1L
+            }
+          val sec = (System.nanoTime() - t0) / 1e9
+          val after = listener.settle()
+          val Seq(in, sw, sr, sp, nt) =
+            after.zip(before).map { case (a, b) => a - b }
+          val line =
+            s"""{"query":"$name","sec":${f3(sec)},"rows":$rows,""" +
+              s""""input_mb":${mb(in)},"shuffle_write_mb":${mb(sw)},""" +
+              s""""shuffle_read_mb":${mb(sr)},"spill_mb":${mb(sp)},""" +
+              s""""tasks":$nt}"""
+          println(line)
+          Some(line)
+      }
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get("SHUFFLE_AUDIT.json"),
+      ("{\"sf\":\"" + sfDir + "\",\"queries\":[\n" +
+        lines.mkString(",\n") + "\n]}\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}
