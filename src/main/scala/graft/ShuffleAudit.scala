@@ -13,6 +13,9 @@ import org.apache.spark.sql.SparkSession
   * backed by measured numbers, not plan reading alone.
   *
   * `sbt "runMain graft.ShuffleAudit /root/testdata/sf0.1 [q_name ...]"`
+  * `sbt "runMain graft.ShuffleAudit dup10 <srcSfDir> <destDir>"` first
+  * synthesizes the duplication-decade corpus at destDir (see
+  * [[buildDup10]]) and audits the corpus-operator subset over it.
   *
   * The decisive signal is CROSS-SCALE GROWTH, not a single absolute
   * number: run this at sf0.01 and sf0.1 and compare SHUFFLE_AUDIT.json
@@ -43,6 +46,15 @@ object ShuffleAudit {
     "q_combine_wide", "q_genotype_wide",
     "q_join_salted", "q_agg_salted", "q_tpch_q21",
     "q_sorted_write")
+
+  /** The corpus-operator subset for the duplication-decade run (`dup10`
+    * mode): only queries whose input is documents/embeddings — the two
+    * tables the mode actually scales. */
+  private val DupSet = Seq(
+    "q_dedup_exact", "q_dedup_near", "q_dedup_ngram", "q_dedup_simhash",
+    "q_dedup_embed", "q_decontaminate", "q_similarity_topk", "q_ann_ivf",
+    "q_knn_classify", "q_feature_hash", "q_inverted_index",
+    "q_token_entropy")
 
   private final class TaskMetricsListener extends SparkListener {
     val input = new LongAdder
@@ -81,9 +93,49 @@ object ShuffleAudit {
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
   private def mb(bytes: Long): String = f3(bytes / 1e6)
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = if (args.length > 1) args.drop(1).toSeq else DefaultSet
+  /** `dup10 <srcSfDir> <destDir>`: synthesize the DUPLICATION-decade
+    * corpus — documents and embeddings replicated 10× with offset ids,
+    * each text copy carrying one extra per-copy token so the copies are
+    * NEAR duplicates (full shingle overlap, not byte-equal); every
+    * other table symlinked unchanged. This is deliberately the
+    * adversarial axis for near-dedup: corpus ×10 AND every document
+    * gains 9 near-copies, so candidate-pair volume must grow
+    * quadratically in cluster size — the audit then measures how the
+    * bucketed pipeline absorbs it (SCALE.md r15c). */
+  private def buildDup10(spark: SparkSession, src: String, dest: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val destDir = new java.io.File(dest)
+    destDir.mkdirs()
+    val tables = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+    for (t <- tables) {
+      val out = new java.io.File(destDir, t)
+      if (t == "documents.parquet" || t == "embeddings.parquet") {
+        val base = spark.read.parquet(s"$src/$t")
+        val idCol = if (t.startsWith("documents")) "doc_id" else "vec_id"
+        val copies = (0 until 10).map { k =>
+          val c = base.withColumn(idCol, col(idCol) + lit(k * 1000000L))
+          if (t.startsWith("documents") && k > 0)
+            c.withColumn("text", concat(col("text"), lit(s" copytok$k")))
+          else c
+        }
+        copies.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(out.toString)
+      } else if (!out.exists()) {
+        java.nio.file.Files.createSymbolicLink(
+          out.toPath, java.nio.file.Paths.get(s"$src/$t"))
+      }
+    }
+  }
+
+  def main(args0: Array[String]): Unit = {
+    val args = args0.toSeq
+    val sfDir =
+      if (args.headOption.contains("dup10")) args(2)
+      else args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names =
+      if (args.headOption.contains("dup10")) DupSet
+      else if (args.length > 1) args.drop(1) else DefaultSet
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -91,6 +143,7 @@ object ShuffleAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("dup10")) buildDup10(spark, args(1), args(2))
     val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
 
