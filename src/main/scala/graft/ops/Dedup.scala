@@ -525,28 +525,38 @@ object Dedup {
 
   /** Near-dup candidate edges: same (lang, source) block AND at least one
     * shared distinct word-3-gram — the q_dedup_ngram pair condition
-    * relaxed to candidate level, but generated via an INVERTED-INDEX
-    * equi-join on the shingle itself rather than blocked all-pairs +
-    * array_intersect: pair work is sum(df²) over shingle doc-frequencies
-    * (df ≤ 5 in this corpus) instead of |block|² intersections. Both
-    * sides of the self-join are the same exchange (reused). */
+    * relaxed to candidate level. Both consumers feed
+    * [[connectedComponents]], which needs CONNECTIVITY, not pairs — so
+    * each inverted-index posting group emits a SPANNING STAR (every
+    * member → the group's min doc_id, df−1 edges) instead of the clique
+    * (C(df,2) pairs): within a group both edge sets connect exactly the
+    * same member set, so the transitive closure over the union of
+    * groups — the components — is identical, while edge volume drops
+    * from sum(df²) to sum(df). The difference is decisive exactly where
+    * near-dedup earns its keep: on a duplication-dense corpus (SCALE.md
+    * r15c duplication decade) df scales with the copy count and the
+    * clique form's 16.6 s label build collapses to the linear star
+    * form. Min-star edges also cut component diameter: the group min is
+    * directly adjacent to every member, so label propagation converges
+    * in fewer rounds. */
   private[ops] def candidateEdges(docs: DataFrame): DataFrame = {
-    // join on the 8-byte xxhash64 of the shingle, not the shingle string:
-    // narrower shuffle rows and cheaper key compares. A 64-bit collision
-    // could only ADD a spurious candidate pair, with probability
-    // ~(distinct shingles)²/2⁶⁵ — ≈1e-9 at sf0.1 and still <1e-3 per
-    // billion shingles, far below any practical concern for candidate
-    // generation (near-dup recall/precision tolerances dwarf it).
+    // group on the 8-byte xxhash64 of the shingle, not the shingle
+    // string: narrower shuffle rows and cheaper key compares. A 64-bit
+    // collision could only ADD a spurious candidate edge, with
+    // probability ~(distinct shingles)²/2⁶⁵ — ≈1e-9 at sf0.1 and still
+    // <1e-3 per billion shingles, far below any practical concern for
+    // candidate generation (near-dup recall/precision tolerances dwarf
+    // it).
     val postings = docs
       .select(col("doc_id"), col("lang"), col("source"), split(col("text"), " ").as("toks"))
       .repartition(col("doc_id")) // barrier: materialize toks before the shingle lambda
       .select(col("doc_id"), col("lang"), col("source"),
         explode(array_distinct(transform(shinglesOf(col("toks")), s => xxhash64(s)))).as("h"))
-    postings.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("h"))
-      .join(postings.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("h")),
-        Seq("lang", "source", "h"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    val mins = postings.groupBy("lang", "source", "h").agg(min("doc_id").as("m"))
+    postings
+      .join(mins, Seq("lang", "source", "h"))
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("m").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
   }
 
