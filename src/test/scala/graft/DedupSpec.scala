@@ -122,4 +122,72 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rep")).toMap
     assert(lab(1L) == 0L && (2L to 5L).forall(i => lab(i) == i))
   }
+
+  test("top-k pair ranking dedups multi-band collisions (planted all-band cluster)") {
+    // 30 near-identical docs — most pairs collide in MANY of the 16
+    // bands, the worst case for the zero-shuffle TakeOrdered(20·nBands)
+    // + dedup ranking (q_dedup_near): if the dedup-after-cut logic ever
+    // regressed, the top-20 would carry the same pair repeatedly. The
+    // expected answer is computed HERE by the naive reference —
+    // all-band candidate generation, distinct pairs, rank by
+    // (est desc, a, b) — and must match the query's output exactly
+    // (est = k/32 is an exact binary fraction, so doubles compare ==).
+    val baseToks = (1 to 40).map(i => s"tok$i")
+    val planted = (0 until 30).map { i =>
+      (i.toLong, baseToks.updated(i % 40, s"mut$i").mkString(" "), "en", "web", 0L)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_topk_").toString
+    planted.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    GraftExtensions.register(spark)
+    val out = SparkEntry.queries("q_dedup_near")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("est_jaccard"))).toSeq
+    assert(out.length == 20, s"expected 20 rows, got ${out.length}")
+    assert(out.map(t => (t._1, t._2)).distinct.length == 20,
+      "duplicate pair in the top-20")
+    // naive reference over the same signatures
+    val sigs = Dedup.minhashSignatures(
+        planted.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[Long]]("sig").toVector).toMap
+    val nBands = Dedup.NumPerms / Dedup.BandRows
+    def bandKeys(s: Vector[Long]): Set[(Int, String)] =
+      (0 until nBands).map(b =>
+        b -> s.slice(b * Dedup.BandRows, (b + 1) * Dedup.BandRows).mkString(":")).toSet
+    val ids = sigs.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      if bandKeys(sigs(a)).intersect(bandKeys(sigs(b))).nonEmpty
+    } yield {
+      val k = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }
+      (a, b, BigDecimal(k.toDouble / Dedup.NumPerms)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }).sortBy { case (a, b, est) => (-est, a, b) }.take(20)
+    assert(out == expected,
+      s"top-20 diverged from the naive reference:\n got $out\n exp $expected")
+  }
+
+  test("simhash top-20 carries no duplicate pairs on an all-chunk cluster") {
+    // Same worst case for q_dedup_simhash's TakeOrdered(20·4) + dedup:
+    // identical docs collide in all 4 chunks with hamming 0.
+    val planted = (0 until 30).map { i =>
+      (i.toLong, (1 to 40).map(j => s"tok$j").mkString(" "), "en", "web", 0L)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_simhash_topk_").toString
+    planted.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    GraftExtensions.register(spark)
+    val out = SparkEntry.queries("q_dedup_simhash")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming"))).toSeq
+    assert(out.length == 20 && out.map(t => (t._1, t._2)).distinct.length == 20,
+      s"expected 20 distinct pairs, got $out")
+    // identical docs ⇒ hamming 0, tie-broken by (doc_a, doc_b): the 20
+    // lexicographically first pairs of 30 identical docs
+    val exp = (for (a <- 0L until 30L; b <- a + 1 until 30L) yield (a, b, 0L))
+      .sortBy(t => (t._1, t._2)).take(20)
+    assert(out == exp, s"got $out")
+  }
 }
