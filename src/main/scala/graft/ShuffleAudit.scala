@@ -45,7 +45,13 @@ object ShuffleAudit {
     "q_feature_hash", "q_inverted_index", "q_token_entropy",
     "q_combine_wide", "q_genotype_wide",
     "q_join_salted", "q_agg_salted", "q_tpch_q21",
-    "q_sorted_write")
+    "q_sorted_write",
+    // breadth set: one representative per remaining shuffle-bearing
+    // family — windows/sessionization, iterative graph, sketches,
+    // retrieval scoring, clustering iterations
+    "q_sessionize", "q_window_sliding", "q_pagerank", "q_graph_reach",
+    "q_triangle_count", "q_bm25", "q_tfidf", "q_kmeans_iter",
+    "q_heavy_hitters", "q_quantile_sketch")
 
   /** The corpus-operator subset for the duplication-decade run (`dup10`
     * mode): only queries whose input is documents/embeddings — the two
