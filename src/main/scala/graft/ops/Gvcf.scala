@@ -303,7 +303,11 @@ object Gvcf {
     * position has TWO samples with different alts — the merge union is
     * exercised), else a reference block spanning [10j+1, 10j+10]. */
   def syntheticVariants(s: SparkSession, n: Long): DataFrame =
-    s.range(0, n).selectExpr(
+    // partitions sized to the data (rows/50k, clamped to the core
+    // count), not the session default: 32 near-empty tasks of
+    // per-row arithmetic otherwise dominate small-cohort queries'
+    // scheduling cost (deltaSample precedent, Gvcf.scala:536)
+    s.range(0, n, 1, sizedParts(n)).selectExpr(
       "concat('s', id % 3) AS sample",
       "concat('chr', 1 + (id div 3) % 2) AS contig",
       "(id div 3) * 10 + 1 AS start",
@@ -358,8 +362,13 @@ object Gvcf {
     * the ref (j % 4), keeping ≤3 distinct alts per site. */
   def syntheticVariantsWide(s: SparkSession, nSamples: Long,
       nPositions: Long = WidePositions): DataFrame =
-    s.range(0, nSamples).selectExpr("id AS k")
-      .crossJoin(s.range(0, nPositions).selectExpr("id AS j"))
+    // sample-axis partitions sized to the OUTPUT rows (samples ×
+    // positions); the fixed 120-position side rides along as a single
+    // slice — see syntheticVariants on why sizing beats the session
+    // default here
+    s.range(0, nSamples, 1, sizedParts(nSamples * nPositions))
+      .selectExpr("id AS k")
+      .crossJoin(s.range(0, nPositions, 1, 1).selectExpr("id AS j"))
       .selectExpr(
         "format_string('s%05d', k) AS sample",
         "concat('chr', 1 + j % 2) AS contig",
@@ -377,6 +386,12 @@ object Gvcf {
   /** Fixed position count for the wide cohort: the point is per-site
     * WIDTH, so positions don't scale. 120 positions → 60 sites/contig. */
   val WidePositions = 120L
+
+  /** Generator partition count sized to the produced rows: one slice
+    * per ~50k rows, clamped to [1, 32]. Values are partition-invariant
+    * (pure arithmetic on `id`), so this only moves scheduling cost. */
+  private def sizedParts(rows: Long): Int =
+    math.max(1L, math.min(32L, rows / 50000L + 1L)).toInt
 
   /** Wide-cohort sample count: |orders| / 50 = 30 / 300 / 3,000 samples
     * at sf0.001 / 0.01 / 0.1 — realistic cohort widths, vs the 3+1 the
