@@ -730,7 +730,7 @@ object Extras {
       |  GROUP BY n.id)
       |SELECT CAST(id AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_micro
       |FROM r2 ORDER BY rank_micro DESC, node LIMIT 10""".stripMargin) { (s, _) =>
-    val nodes = s.range(0, 1000).select(col("id"))
+    val nodes = s.range(0, 1000, 1, 1).select(col("id"))
     val edges = nodes.select(col("id").as("src"), ((col("id") * 2 + 1) % 1000).as("dst"))
       .union(nodes.select(col("id").as("src"), ((col("id") * 3 + 7) % 1000).as("dst")))
     def step(ranks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =

@@ -390,7 +390,7 @@ object Gvcf {
   /** Generator partition count sized to the produced rows: one slice
     * per ~50k rows, clamped to [1, 32]. Values are partition-invariant
     * (pure arithmetic on `id`), so this only moves scheduling cost. */
-  private def sizedParts(rows: Long): Int =
+  private[ops] def sizedParts(rows: Long): Int =
     math.max(1L, math.min(32L, rows / 50000L + 1L)).toInt
 
   /** Wide-cohort sample count: |orders| / 50 = 30 / 300 / 3,000 samples
@@ -1059,7 +1059,8 @@ object Gvcf {
       |  CAST(max(vend) AS BIGINT) AS "end", CAST(min(gq) AS BIGINT) AS gq
       |FROM grp GROUP BY sample, contig, grp_id
       |ORDER BY sample, contig, start""".stripMargin) { (s, d) =>
-    val blocks = s.range(0, cohortN(s, d)).selectExpr(
+    val blocks = s.range(0, cohortN(s, d), 1, sizedParts(cohortN(s, d)))
+      .selectExpr(
       "concat('s', id % 3) AS sample",
       "concat('chr', 1 + (id div 600)) AS contig",
       "((id div 3) % 200) * 10 + 1 AS start",
@@ -1166,7 +1167,8 @@ object Gvcf {
       |  CAST(band AS BIGINT) AS band, CAST(min(mgq) AS BIGINT) AS gq
       |FROM grp GROUP BY contig, grp_id, band
       |ORDER BY contig, start""".stripMargin) { (s, d) =>
-    val blocks = s.range(0, cohortN(s, d)).selectExpr(
+    val blocks = s.range(0, cohortN(s, d), 1, sizedParts(cohortN(s, d)))
+      .selectExpr(
       "concat('s', id % 3) AS sample",
       "concat('chr', 1 + (id div 600)) AS contig",
       "((id div 3) % 200) * 10 + 1 AS start",
@@ -1456,7 +1458,7 @@ object Gvcf {
       |  CAST(next_lo - 1 AS BIGINT) AS gap_end
       |FROM nxt WHERE next_lo IS NOT NULL AND next_lo > hi + 1
       |ORDER BY contig, gap_start""".stripMargin) { (s, d) =>
-    val v = s.range(0, cohortN(s, d))
+    val v = s.range(0, cohortN(s, d), 1, sizedParts(cohortN(s, d)))
       .filter(expr("(id div 3) % 3 <> 1"))
       .selectExpr(
         "concat('s', id % 3) AS sample",

@@ -131,7 +131,7 @@ object Vcf {
     * `GT:GQ` only, like a real gVCF. Pure integer/string arithmetic —
     * the oracle rebuilds the same lines character for character. */
   private[ops] def syntheticLines(s: SparkSession, n: Long): DataFrame =
-    s.range(0, n).selectExpr(
+    s.range(0, n, 1, Gvcf.sizedParts(n)).selectExpr(
       """concat(
         |  'chr', 1 + id % 2, '\t',
         |  (id div 2) * 10 + 1, '\t.\t',
