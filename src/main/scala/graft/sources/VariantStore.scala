@@ -283,16 +283,40 @@ object VariantStore {
     * compactor can win. Specs inject a competing (real) compaction here
     * to drive the abort branch deterministically; production callers go
     * through [[compactMinor]], whose hook is a no-op. */
+  /** Compaction fold-eligibility: a streaming generation may be folded
+    * only once its epoch is CONFIRMED by its query's high-water mark.
+    * The only way an unconfirmed generation exists is the crash window
+    * (manifest written, mark not): folding it would leave a later
+    * replay of that epoch with neither lines to replace nor a mark to
+    * stop an append — silent row duplication. At most ONE unconfirmed
+    * epoch per crashed query can exist, so the skipped volume is
+    * bounded, and it becomes fold-eligible the moment the query
+    * restarts and replays (the replace path repairs the mark). Batch
+    * generations and legacy (pre-query-scoped) stream names commit
+    * atomically with their manifest line — always eligible. */
+  private def foldEligible(hwms: Map[String, Long])(e: ManifestEntry): Boolean =
+    StoreManifest.streamEpochOf(e.file) match {
+      case Some((qtag, epoch)) =>
+        hwms.exists { case (qid, m) =>
+          StoreManifest.queryTag(qid) == qtag && m >= epoch }
+      case None => true
+    }
+
   private[graft] def compactMinorImpl(spark: SparkSession, path: String,
       schema: String, keepGenerations: Int, numRanges: Int,
       beforeSplice: () => Unit): Unit = {
     require(keepGenerations >= 1, s"keepGenerations must be >= 1: $keepGenerations")
-    // consistent manifest snapshot for fold-set selection
-    val entries = StoreManifest.withManifestLock(
-      java.nio.file.Paths.get(path)) { manifest(path) }
+    // consistent manifest + mark snapshot for fold-set selection
+    val dirPath = java.nio.file.Paths.get(path)
+    val (entries, hwms) = StoreManifest.withManifestLock(dirPath) {
+      (manifest(path), StoreManifest.readEpochHwms(dirPath))
+    }
     if (entries.size <= keepGenerations) return
-    val smallestFirst = entries.sortBy(e => (e.rows, e.file))
-    val fold = smallestFirst.take(entries.size - keepGenerations + 1)
+    val smallestFirst = entries.filter(foldEligible(hwms))
+      .sortBy(e => (e.rows, e.file))
+    val fold = smallestFirst.take(
+      math.min(smallestFirst.size, entries.size - keepGenerations + 1))
+    if (fold.size < 2) return // nothing worth merging among the eligible
     spliceCompacted(path, fold,
       spark.read.schema(schema).parquet(fold.map(e => s"$path/${e.file}"): _*),
       colNames(schema)(0), numRanges, beforeSplice)
@@ -347,24 +371,11 @@ object VariantStore {
     // temp-store leftovers (manifest, lock sidecar, dir) — best-effort
     Option(tmpDir.toFile.listFiles()).foreach(_.foreach(_.delete()))
     java.nio.file.Files.deleteIfExists(tmpDir)
-    // Aged orphan sweep (compaction is the store's maintenance pass, and
-    // since the splice rework the sink's truncate-commit sweep no longer
-    // runs against the REAL store dir): files no CURRENT manifest line
-    // references — crashed-writer tasks, a staged-but-never-spliced
-    // generation from a compactor that died in the race window — are
-    // reaped once aged past the same 1-hour grace the sink uses. The
-    // keep set is read under the lock; fresh files are protected because
-    // a concurrent writer's task files exist on disk before its
-    // (lock-blocked) driver commit publishes them.
-    val keep = StoreManifest.withManifestLock(dir) {
-      StoreManifest.readLines(dir).map(StoreManifest.parse(_).file).toSet
-    } + StoreManifest.FileName + (StoreManifest.FileName + ".lck") +
-      StoreManifest.EpochHwmFile
-    val cutoff = System.currentTimeMillis() - 3600000
-    Option(dir.toFile.listFiles()).foreach(_
-      .filterNot(f => keep(f.getName))
-      .filter(_.lastModified < cutoff)
-      .foreach(_.delete()))
+    // Aged orphan sweep — compaction is the store's maintenance pass
+    // (since the splice rework the sink's truncate-commit sweep no
+    // longer runs against the REAL store dir); the shared reap policy
+    // lives in [[StoreManifest.sweepAgedOrphans]].
+    StoreManifest.sweepAgedOrphans(dir)
   }
 
   /** Snapshot/clone — the HBase table-snapshot analog: copy the CURRENT
@@ -426,13 +437,20 @@ object VariantStore {
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
         StoreManifest.writeLines(destDir, kept.sorted)
-        // the epoch high-water mark rides along: a clone that later
-        // resumes streaming ingest keeps the replay-after-fold guard
-        val hwm = srcDir.resolve(StoreManifest.EpochHwmFile)
-        if (java.nio.file.Files.exists(hwm))
-          java.nio.file.Files.copy(hwm,
-            destDir.resolve(StoreManifest.EpochHwmFile),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // the epoch high-water mark rides along on FULL clones only: an
+        // asOf fork may exclude a marked epoch's generation, and a mark
+        // claiming an epoch the clone does not hold would turn that
+        // epoch's replay into a silent skip — permanent row loss on the
+        // clone. Omitting it degrades a stream resumed against the fork
+        // to at-least-once (the replay re-appends); duplication is
+        // recoverable, silent loss is not.
+        if (asOf == Long.MaxValue) {
+          val hwm = srcDir.resolve(StoreManifest.EpochHwmFile)
+          if (java.nio.file.Files.exists(hwm))
+            java.nio.file.Files.copy(hwm,
+              destDir.resolve(StoreManifest.EpochHwmFile),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
         done = true
       } catch {
         case _: java.nio.file.NoSuchFileException if attempt < 3 =>
@@ -463,10 +481,17 @@ object VariantStore {
       schema: String, numRanges: Int, horizon: Long,
       beforeSplice: () => Unit): Unit = {
     val cols = colNames(schema)
-    // consistent manifest snapshot for fold-set selection
-    val fold = StoreManifest.withManifestLock(
-      java.nio.file.Paths.get(path)) { manifest(path) }
-    require(fold.nonEmpty, s"nothing to compact: no manifest at $path")
+    // consistent manifest + mark snapshot for fold-set selection
+    val dirPath = java.nio.file.Paths.get(path)
+    val (all, hwms) = StoreManifest.withManifestLock(dirPath) {
+      (manifest(path), StoreManifest.readEpochHwms(dirPath))
+    }
+    require(all.nonEmpty, s"nothing to compact: no manifest at $path")
+    // unconfirmed crash-window epochs are excluded, same as minor
+    // compaction — they stay as their own generation until their query
+    // replays and confirms them (see [[foldEligible]])
+    val fold = all.filter(foldEligible(hwms))
+    if (fold.isEmpty) return
     val raw = spark.read.schema(schema)
       .parquet(fold.map(e => s"$path/${e.file}"): _*)
     val kept =

@@ -189,33 +189,51 @@ private[sources] object StoreManifest {
 
   /** Streaming epoch high-water mark sidecar (the Delta/Iceberg
     * txn-appId+version analog, underscore-prefixed so directory parquet
-    * reads skip it): the writing QUERY's id plus the highest epoch it
-    * ever committed to this store. Needed because epoch idempotence by
-    * generation-name replacement alone breaks once COMPACTION folds an
-    * epoch's generation away — a replayed commit (driver died after the
-    * sink commit but before the streaming commit log recorded it) would
-    * find no `gen-<epoch>-` lines to replace and append its rows a
-    * second time. Scoped by queryId because a FRESH query (new
+    * reads skip it): for EACH query that ever streamed into this store,
+    * the highest epoch it committed. Needed because epoch idempotence
+    * by generation-name replacement alone breaks once COMPACTION folds
+    * an epoch's generation away — a replayed commit (driver died after
+    * the sink commit but before the streaming commit log recorded it)
+    * would find no generation lines to replace and append its rows a
+    * second time. Scoped PER queryId because a FRESH query (new
     * checkpoint) restarts epoch numbering at 0 — an unscoped mark would
-    * silently drop its early epochs. One ACTIVE streaming writer per
-    * store (the single-compactor analog); a superseded query must be
-    * stopped before a new one starts. Read/written only under the
-    * manifest lock. */
+    * silently drop its early epochs — and entries are kept for retired
+    * queries (one line each) so their folded generations stay
+    * fold-eligible forever. One ACTIVE streaming writer per store (the
+    * single-compactor analog); a superseded query must be stopped
+    * before a new one starts. Read/written only under the manifest
+    * lock. Format: one `queryId|epoch` line per query (the legacy
+    * single-entry two-line `queryId\nepoch` form still parses). */
   val EpochHwmFile = "_EPOCH_HWM"
 
-  def readEpochHwm(dir: java.nio.file.Path): Option[(String, Long)] = {
+  def readEpochHwms(dir: java.nio.file.Path): Map[String, Long] = {
     val f = dir.resolve(EpochHwmFile)
-    if (!java.nio.file.Files.exists(f)) None
-    else scala.util.Try {
-      val Array(qid, e) =
-        new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.split("\\n", 2)
-      (qid, e.toLong)
-    }.toOption
+    if (!java.nio.file.Files.exists(f)) Map.empty
+    else {
+      val lines = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        .split("\n").map(_.trim).filter(_.nonEmpty)
+      if (lines.length == 2 && !lines(0).contains("|") &&
+          scala.util.Try(lines(1).toLong).isSuccess)
+        Map(lines(0) -> lines(1).toLong) // legacy single-entry format
+      else lines.flatMap { l =>
+        val i = l.lastIndexOf('|')
+        if (i <= 0) None
+        else scala.util.Try(l.substring(i + 1).toLong).toOption
+          .map(e => l.substring(0, i) -> e)
+      }.toMap
+    }
   }
 
+  /** Merge `queryId`'s mark to `max(existing, epoch)` — marks are
+    * monotone per query and other queries' entries are preserved. */
   def writeEpochHwm(dir: java.nio.file.Path, queryId: String, epoch: Long): Unit = {
+    val existing = readEpochHwms(dir)
+    val merged = existing +
+      (queryId -> math.max(existing.getOrElse(queryId, Long.MinValue), epoch))
     val tmp = java.nio.file.Files.createTempFile(dir, EpochHwmFile, ".tmp")
-    java.nio.file.Files.write(tmp, s"$queryId\n$epoch".getBytes("UTF-8"))
+    java.nio.file.Files.write(tmp,
+      merged.toSeq.sorted.map { case (q, e) => s"$q|$e" }
+        .mkString("\n").getBytes("UTF-8"))
     try java.nio.file.Files.move(tmp, dir.resolve(EpochHwmFile),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -224,6 +242,50 @@ private[sources] object StoreManifest {
         java.nio.file.Files.move(tmp, dir.resolve(EpochHwmFile),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
+  }
+
+  /** File-name-safe tag of a streaming query's id: streaming generation
+    * names embed it so epoch NUMBERING is scoped per query — a fresh
+    * query restarting at epoch 0 can never name-collide with (and
+    * silently replace) a previous query's epoch-0 generation. Spark
+    * queryIds are UUIDs, so the tag is normally the id verbatim. */
+  def queryTag(queryId: String): String = {
+    val t = Option(queryId).getOrElse("")
+      .filter(c => c.isLetterOrDigit || c == '-')
+    if (t.isEmpty) "q" else t
+  }
+
+  private val StreamGenName = "gen-(.+?)-([0-9]{9})-part-.*".r
+
+  /** `(queryTag, epoch)` of a query-scoped streaming generation file
+    * name; None for batch generations and legacy (pre-query-scoped)
+    * stream names — legacy `gen-<epoch9>-part-…` cannot match because
+    * the tag group requires at least one character before the epoch. */
+  def streamEpochOf(file: String): Option[(String, Long)] = file match {
+    case StreamGenName(qtag, ep) => Some((qtag, ep.toLong))
+    case _ => None
+  }
+
+  /** Aged-orphan sweep shared by the batch truncate commit and the
+    * compaction splice — the ONE definition of the reap policy: files no
+    * CURRENT manifest line references (crashed-writer tasks, a
+    * staged-but-never-spliced generation from a compactor that died in
+    * its race window) are deleted once aged past `graceMs`. The keep set
+    * is read under the manifest lock and always protects the metadata
+    * sidecars; `extraKeep` lets a caller shield files it just published.
+    * The grace protects in-flight concurrent writers — their task files
+    * exist on disk seconds before their (lock-blocked) driver commit
+    * publishes them. */
+  def sweepAgedOrphans(dir: java.nio.file.Path,
+      extraKeep: Set[String] = Set.empty, graceMs: Long = 3600000L): Unit = {
+    val keep = withManifestLock(dir) {
+      readLines(dir).map(parse(_).file).toSet
+    } ++ extraKeep + FileName + (FileName + ".lck") + EpochHwmFile
+    val cutoff = System.currentTimeMillis() - graceMs
+    Option(dir.toFile.listFiles()).foreach(_
+      .filterNot(f => keep(f.getName))
+      .filter(_.lastModified < cutoff)
+      .foreach(_.delete()))
   }
 
   def writeLines(dir: java.nio.file.Path, lines: Seq[String]): Unit = {
@@ -288,17 +350,11 @@ private[sources] class StoreBatchWrite(
     }
     // Aged orphan sweep, OUTSIDE the lock: crashed-application leftovers
     // (task files no manifest ever referenced, `_MANIFEST*.tmp` from a
-    // crash between createTempFile and the atomic move). The 1-hour
-    // grace protects in-flight concurrent writers — their files are
-    // seconds old between task write and driver commit, while a
-    // GC-paused writer's manifest temp lives milliseconds.
-    val keepMeta = keep + StoreManifest.FileName +
-      (StoreManifest.FileName + ".lck") + StoreManifest.EpochHwmFile
-    val old = dir.toFile.listFiles()
-    if (old != null)
-      old.filterNot(f => keepMeta(f.getName))
-        .filter(f => f.lastModified < t0 - 3600000)
-        .foreach(_.delete())
+    // crash between createTempFile and the atomic move). Shared reap
+    // policy with the compaction splice — see
+    // [[StoreManifest.sweepAgedOrphans]].
+    StoreManifest.sweepAgedOrphans(dir, extraKeep = keep,
+      graceMs = 3600000L + (System.currentTimeMillis() - t0))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -516,13 +572,17 @@ private[sources] class StoreStreamingWrite(path: String, schema: StructType,
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    StoreMemstoreFactory(path, schema)
+    StoreMemstoreFactory(path, schema, StoreManifest.queryTag(queryId))
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
     java.nio.file.Files.createDirectories(dir)
     val commits = messages.collect { case m: StoreCommit if m.rows > 0 => m }
-    val prefix = f"gen-$epochId%09d-"
+    // generation names are scoped by the writing query's tag: epoch
+    // numbering restarts at 0 for a fresh query (new checkpoint), and an
+    // UNscoped prefix replace would silently drop a previous query's
+    // same-numbered generation from the manifest.
+    val prefix = f"gen-${StoreManifest.queryTag(queryId)}%s-$epochId%09d-"
     // idempotent epoch re-commit: drop exactly this epoch's previous
     // records (parsed file field, not raw-string prefix) and re-add.
     // Locked: this is a read-modify-write against manifests a batch
@@ -530,8 +590,8 @@ private[sources] class StoreStreamingWrite(path: String, schema: StructType,
     StoreManifest.withManifestLock(dir) {
       val lines = StoreManifest.readLines(dir)
       val hasOwn = lines.exists(l => StoreManifest.parse(l).file.startsWith(prefix))
-      def marked: Boolean = StoreManifest.readEpochHwm(dir)
-        .exists { case (qid, e) => qid == queryId && e >= epochId }
+      def marked: Boolean =
+        StoreManifest.readEpochHwms(dir).get(queryId).exists(_ >= epochId)
       if (!hasOwn && marked) {
         // Replay of an epoch whose generation COMPACTION already folded
         // into a merge (driver died after this sink committed but before
@@ -562,11 +622,11 @@ private[sources] class StoreStreamingWrite(path: String, schema: StructType,
   }
 }
 
-private[sources] case class StoreMemstoreFactory(path: String, schema: StructType)
-    extends StreamingDataWriterFactory {
+private[sources] case class StoreMemstoreFactory(path: String, schema: StructType,
+    queryTag: String) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new StoreMemstoreWriter(path, schema, partitionId, taskId, epochId)
+    new StoreMemstoreWriter(path, schema, partitionId, taskId, epochId, queryTag)
 }
 
 /** The put path's per-task memstore: buffer the epoch's rows, SORT BY
@@ -575,11 +635,11 @@ private[sources] case class StoreMemstoreFactory(path: String, schema: StructTyp
   * then write one sorted store file. Memory holds one micro-batch
   * partition — bounded by trigger size, not by the table. */
 private[sources] class StoreMemstoreWriter(
-    path: String, schema: StructType, partitionId: Int, taskId: Long, epochId: Long)
-    extends DataWriter[InternalRow] {
+    path: String, schema: StructType, partitionId: Int, taskId: Long, epochId: Long,
+    queryTag: String) extends DataWriter[InternalRow] {
 
   private val file =
-    f"gen-$epochId%09d-part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+    f"gen-$queryTag%s-$epochId%09d-part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
   // (key, ver, row) — rows are COPIED (the scan reuses its row buffer);
   // memory holds one micro-batch partition, bounded by trigger size
   private val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, InternalRow)]

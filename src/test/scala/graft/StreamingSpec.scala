@@ -449,7 +449,10 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     val manifest = scala.io.Source
       .fromFile(s"$dir/store/_MANIFEST").getLines().toSeq
-    val gens = manifest.map(_.split(",")(0).split("-")(1)).distinct.sorted
+    val epochOf = "-([0-9]{9})-part-".r
+    val gens = manifest
+      .flatMap(l => epochOf.findFirstMatchIn(l.split(",")(0)).map(_.group(1)))
+      .distinct.sorted
     assert(gens.size == 2, s"expected two generations, got $manifest")
     // every referenced file exists, is sorted by key, and the manifest's
     // (rows, min, max) match its contents (single small parquet file ⇒
@@ -643,7 +646,7 @@ class StreamingSpec extends SparkSpec {
       q1.processAllAvailable()
     } finally q1.stop()
     val gen0Before = scala.io.Source.fromFile(s"$dir/store/_MANIFEST").getLines()
-      .toSeq.filter(_.startsWith("gen-000000000-"))
+      .toSeq.filter(_.matches("gen-.+-000000000-part-.*"))
     assert(gen0Before.nonEmpty, "epoch 0 did not commit a generation")
     // crash simulation: offsets/0 exists, commits/0 vanishes (plus the
     // local ChecksumFs .crc sidecar — a real crash never writes either)
@@ -657,7 +660,7 @@ class StreamingSpec extends SparkSpec {
       q2.processAllAvailable()
     } finally q2.stop()
     val lines = scala.io.Source.fromFile(s"$dir/store/_MANIFEST").getLines().toSeq
-    val gen0After = lines.filter(_.startsWith("gen-000000000-"))
+    val gen0After = lines.filter(_.matches("gen-.+-000000000-part-.*"))
     // the replayed epoch REPLACED its generation (retry's files, not a
     // duplicate set alongside the originals)
     assert(gen0After.nonEmpty && gen0After.intersect(gen0Before).isEmpty,
@@ -772,8 +775,10 @@ class StreamingSpec extends SparkSpec {
         s"as-of $t after restart != no-crash batch combine:\n$snap\n${batchCombine(t)}")
     }
     // exactly one record set per epoch survived the replay
+    val epochOf = "-([0-9]{9})-part-".r
     val gens = scala.io.Source.fromFile(s"$dir/store/_MANIFEST").getLines()
-      .toSeq.map(_.split(",")(0).split("-")(1)).distinct.sorted
+      .toSeq.flatMap(l => epochOf.findFirstMatchIn(l.split(",")(0)).map(_.group(1)))
+      .distinct.sorted
     assert(gens == Seq("000000000", "000000001", "000000002"),
       s"unexpected generation set after restart: $gens")
   }

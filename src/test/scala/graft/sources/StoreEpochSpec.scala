@@ -16,9 +16,10 @@ class StoreEpochSpec extends graft.SparkSpec {
 
   private val schema = StructType.fromDDL("key LONG, ver LONG, payload STRING")
 
-  private def epochFiles(dir: String, epoch: Long, rows: Seq[(Long, Long, String)])
-      : WriterCommitMessage = {
-    val w = StoreMemstoreFactory(dir, schema).createWriter(0, 0L, epoch)
+  private def epochFiles(dir: String, epoch: Long, rows: Seq[(Long, Long, String)],
+      qid: String = "test-query"): WriterCommitMessage = {
+    val w = StoreMemstoreFactory(dir, schema, StoreManifest.queryTag(qid))
+      .createWriter(0, 0L, epoch)
     rows.foreach { case (k, v, p) =>
       w.write(InternalRow(k, v, UTF8String.fromString(p)))
     }
@@ -27,6 +28,11 @@ class StoreEpochSpec extends graft.SparkSpec {
 
   private def manifestFiles(dir: String): Seq[String] =
     StoreManifest.readLines(java.nio.file.Paths.get(dir)).map(StoreManifest.parse(_).file)
+
+  /** Manifest files belonging to `epoch` of `qid`'s generation set. */
+  private def genFiles(dir: String, qid: String, epoch: Long): Seq[String] =
+    manifestFiles(dir).filter(f => StoreManifest.streamEpochOf(f)
+      .contains((StoreManifest.queryTag(qid), epoch)))
 
   test("re-committed epoch replaces exactly its own generation") {
     val dir = java.nio.file.Files.createTempDirectory("graft_epoch").toString
@@ -44,11 +50,11 @@ class StoreEpochSpec extends graft.SparkSpec {
     write.commit(5L, Array(m5b))
     val files = manifestFiles(dir)
     assert(files.size == 2, s"re-commit duplicated or dropped a generation: $files")
-    val gen5 = files.filter(_.startsWith("gen-000000005-"))
+    val gen5 = genFiles(dir, "test-query", 5L)
     assert(gen5.size == 1 && !gen5.contains(
       m5a.asInstanceOf[StoreCommit].file),
       s"re-commit must replace the old gen-5 record: $files")
-    assert(files.exists(_.startsWith("gen-000000006-")), s"epoch 6 lost: $files")
+    assert(genFiles(dir, "test-query", 6L).nonEmpty, s"epoch 6 lost: $files")
     // the re-committed store reads exactly once per key/ver
     val back = VariantStore.readAsOf(spark, dir, "key LONG, ver LONG, payload STRING", 6L)
       .collect().map(r => (r.getLong(0), r.getString(2))).toMap
@@ -110,43 +116,127 @@ class StoreEpochSpec extends graft.SparkSpec {
     // the duplication the mark exists to prevent.
     val dir = java.nio.file.Files.createTempDirectory("graft_epoch_fresh").toString
     val q1 = new StoreStreamingWrite(dir, schema, "query-1")
-    q1.commit(5L, Array(epochFiles(dir, 5L, Seq((1L, 5L, "a5")))))
+    q1.commit(5L, Array(epochFiles(dir, 5L, Seq((1L, 5L, "a5")), qid = "query-1")))
     VariantStore.compact(spark, dir, ddl, numRanges = 1) // mark: (query-1, 5)
     val before = rawRows(dir)
 
     // query-1 stopped; a new query takes over with epoch numbering at 0
     val q2 = new StoreStreamingWrite(dir, schema, "query-2")
-    q2.commit(0L, Array(epochFiles(dir, 0L, Seq((2L, 10L, "q2-e0")))))
+    q2.commit(0L, Array(epochFiles(dir, 0L, Seq((2L, 10L, "q2-e0")), qid = "query-2")))
     assert(rawRows(dir) == (before :+ ((2L, 10L, "q2-e0"))).sorted,
       "fresh query's epoch 0 was skipped by the previous query's mark")
-    // and the new query's OWN replay-after-fold guard is armed
+    // and the new query's OWN replay-after-fold guard is armed, while
+    // query-1's retired mark keeps its folded generations eligible
     VariantStore.compact(spark, dir, ddl, numRanges = 1)
+    assert(manifestFiles(dir).size == 1,
+      s"confirmed generations across the handover must all fold: ${manifestFiles(dir)}")
     val folded = rawRows(dir)
-    q2.commit(0L, Array(epochFiles(dir, 0L, Seq((2L, 10L, "q2-e0")))))
+    q2.commit(0L, Array(epochFiles(dir, 0L, Seq((2L, 10L, "q2-e0")), qid = "query-2")))
     assert(rawRows(dir) == folded,
       "query-2's replayed epoch duplicated rows after fold")
+  }
+
+  /** The crash-reachable inconsistent state: epoch `epoch`'s lines are
+    * in the manifest (with its task file on disk) but the mark was
+    * never advanced — exactly what a driver death between the commit's
+    * manifest write and its mark write leaves behind. Marks are
+    * monotone (writeEpochHwm merges max), so the state is constructed
+    * by splicing the lines in directly, bypassing the commit. */
+  private def crashWindowState(dir: String, epoch: Long,
+      rows: Seq[(Long, Long, String)]): Unit = {
+    val m = epochFiles(dir, epoch, rows).asInstanceOf[StoreCommit]
+    val p = java.nio.file.Paths.get(dir)
+    StoreManifest.withManifestLock(p) {
+      StoreManifest.writeLines(p,
+        (StoreManifest.readLines(p) :+ StoreManifest.render(m)).sorted)
+    }
   }
 
   test("crash between manifest write and mark write replays as the replace case") {
     // The commit orders manifest FIRST, then the high-water mark — so
     // the only crash-reachable inconsistent state is lines-present +
-    // stale mark. Construct that state directly: epoch 6's lines are in
-    // the manifest but the mark still says 5. The replay must take the
-    // replace path (no duplication, no skip) and repair the mark.
+    // stale mark. The replay must take the replace path (no
+    // duplication, no skip) and repair the mark.
     val dir = java.nio.file.Files.createTempDirectory("graft_epoch_crash").toString
     val write = new StoreStreamingWrite(dir, schema, "test-query")
     write.commit(5L, Array(epochFiles(dir, 5L, Seq((1L, 5L, "a5")))))
-    write.commit(6L, Array(epochFiles(dir, 6L, Seq((2L, 6L, "b6")))))
-    // regress the mark to what a crash mid-epoch-6-commit leaves behind
-    StoreManifest.writeEpochHwm(java.nio.file.Paths.get(dir), "test-query", 5L)
+    crashWindowState(dir, 6L, Seq((2L, 6L, "b6"))) // mark still says 5
     val before = rawRows(dir)
     write.commit(6L, Array(epochFiles(dir, 6L, Seq((2L, 6L, "b6")))))
     assert(rawRows(dir) == before,
       "replay over a stale mark duplicated or dropped rows")
-    assert(manifestFiles(dir).count(_.startsWith("gen-000000006-")) == 1,
+    assert(genFiles(dir, "test-query", 6L).size == 1,
       "replay must hold exactly one gen-6 record set")
-    assert(StoreManifest.readEpochHwm(java.nio.file.Paths.get(dir))
-      .contains(("test-query", 6L)), "replay did not repair the mark")
+    assert(StoreManifest.readEpochHwms(java.nio.file.Paths.get(dir))
+      .get("test-query").contains(6L), "replay did not repair the mark")
+  }
+
+  test("compaction never folds a crash-window epoch (stale mark, lines present)") {
+    // The duplication hole the fold-eligibility rule closes: epoch 6's
+    // lines are in the manifest but the mark still says 5 (driver died
+    // between the two writes). If compaction folded gen-6 into a merge,
+    // the restarted query's replay would find neither lines to replace
+    // nor a mark at 6 — and APPEND the epoch a second time. Compaction
+    // must leave the unconfirmed generation alone; the replay then
+    // repairs it in place, after which it folds normally.
+    val dir = java.nio.file.Files.createTempDirectory("graft_epoch_unconf").toString
+    val write = new StoreStreamingWrite(dir, schema, "test-query")
+    write.commit(5L, Array(epochFiles(dir, 5L, Seq((1L, 5L, "a5"), (2L, 5L, "b5")))))
+    crashWindowState(dir, 6L, Seq((3L, 6L, "c6")))
+    val before = rawRows(dir)
+    VariantStore.compact(spark, dir, ddl, numRanges = 1)
+    assert(genFiles(dir, "test-query", 6L).size == 1,
+      s"compaction folded the unconfirmed crash-window epoch: ${manifestFiles(dir)}")
+    assert(rawRows(dir) == before, "compaction changed the row multiset")
+    // the restarted query replays epoch 6: replace in place, mark repaired
+    write.commit(6L, Array(epochFiles(dir, 6L, Seq((3L, 6L, "c6")))))
+    assert(rawRows(dir) == before, "replay duplicated the crash-window epoch")
+    assert(StoreManifest.readEpochHwms(java.nio.file.Paths.get(dir))
+      .get("test-query").contains(6L), "replay did not repair the mark")
+    // now confirmed: the next pass folds everything into one generation
+    VariantStore.compact(spark, dir, ddl, numRanges = 1)
+    assert(manifestFiles(dir).size == 1, s"confirmed epoch not folded: ${manifestFiles(dir)}")
+    assert(rawRows(dir) == before, "final fold changed the row multiset")
+  }
+
+  test("a fresh query's epoch 0 never replaces a previous query's epoch-0 generation") {
+    // Epoch numbering restarts at 0 for a new query, so generation
+    // names are scoped by the query tag: an unscoped `gen-000000000-`
+    // replace would silently drop the PREVIOUS query's epoch-0
+    // generation from the manifest — data loss with no compaction
+    // involved at all.
+    val dir = java.nio.file.Files.createTempDirectory("graft_epoch_scope").toString
+    val q1 = new StoreStreamingWrite(dir, schema, "query-1")
+    q1.commit(0L, Array(epochFiles(dir, 0L, Seq((1L, 1L, "q1-e0")), qid = "query-1")))
+    val before = rawRows(dir)
+    // query-1 stopped, NO compaction: its gen-0 line is still live
+    val q2 = new StoreStreamingWrite(dir, schema, "query-2")
+    q2.commit(0L, Array(epochFiles(dir, 0L, Seq((2L, 2L, "q2-e0")), qid = "query-2")))
+    assert(genFiles(dir, "query-1", 0L).size == 1,
+      s"query-2's epoch 0 replaced query-1's generation: ${manifestFiles(dir)}")
+    assert(genFiles(dir, "query-2", 0L).size == 1)
+    assert(rawRows(dir) == (before :+ ((2L, 2L, "q2-e0"))).sorted,
+      "rows lost across the query handover")
+  }
+
+  test("as-of snapshots omit the epoch mark; full clones carry it") {
+    // An asOf fork may exclude a marked epoch's generation; a mark
+    // claiming an epoch the clone does not hold would turn that epoch's
+    // replay into a silent skip — permanent row loss on the clone. The
+    // fork therefore drops the mark (at-least-once on resume), while a
+    // full clone keeps the replay-after-fold guard armed.
+    val dir = java.nio.file.Files.createTempDirectory("graft_epoch_snap").toString
+    val write = new StoreStreamingWrite(dir, schema, "test-query")
+    write.commit(0L, Array(epochFiles(dir, 0L, Seq((1L, 10L, "a")))))
+    write.commit(1L, Array(epochFiles(dir, 1L, Seq((2L, 20L, "b")))))
+    val full = java.nio.file.Files.createTempDirectory("graft_epoch_snap_full").toString
+    VariantStore.snapshot(dir, full)
+    assert(StoreManifest.readEpochHwms(java.nio.file.Paths.get(full))
+      .get("test-query").contains(1L), "full clone lost the epoch mark")
+    val fork = java.nio.file.Files.createTempDirectory("graft_epoch_snap_asof").toString
+    VariantStore.snapshot(dir, fork, asOf = 10L)
+    assert(StoreManifest.readEpochHwms(java.nio.file.Paths.get(fork)).isEmpty,
+      "as-of fork carried a mark for an epoch it may not hold")
   }
 
   test("an epoch commit landing inside a compaction splice window survives") {

@@ -34,7 +34,8 @@ class StoreScaleSpec extends graft.SparkSpec {
 
   private def commitEpoch(write: StoreStreamingWrite, dir: String, epoch: Long,
       rows: Seq[(Long, Long, String)]): Unit = {
-    val w = StoreMemstoreFactory(dir, schema).createWriter(0, 0L, epoch)
+    val w = StoreMemstoreFactory(dir, schema, StoreManifest.queryTag("test-query"))
+      .createWriter(0, 0L, epoch)
     rows.foreach { case (k, v, p) =>
       w.write(InternalRow(k, v, UTF8String.fromString(p)))
     }
