@@ -119,8 +119,12 @@ object ShuffleAudit {
       if (t == "documents.parquet" || t == "embeddings.parquet") {
         val base = spark.read.parquet(s"$src/$t")
         val idCol = if (t.startsWith("documents")) "doc_id" else "vec_id"
+        // copy stride derived from the data, not a fixed constant: a
+        // fixed 1e6 would silently collide ids once the base corpus
+        // reaches 1M rows, corrupting every id-keyed join in the audit
+        val stride = base.agg(max(col(idCol))).head.getLong(0) + 1L
         val copies = (0 until 10).map { k =>
-          val c = base.withColumn(idCol, col(idCol) + lit(k * 1000000L))
+          val c = base.withColumn(idCol, col(idCol) + lit(k * stride))
           if (t.startsWith("documents") && k > 0)
             c.withColumn("text", concat(col("text"), lit(s" copytok$k")))
           else c

@@ -110,12 +110,21 @@ object api {
     val dir = new java.io.File(dirPath)
     def ready =
       marker.fold(dir.exists())(m => new java.io.File(dir, m).exists())
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
     if (!ready) {
+      // reap aged graveyards a crashed healer left next to the target
+      // (retired below, removed after publish — a kill in between
+      // orphans the `.stale-*` tree forever otherwise). The 1-hour
+      // grace protects a LIVE healer's in-flight grave.
+      Option(dir.getParentFile).flatMap(p => Option(p.listFiles())).foreach(_
+        .filter(_.getName.startsWith(s"${dir.getName}.stale-"))
+        .filter(_.lastModified < System.currentTimeMillis() - 3600000L)
+        .foreach(rm))
       val tmp = java.nio.file.Files.createTempDirectory("graft_build_once_")
-      build(tmp.toString)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
+      try build(tmp.toString)
+      catch { case t: Throwable => rm(tmp.toFile); throw t }
       try java.nio.file.Files.move(tmp, dir.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
@@ -135,7 +144,17 @@ object api {
             rm(grave.toFile)
           } catch {
             case _: java.nio.file.FileSystemException =>
+              // lost the heal race: the winner moved the stale dir to
+              // ITS grave and is about to publish its build. Give the
+              // publish (two renames — the winner finished building
+              // before entering the heal branch) time to land before
+              // declaring failure: rethrowing while the winner is
+              // mid-swap would fail a call that succeeds moments later.
               rm(tmp.toFile)
+              var waited = 0
+              while (!ready && waited < 15000) {
+                Thread.sleep(100); waited += 100
+              }
               if (!ready) throw e
           }
         case _: java.nio.file.FileSystemException =>

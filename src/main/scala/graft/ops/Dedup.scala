@@ -584,7 +584,7 @@ object Dedup {
     * form. Min-star edges also cut component diameter: the group min is
     * directly adjacent to every member, so label propagation converges
     * in fewer rounds. */
-  private[ops] def candidateEdges(docs: DataFrame): DataFrame = {
+  private[graft] def candidateEdges(docs: DataFrame): DataFrame = {
     // group on the 8-byte xxhash64 of the shingle, not the shingle
     // string: narrower shuffle rows and cheaper key compares. A 64-bit
     // collision could only ADD a spurious candidate edge, with

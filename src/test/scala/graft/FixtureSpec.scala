@@ -37,6 +37,18 @@ class FixtureSpec extends SparkSpec {
     // prevent. Each builder writes a distinct payload so the test can
     // prove all readers observe ONE winner, not a splice of builds.
     val target = java.nio.file.Files.createTempDirectory("graft_bo_").resolve("fixture")
+    // snapshot pre-existing temp builds: the leftover assertion below
+    // must only see temps THIS test's builders created — a concurrent
+    // process mid-buildOnce (or an old leak on a shared host) is not
+    // this test's failure
+    def tempBuilds(): Set[java.nio.file.Path] = {
+      val s = java.nio.file.Files.list(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("graft_build_once_")).toSet
+      finally s.close()
+    }
+    val preExisting = tempBuilds()
     val built = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
@@ -61,13 +73,43 @@ class FixtureSpec extends SparkSpec {
     graft.api.buildOnce(target.toString) { _ => built.add(99) }
     assert(built.size == before, "buildOnce re-ran a build for a ready dir")
     // no abandoned temp builds: losers cleaned up after themselves
-    val leftovers = java.nio.file.Files.list(
-        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
-      .iterator()
-      .asScala.filter(p => p.getFileName.toString.startsWith("graft_build_once_"))
-      .filter(p => java.nio.file.Files.list(p).iterator().hasNext)
-      .toSeq
+    val leftovers = (tempBuilds() -- preExisting).toSeq
     assert(leftovers.isEmpty, s"abandoned temp builds left behind: $leftovers")
+  }
+
+  test("buildOnce removes its temp directory when the build fails") {
+    // A build that throws mid-way (killed stage, disk full, bad
+    // fixture) must not abandon a half-written temp tree — repeated
+    // failing runs would otherwise accumulate large orphans in the
+    // shared tmpdir.
+    val target = java.nio.file.Files.createTempDirectory("graft_bo_fail_")
+      .resolve("fixture")
+    def tempBuilds(): Set[java.nio.file.Path] = {
+      val s = java.nio.file.Files.list(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("graft_build_once_")).toSet
+      finally s.close()
+    }
+    val preExisting = tempBuilds()
+    val boom = intercept[RuntimeException] {
+      graft.api.buildOnce(target.toString) { tmp =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp, "partial.bin"), Array[Byte](1, 2, 3))
+        throw new RuntimeException("mid-build failure")
+      }
+    }
+    assert(boom.getMessage == "mid-build failure")
+    assert(!java.nio.file.Files.exists(target),
+      "a failed build must not publish the target")
+    val leftovers = (tempBuilds() -- preExisting).toSeq
+    assert(leftovers.isEmpty, s"failed build leaked its temp dir: $leftovers")
+    // and the next call can still build successfully
+    graft.api.buildOnce(target.toString) { tmp =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "ok.bin"), Array[Byte](9))
+    }
+    assert(java.nio.file.Files.exists(target.resolve("ok.bin")))
   }
 
   test("buildOnce self-heals a stale partial directory from a crashed writer") {

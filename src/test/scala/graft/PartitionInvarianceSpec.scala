@@ -124,6 +124,24 @@ class PartitionInvarianceSpec extends SparkSpec {
         "the Alt confs are no longer changing the physical plan")
   }
 
+  test("connected-components labels are re-planning invariant without the cache") {
+    // q_dedup_cluster and friends read cluster labels through a
+    // JVM memo + fingerprint-keyed parquet cache, so the registered
+    // query is served the SAME materialization under both configs and
+    // the gate above never re-plans the iterative component build —
+    // exactly the tie-break-sensitive computation this spec exists to
+    // check. Drive it UNcached: build the labels directly under each
+    // config and compare.
+    import graft.ops.Dedup
+    val docs = graft.api.tbl(spark, sf, "documents")
+    def labels() = Dedup.connectedComponents(
+      docs.select("doc_id"), Dedup.candidateEdges(docs))
+    val base = canon(labels())
+    val alt = withConfs(Alt)(canon(labels()))
+    assert(base == alt,
+      s"component labels changed under re-planning: ${firstDiff(base, alt)}")
+  }
+
   test("risk-marked queries are bit-identical under AQE-off re-planning") {
     GraftExtensions.register(spark)
     val set = gateSet
