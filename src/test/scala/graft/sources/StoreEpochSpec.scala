@@ -143,8 +143,8 @@ class StoreEpochSpec extends graft.SparkSpec {
     * monotone (writeEpochHwm merges max), so the state is constructed
     * by splicing the lines in directly, bypassing the commit. */
   private def crashWindowState(dir: String, epoch: Long,
-      rows: Seq[(Long, Long, String)]): Unit = {
-    val m = epochFiles(dir, epoch, rows).asInstanceOf[StoreCommit]
+      rows: Seq[(Long, Long, String)], qid: String = "test-query"): Unit = {
+    val m = epochFiles(dir, epoch, rows, qid = qid).asInstanceOf[StoreCommit]
     val p = java.nio.file.Paths.get(dir)
     StoreManifest.withManifestLock(p) {
       StoreManifest.writeLines(p,
@@ -217,6 +217,95 @@ class StoreEpochSpec extends graft.SparkSpec {
     assert(genFiles(dir, "query-2", 0L).size == 1)
     assert(rawRows(dir) == (before :+ ((2L, 2L, "q2-e0"))).sorted,
       "rows lost across the query handover")
+  }
+
+  test("randomized epoch schedule with replays, crash windows, and folds " +
+      "loses and duplicates nothing") {
+    // The streaming twin of SourceSpec's randomized maintenance
+    // differential, sweeping the fold-eligibility + query-scoped-name
+    // machinery under arbitrary interleavings: a seeded sequence of
+    // epoch commits, exact replays (driver failover), crash-window
+    // states (manifest written, mark not — spliced directly), query
+    // handovers (epoch numbering restarts at 0, possibly ABANDONING a
+    // crash-window epoch forever), and both compaction flavors. After
+    // EVERY event the raw row multiset across manifest-listed
+    // generations must equal the write log exactly — any divergence is
+    // precisely the silent loss/duplication the guards exist to stop.
+    val dir = java.nio.file.Files.createTempDirectory("graft_epoch_rand").toString
+    val rnd = new scala.util.Random(20260816)
+    var log = Vector.empty[(Long, Long, String)]
+    var qn = 1
+    var qid = s"rq-$qn"
+    var write = new StoreStreamingWrite(dir, schema, qid)
+    var nextEpoch = 0L
+    // epochs eligible for replay: committed (idempotent re-commit) or
+    // crash-window (replay must repair in place). Rows remembered so a
+    // replay is byte-faithful.
+    var replayable = Map.empty[(String, Long), Seq[(Long, Long, String)]]
+    def freshRows(tag: String): Seq[(Long, Long, String)] =
+      (0L until 30L).filter(_ => rnd.nextInt(10) < 4).map { k =>
+        (k, nextEpoch * 10L + rnd.nextInt(3), s"$tag-e$nextEpoch-$k")
+      }
+    def check(what: String): Unit =
+      assert(rawRows(dir) == log.sorted, s"multiset diverged after $what")
+    for (step <- 1 to 40) {
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 | 3 => // normal epoch commit
+          val rows = freshRows(qid)
+          write.commit(nextEpoch, Array(epochFiles(dir, nextEpoch, rows, qid = qid)))
+          log ++= rows
+          replayable += ((qid, nextEpoch) -> rows)
+          nextEpoch += 1
+          check(s"step $step: commit")
+        case 4 | 5 => // replay a random replayable epoch of the LIVE query
+          val own = replayable.keys.filter(_._1 == qid).toSeq.sortBy(_._2)
+          if (own.nonEmpty) {
+            val (_, e) = own(rnd.nextInt(own.size))
+            val rows = replayable((qid, e))
+            write.commit(e, Array(epochFiles(dir, e, rows, qid = qid)))
+            check(s"step $step: replay of epoch $e")
+          }
+        case 6 => // crash window: lines spliced, mark stale, replay pending
+          // (guarded nonEmpty: a 0-row commit writes no file, and the
+          // direct splice would otherwise manifest a missing file)
+          val rows = freshRows(s"$qid-cw")
+          if (rows.nonEmpty) {
+            crashWindowState(dir, nextEpoch, rows, qid = qid)
+            log ++= rows
+            replayable += ((qid, nextEpoch) -> rows)
+            nextEpoch += 1
+            check(s"step $step: crash-window splice")
+          }
+        case 7 => // query handover: epoch numbering restarts at 0; any
+          // crash-window epoch of the old query is abandoned forever
+          // (its rows stay readable, its generation stays unfolded)
+          qn += 1; qid = s"rq-$qn"
+          write = new StoreStreamingWrite(dir, schema, qid)
+          nextEpoch = 0L
+          check(s"step $step: handover to $qid")
+        case 8 =>
+          VariantStore.compactMinor(spark, dir, ddl, keepGenerations = 2)
+          check(s"step $step: compactMinor")
+        case _ =>
+          if (manifestFiles(dir).nonEmpty) {
+            VariantStore.compact(spark, dir, ddl, numRanges = 1)
+            check(s"step $step: compact")
+          }
+      }
+    }
+    // drain: replay every still-replayable epoch of every query that
+    // ever wrote (simulating each query's restart), then compact twice
+    // — everything confirmed must fold, and nothing may move the
+    // multiset
+    for (((q, e), rows) <- replayable.toSeq.sortBy { case ((q, e), _) => (q, e) }) {
+      val w = new StoreStreamingWrite(dir, schema, q)
+      w.commit(e, Array(epochFiles(dir, e, rows, qid = q)))
+      check(s"drain replay of ($q, $e)")
+    }
+    VariantStore.compact(spark, dir, ddl, numRanges = 1)
+    check("final compact")
+    assert(manifestFiles(dir).size == 1,
+      s"all confirmed generations must fold after the drain: ${manifestFiles(dir)}")
   }
 
   test("as-of snapshots omit the epoch mark; full clones carry it") {
