@@ -182,7 +182,12 @@ case class MinHashSignature(
       val bs = bArr
       var i = 0
       while (i < buf.length) {
-        val h = (x * as(i) + bs(i)) % p
+        // floorMod, not %: a negative input (full-range 64-bit hash
+        // rather than the callers' 48-bit non-negative values) would
+        // otherwise land lane values in (-p, 0) that dominate every
+        // minimum. Identical to % for the in-contract domain
+        // (x < 2^48, coefficients 15-bit ⇒ x*a+b < 2^63, no wrap).
+        val h = java.lang.Math.floorMod(x * as(i) + bs(i), p)
         if (h < buf(i)) buf(i) = h
         i += 1
       }

@@ -53,6 +53,15 @@ case class VectorFixedPointSum(
     if (v == null) return buf
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // fail FAST on ragged vectors: silently zero-padding a short row
+    // would deflate the tail dims of every mean computed as sum/count
+    // (and diverge from the oracle, whose per-dim indexing NULLs out
+    // instead) — a length mismatch is data corruption, not a shape to
+    // absorb. The empty buffer (first row on this partition) fixes the
+    // dimensionality.
+    if (buf.length != 0 && n != buf.length)
+      throw new IllegalArgumentException(
+        s"$prettyName: ragged vector — got $n dims, group has ${buf.length}")
     val b = if (buf.length >= n) buf else java.util.Arrays.copyOf(buf, n)
     var i = 0
     while (i < n) {
@@ -63,6 +72,12 @@ case class VectorFixedPointSum(
   }
 
   override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    // empty = a partition that saw no rows; two non-empty buffers of
+    // different lengths mean ragged input slipped past update (never
+    // reachable, but corruption must not merge silently)
+    if (b1.length != 0 && b2.length != 0 && b1.length != b2.length)
+      throw new IllegalArgumentException(
+        s"$prettyName: merging buffers of ${b1.length} and ${b2.length} dims")
     val (big, small) = if (b1.length >= b2.length) (b1, b2) else (b2, b1)
     var i = 0
     while (i < small.length) { big(i) += small(i); i += 1 }

@@ -191,6 +191,14 @@ case class ZValue(left: Expression, right: Expression, bits: Int)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Long]
     val y = b.asInstanceOf[Long]
+    // loud, not lossy: an out-of-range coordinate (negative, or >= 2^bits)
+    // would silently truncate to its low bits and COLLIDE with an
+    // in-range point — poison for any min/max pruning built on the code.
+    // graft_zvalue is SQL-exposed, so the domain is enforced here, not
+    // assumed of callers.
+    if ((x >>> bits) != 0L || (y >>> bits) != 0L)
+      throw new IllegalArgumentException(
+        s"$prettyName: inputs must be in [0, 2^$bits): ($x, $y)")
     var z = 0L
     var k = 0
     while (k < bits) {
@@ -206,6 +214,10 @@ case class ZValue(left: Expression, right: Expression, bits: Int)
       val k = ctx.freshName("k")
       val acc = ctx.freshName("acc")
       s"""
+         |if ((($a >>> $bits) != 0L) || (($b >>> $bits) != 0L)) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: inputs must be in [0, 2^$bits): (" + $a + ", " + $b + ")");
+         |}
          |long $acc = 0L;
          |for (int $k = 0; $k < $bits; $k++) {
          |  $acc |= (($a >>> $k) & 1L) << (2 * $k);

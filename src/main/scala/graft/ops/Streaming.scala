@@ -33,14 +33,18 @@ case class FilledCall(sample: String, contig: String, pos: Long, covered: Boolea
   * [[graft.sources.VariantStoreSink]] (`key, ver, payload` layout)
   * makes `VariantStore.readAsOf(t)` replay the combined cohort exactly
   * as it stood after the producer's seq-t events (StreamingSpec pins
-  * this end to end). A batch that does NOT advance the max seq (an
-  * out-of-order late event, or a zero-seq producer's re-emission)
-  * takes previous-ver + 1 instead: reusing an emitted ver would put
-  * two rows at the same (key, ver) and leave the winner to the store's
-  * content tiebreak — possibly the STALE emission. The rewritten
-  * history becomes visible from the new ver on, which is the honest
-  * semantics for late data (a site-level store cannot backdate one
-  * sample's cell). First emission of a zero-seq producer is ver 0. */
+  * this end to end). A batch that changes NO member call (a pure
+  * duplicate delivery) emits nothing at all — a no-op emission would
+  * consume a ver and shift every later seq-advancing emission off its
+  * seq. A batch that changes content WITHOUT advancing the max seq (a
+  * late sample arriving with a lower seq, or a zero-seq producer's
+  * replacement) takes previous-ver + 1 instead: reusing an emitted ver
+  * would put two rows at the same (key, ver) and leave the winner to
+  * the store's content tiebreak — possibly the STALE emission. The
+  * rewritten history becomes visible from the new ver on, which is the
+  * honest semantics for late data (a site-level store cannot backdate
+  * one sample's cell). First emission of a zero-seq producer is
+  * ver 0. */
 case class CombinedSite(contig: String, pos: Long, n_samples: Int, calls: String,
     ver: Long = 0L)
 
@@ -101,7 +105,13 @@ object Streaming {
           val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
           var n = prev.n_events
           var total = prev.total_value
-          batch.foreach { e => n += 1; total += e.value }
+          // the group iterator's post-shuffle order is NOT guaranteed,
+          // and double addition is order-sensitive in the low bits — sum
+          // in a fixed total order so the carried state is bit-identical
+          // across partitionings and re-runs (the project's determinism
+          // doctrine; carryForwardFill sorts for the same reason)
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value))
+            .foreach { e => n += 1; total += e.value }
           val next = UserTotals(uid, n, total)
           state.update(next)
           next
@@ -231,16 +241,28 @@ object Streaming {
               case _ => acc + (smp -> cand) // newer seq, or tie → latest batch wins
             }
           }
-          // strictly monotone emission ver (see CombinedSite doc): the
-          // advanced max seq when the batch moved it, else previous + 1
-          val maxSeq = upd.values.map(_._1).max
-          val ver = prevState match {
-            case Some(st) if maxSeq <= st.emittedVer => st.emittedVer + 1
-            case _ => maxSeq
+          // No-op batches emit NOTHING: a duplicate delivery that
+          // changes no member call must not consume an emission ver —
+          // bumping past the max seq on a no-op would permanently shift
+          // every later seq-advancing emission off its seq (ver 3 taken
+          // by a re-delivered seq-2 state forces the real seq-3 event
+          // to ver 4, breaking the readAsOf(t)-replays-seq-t contract
+          // for an in-order producer that merely saw one duplicate).
+          if (prevState.isDefined && upd == prev) Iterator.empty
+          else {
+            // strictly monotone emission ver (see CombinedSite doc): the
+            // advanced max seq when the batch moved it, else previous+1
+            // (a CONTENT change without a seq advance: late sample with
+            // a lower seq, or a zero-seq producer's replacement)
+            val maxSeq = upd.values.map(_._1).max
+            val ver = prevState match {
+              case Some(st) if maxSeq <= st.emittedVer => st.emittedVer + 1
+              case _ => maxSeq
+            }
+            state.update(SiteCombineState(upd, ver))
+            Iterator.single(CombinedSite(key._1, key._2, upd.size,
+              upd.keys.toSeq.sorted.map(k => upd(k)._2).mkString(";"), ver))
           }
-          state.update(SiteCombineState(upd, ver))
-          Iterator.single(CombinedSite(key._1, key._2, upd.size,
-            upd.keys.toSeq.sorted.map(k => upd(k)._2).mkString(";"), ver))
       }
   }
 

@@ -99,14 +99,26 @@ case class BroadcastRangeJoinExec(
             val mid = (loIdx + hiIdx) >>> 1
             if (blos(mid) <= p) loIdx = mid + 1 else hiIdx = mid
           }
-          // scan backwards over lo <= p while any interval can still span p
-          val out = Seq.newBuilder[InternalRow]
-          var j = loIdx - 1
-          while (j >= 0 && bmax(j) >= p) {
-            if (bhis(j) >= p) out += project(joined(probeRow, brows(j))).copy()
-            j -= 1
+          // scan backwards over lo <= p while any interval can still
+          // span p — LAZILY: a hot position spanned by most of a
+          // near-threshold build side would otherwise buffer every
+          // match (with its copied row) before emitting the first.
+          // Safe to defer: Iterator.flatMap drains this inner iterator
+          // completely before pulling (and thus mutating) the next
+          // probe row.
+          val startIdx = loIdx - 1
+          new scala.collection.AbstractIterator[InternalRow] {
+            private var j = startIdx
+            seek()
+            private def seek(): Unit = {
+              while (j >= 0 && bmax(j) >= p && bhis(j) < p) j -= 1
+            }
+            override def hasNext: Boolean = j >= 0 && bmax(j) >= p
+            override def next(): InternalRow = {
+              val r = project(joined(probeRow, brows(j))).copy()
+              j -= 1; seek(); r
+            }
           }
-          out.result().iterator
         }
       }
     }

@@ -508,6 +508,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingCombine duplicate deliveries emit nothing and never shift the seq-ver alignment") {
+    // A pure duplicate (same sample, same seq, same content) must not
+    // consume an emission ver: a no-op emission bumping past the max
+    // seq would force the NEXT real seq event off its seq — after which
+    // readAsOf(t) no longer replays the cohort as of the producer's
+    // seq-t events (the CombinedSite contract for in-order producers).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.{FilledCall, CombinedSite}
+    val input = MemoryStream[FilledCall]
+    val q = Streaming.streamingCombine(input.toDS())
+      .writeStream.format("memory").queryName("dup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(FilledCall("s1", "chr1", 10L, covered = true, gq = 50, seq = 2L))
+      q.processAllAvailable()
+      // duplicate of seq 2 in its own batch: nothing may be emitted
+      input.addData(FilledCall("s1", "chr1", 10L, covered = true, gq = 50, seq = 2L))
+      q.processAllAvailable()
+      // the real seq-3 event must still land at ver == 3
+      input.addData(FilledCall("s1", "chr1", 10L, covered = false, gq = 0, seq = 3L))
+      q.processAllAvailable()
+      val out = spark.table("dup_out").as[CombinedSite].collect().sortBy(_.ver)
+      assert(out.map(_.ver).toSeq == Seq(2L, 3L),
+        s"duplicate delivery consumed an emission ver: ${out.toSeq}")
+      assert(out.last.calls == "s1:./.:0", s"seq-3 content lost: ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("streamingCombine -> store sink -> readAsOf closes the reference's online loop") {
     // The full ingest architecture end to end: densified calls stream
     // through the combine, every touched site's emission lands in the

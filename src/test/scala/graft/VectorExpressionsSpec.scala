@@ -96,4 +96,51 @@ class VectorExpressionsSpec extends SparkSpec {
       .as[Long].collect().toSeq
     assert(viaSql == expected)
   }
+
+  test("zvalue rejects out-of-domain coordinates on both eval paths") {
+    // silent low-bit truncation would collide distinct points (1024 and
+    // 0 at bits=10) and poison min/max pruning built on the code — the
+    // expression is SQL-exposed, so the domain is enforced loudly
+    import org.apache.spark.sql.functions.{col, lit}
+    for (cg <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", cg)
+      val boom = intercept[Exception] {
+        spark.range(1).select(zvalue(lit(1024L), lit(0L), 10).as("z"))
+          .collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(boom).exists(_.contains("inputs must be in [0, 2^10)")),
+        s"expected a domain error under $cg, got: $boom")
+      // in-domain still works
+      val ok = spark.range(1).select(zvalue(lit(1023L), lit(0L), 10).as("z"))
+        .as[Long].collect()
+      assert(ok.head == (0 until 10).foldLeft(0L)((z, k) =>
+        z | ((1023L >> k) & 1L) << (2 * k)))
+    }
+    spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
+  test("fixed-point vector sum fails fast on ragged vectors") {
+    // zero-padding a short row would silently deflate the tail dims of
+    // any mean computed as sum/count — raggedness is corruption, not a
+    // shape to absorb
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorAggregates.vecFixedSum
+    val ragged = Seq(Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)).toDF("v")
+      .coalesce(1) // one partition: the mismatch must surface in update()
+    val boom = intercept[Exception] {
+      ragged.select(vecFixedSum(col("v"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(boom).exists(_.contains("ragged vector")),
+      s"expected a ragged-vector error, got: $boom")
+    // uniform vectors still aggregate exactly
+    val ok = Seq(Seq(1.5, 2.5), Seq(0.5, 0.5)).toDF("v")
+      .select(vecFixedSum(col("v")).as("s"))
+      .selectExpr("transform(s, x -> cast(x as double) / cast(16777216 as double)) AS dims")
+      .as[Seq[Double]].collect().head
+    assert(ok == Seq(2.0, 3.0), s"fixed-point sum drifted: $ok")
+  }
 }
