@@ -1,0 +1,164 @@
+package graft
+
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Evidence tool: decompose the PER-QUERY FIXED FLOOR the bench pays.
+  *
+  * SCALE.md's data-scaling sweep shows ~2/3 of the sf0.1 suite total is
+  * per-query cost that does not grow with data — the amortizes-at-volume
+  * claim the 100 TB grade leans on. This tool measures WHERE that floor
+  * goes, per query, instead of inferring it from suite totals:
+  *
+  *   - `build_ms`   — wall time of the query lambda itself (DataFrame
+  *                    construction; includes any documented eager work:
+  *                    build-once fixtures, K-row driver collects).
+  *   - `analysis_ms` / `optimization_ms` / `planning_ms` — Catalyst
+  *     phase times from the dataset's own `QueryPlanningTracker`,
+  *     captured by forcing `executedPlan` before any execution.
+  *   - `exec1_ms`   — first execution of the planned query
+  *                    (`toRdd.count()`: streams InternalRows, no driver
+  *                    materialization, no re-planning). Includes
+  *                    whole-stage codegen compilation and JIT warmup —
+  *                    the cold cost the driver bench's single shot pays.
+  *   - `exec2_ms`   — second execution of the SAME planned query:
+  *                    compiled classes and JIT are warm, so this is the
+  *                    steady-state cost, and `exec1 − exec2` isolates
+  *                    the one-time codegen/JIT share.
+  *   - `jobs` / `stages` / `tasks` / `task_ms` — listener deltas over
+  *     BOTH executions (halve for per-run): scheduling breadth, and how
+  *     much of the wall is actual executor work vs orchestration.
+  *
+  * Methodology note: the bench times `df.count()`, which wraps the query
+  * in one extra aggregate and re-plans the wrapped tree; this tool times
+  * the query's own plan so the phase numbers line up with the plan being
+  * executed. The wrapper costs a second planning pass of similar size —
+  * the floor story only gets stronger.
+  *
+  * Run it at two scale factors and diff: fixed components (build,
+  * phases, exec1−exec2) should stay ~flat across the 100× data step
+  * while exec2 grows with data. Snapshot FLOOR_AUDIT.json per sf before
+  * re-running — the file is overwritten.
+  *
+  * `sbt "runMain graft.FloorAudit /root/testdata/sf0.1 [q_name ...]"`
+  */
+object FloorAudit {
+
+  private final class CountListener extends SparkListener {
+    val jobs = new LongAdder
+    val stages = new LongAdder
+    val tasks = new LongAdder
+    val taskMs = new LongAdder
+    override def onJobStart(j: SparkListenerJobStart): Unit = jobs.increment()
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      stages.increment()
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      tasks.increment()
+      if (t.taskMetrics != null) taskMs.add(t.taskMetrics.executorRunTime)
+    }
+    def snapshot: Seq[Long] = Seq(jobs.sum, stages.sum, tasks.sum, taskMs.sum)
+    /** Poll until no event lands for two consecutive 100 ms windows (the
+      * listener bus is async — same settle discipline as ShuffleAudit). */
+    def settle(): Seq[Long] = {
+      var prev = snapshot
+      var stable = 0
+      while (stable < 2) {
+        Thread.sleep(100)
+        val cur = snapshot
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      prev
+    }
+  }
+
+  private def f1(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // Same global warmups as Bench: one-time JVM/session costs (parquet
+    // footer caches, first-codegen of common shapes, build-once
+    // fixtures) land here, not on whichever query runs first. Per-query
+    // cold costs — the floor under audit — are NOT warmed: each query's
+    // own plan still compiles during its exec1.
+    for (w <- Seq("q_agg_count_by_key", "q_text_stats", "q_similarity_topk",
+        "q_ann_ivf", "q_dedup_cluster", "q_bucketed_join", "q_minmax_by",
+        "q_combine_incremental", "q_partition_prune"))
+      try SparkEntry.queries(w)(spark, sfDir).count() catch {
+        case e: Throwable => System.err.println(s"WARMUP FAILED $w: $e")
+      }
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+      try graft.api.tbl(spark, sfDir, t).cache().count() catch {
+        case e: Throwable => System.err.println(s"TABLE CACHE FAILED $t: $e")
+      }
+    val listener = new CountListener
+    spark.sparkContext.addSparkListener(listener)
+
+    val lines = names.flatMap { name =>
+      SparkEntry.queries.get(name) match {
+        case None =>
+          System.err.println(s"UNKNOWN QUERY $name"); None
+        case Some(q) =>
+          try {
+            System.gc()
+            val t0 = System.nanoTime()
+            val df = q(spark, sfDir)
+            val t1 = System.nanoTime()
+            val qe = df.queryExecution
+            qe.executedPlan // force analysis → optimization → planning
+            val t2 = System.nanoTime()
+            // Tracker phases cover analysis/optimization/planning of THIS
+            // dataset; READY-summed they can undershoot t2−t1 (rule
+            // application outside tracked phases) — report both.
+            val phases = qe.tracker.phases.map { case (k, v) =>
+              k -> (v.endTimeMs - v.startTimeMs)
+            }
+            val before = listener.settle()
+            val t3 = System.nanoTime()
+            val rows1 = qe.toRdd.count()
+            val t4 = System.nanoTime()
+            val rows2 = qe.toRdd.count()
+            val t5 = System.nanoTime()
+            val after = listener.settle()
+            if (rows1 != rows2)
+              System.err.println(
+                s"NONDETERMINISTIC ROWCOUNT $name: $rows1 vs $rows2")
+            val Seq(jobs, stages, tasks, taskMs) =
+              after.zip(before).map { case (a, b) => a - b }
+            def ms(a: Long, b: Long): Double = (b - a) / 1e6
+            val line =
+              s"""{"query":"$name","build_ms":${f1(ms(t0, t1))},""" +
+                s""""plan_ms":${f1(ms(t1, t2))},""" +
+                s""""analysis_ms":${phases.getOrElse("analysis", 0L)},""" +
+                s""""optimization_ms":${phases.getOrElse("optimization", 0L)},""" +
+                s""""planning_ms":${phases.getOrElse("planning", 0L)},""" +
+                s""""exec1_ms":${f1(ms(t3, t4))},"exec2_ms":${f1(ms(t4, t5))},""" +
+                s""""rows":$rows1,"jobs":$jobs,"stages":$stages,""" +
+                s""""tasks":$tasks,"task_ms":$taskMs}"""
+            println(line)
+            Some(line)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"AUDIT FAILED $name: $e"); None
+          }
+      }
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get("FLOOR_AUDIT.json"),
+      ("{\"sf\":\"" + sfDir + "\",\"queries\":[\n" +
+        lines.mkString(",\n") + "\n]}\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}

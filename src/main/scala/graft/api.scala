@@ -30,9 +30,28 @@ object api {
       Query(name, run, None)
   }
 
+  /** Per-session resolved-relation cache behind [[tbl]]. Spark's own
+    * catalog caches the resolved relation for NAMED tables
+    * (`spark.table`), but every `spark.read.parquet(path)` re-lists the
+    * directory and re-reads a footer for schema inference — measured at
+    * ~60 ms per call on this host, ~25-30 s across one bench pass
+    * (FLOOR_AUDIT r15: "build" is a third of the per-query fixed
+    * floor). The fixture tables are immutable for the life of a
+    * session, so resolving each (dir, table) once per session is the
+    * path-read analog of the catalog relation cache: same plans, same
+    * results, the per-call constant paid once. Keyed weakly by session
+    * so stopped test sessions unpin their entries; DataFrames are
+    * immutable and thread-safe to share, and reusing ONE relation
+    * instance also lets repeated plans against the same table skip
+    * re-analysis of the relation subtree (~70 ms/plan measured). */
+  private val tblCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
   /** Load one of the driver-generated tables (TESTDATA.md). Plain
     * `spark.read.parquet` — schema comes from the footer, scans are
-    * vectorized, and pruning/pushdown happen in the plan.
+    * vectorized, and pruning/pushdown happen in the plan — resolved
+    * once per (session, dir, table) through [[tblCache]].
     *
     * `events.parquet` has shipped in two encodings across fixture
     * generations: TIMESTAMP(NANOS) (which Spark's parquet reader rejects
@@ -43,7 +62,19 @@ object api {
     * load, and normalize to session-zone TimestampType either way — the
     * session is pinned UTC, so NTZ↔UTC is value-identical and the DuckDB
     * oracles (naive µs timestamps) agree bit-for-bit. */
-  def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val perSession = tblCache.synchronized {
+      var m = tblCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        tblCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$sfDir/$name", _ => loadTbl(spark, sfDir, name))
+  }
+
+  private def loadTbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/events.parquet")
