@@ -11,6 +11,7 @@ conversion). Usage:
 import glob
 import json
 import math
+import os
 import sys
 from decimal import Decimal
 
@@ -63,8 +64,11 @@ def main():
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+        # testdata ships single-file parquet; synthesized corpora
+        # (ScaleDecade, dup10) are Spark directory layout — glob those
+        p = f"{sf}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass, fails = 0, []
     for name in sorted(oracle):
