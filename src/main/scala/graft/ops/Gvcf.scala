@@ -495,7 +495,17 @@ object Gvcf {
     * is ~40 KB and the digest proves it value-exact without shipping
     * megabytes through the compare. Plan shape is [[combineSites]]
     * verbatim: bucketed coverage equi-join, one site aggregate — width
-    * changes the aggregate's fan-in, never the shuffle count. */
+    * changes the aggregate's fan-in, never the shuffle count.
+    *
+    * SCALE CONTRACT (measured, r15 decade drive): output cells are
+    * O(sites × samples) by definition, so the wide trio
+    * (combine/genotype/export over this cohort) is intentionally
+    * cohort-BOUNDED — at the sf1-equivalent decade the cohort would be
+    * 30,000 samples × 10× sites = 100× sf0.1's matrix, and the dense
+    * form ground >9 CPU-min/task before being killed (SCALE.md r15f).
+    * That is the anti-pattern the store's long format exists to avoid:
+    * unbounded cohorts take the long-format combine/genotype family,
+    * which the decade drive runs at a 300,000-record cohort. */
   /** The WIDE cohort ([[syntheticVariantsWide]]) in DuckDB CTE form —
     * shared by q_combine_wide and q_genotype_wide so the cohort
     * arithmetic cannot drift between their oracles. */
