@@ -65,7 +65,18 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_SKIP: comma-separated query names to exclude — used by
+    // the r15f decade drive, where the wide trio's dense site × sample
+    // matrix is O(sf²) cells by contract (SCALE.md r15f) and would
+    // dominate the run without informing it. Never silent: skipped
+    // names are logged AND the JSON's query map simply lacks them, so a
+    // reader comparing against the 196-name suite sees the gap.
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    for (s <- skip.toSeq.sorted)
+      System.err.println(s"SKIPPED (SPARK_GRAFT_SKIP): $s")
+    val names = (SparkEntry.queries.keys.toSet -- skip).toSeq.sorted
     val firstPass = names.zipWithIndex.map { case (name, i) =>
       // Periodically collect accumulated garbage OUTSIDE the timed
       // window so a measured query never pays for its predecessors'
