@@ -772,12 +772,20 @@ object Extras {
     * output — and the oracle — are exactly the plain join's: salting
     * only changes the physical distribution. This is the manual fix for
     * skew AQE can't catch (e.g. when the hot key emerges after a
-    * filter AQE's stats don't see). */
+    * filter AQE's stats don't see).
+    *
+    * The revenue sum is rounded to scale 4 BEFORE the double cast: the
+    * exact scale-8 decimal sum's unscaled value crosses 2^53 at the
+    * sf1-equivalent decade (5.99e10 × 10^8), where Spark's and DuckDB's
+    * decimal→double conversions stop agreeing to the last ulp — the one
+    * red entry in the first r15f decade gate (SCALE.md r15f). Scale 4
+    * keeps the unscaled value exact in double through ~sf10-equivalent
+    * revenue totals (9e11). */
   val joinSalted = Query(
     "q_join_salted",
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-      |       (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |       (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE)
       |    AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority
@@ -796,7 +804,7 @@ object Extras {
       col("l_orderkey") === col("o_orderkey") && fact("salt") === dim("salt"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
-        sum(dec("l_extendedprice") * (oneDec - dec("l_discount")))
+        round(sum(dec("l_extendedprice") * (oneDec - dec("l_discount"))), 4)
           .cast(DoubleType).as("revenue"))
       .orderBy("o_orderpriority")
   }

@@ -741,8 +741,8 @@ object Relational {
     * pass with a scalar result. */
   val tpchQ6 = Query(
     "q_tpch_q6",
-    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-      |                CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+    """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |                CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue,
       |  CAST(count(*) AS BIGINT) AS n_lines
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -754,7 +754,7 @@ object Relational {
         col("l_shipdate") < ts("1998-01-01") &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
-      .agg(sum(dec("l_extendedprice") * dec("l_discount"))
+      .agg(round(sum(dec("l_extendedprice") * dec("l_discount")), 4)
         .cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_lines"))
   }
@@ -803,8 +803,8 @@ object Relational {
     * in codegen. The discount-revenue aggregate is exact decimal. */
   val tpchQ19 = Query(
     "q_tpch_q19",
-    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-      |  (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+    """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |  (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE)
       |    AS revenue,
       |  CAST(count(*) AS BIGINT) AS n_lines
       |FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -823,7 +823,7 @@ object Relational {
       .join(tbl(s, d, "part"), col("p_partkey") === col("l_partkey"))
       .filter(arm("Brand#12", 15, 1, 11) || arm("Brand#23", 25, 10, 20) ||
         arm("Brand#34", 35, 20, 30))
-      .agg(sum(dec("l_extendedprice") * (oneDec - dec("l_discount")))
+      .agg(round(sum(dec("l_extendedprice") * (oneDec - dec("l_discount"))), 4)
         .cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_lines"))
   }
