@@ -1,0 +1,345 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Evidence tool: measure how the engine's plans behave on a corpus with
+  * a genuinely HOT key — the axis every other fixture (driver sf decades,
+  * the dup10 corpus, the sf1-equivalent decade) never exercises, because
+  * TPC-H-ish generators draw keys uniformly. SCALE.md's skew claims
+  * ("AQE splits skewed partitions", "the salted pair is the manual fix",
+  * "partial aggregation makes sum/count skew-immune") have so far rested
+  * on plan reading plus uniform-corpus runs of the salted demos; this
+  * tool backs them with a straggler signal measured under real skew.
+  *
+  * Corpus (`buildSkew10`, published via [[api.buildOnce]]): orders ×10
+  * with offset o_orderkey (unique) but o_custkey kept in the BASE range
+  * (the dims are not copied, so FKs stay clean), then 30% of all rows —
+  * chosen by a deterministic hash of the pre-offset key — reassigned to
+  * ONE hot customer. At the sf0.1 source that is ~450k of 1.5M orders on
+  * a single join/agg key, against a ~33k-row median hash partition: the
+  * shape AQE's skewedPartitionFactor=5 default is written for.
+  *
+  * Probes (every strategy pair is checksum-compared — identical logical
+  * results, different physical distributions — before timings count):
+  *
+  *  - JOIN orders⋈customer, rollup by c_mktsegment, four strategies:
+  *    `broadcast` (the default plan: a broadcast-able dim is IMMUNE to
+  *    probe-side skew — nothing shuffles on the hot key), `smj_noaqe`
+  *    (what a too-big-to-broadcast dim degrades to: one straggler
+  *    partition), `smj_aqe` (AQE skew-join splits the hot partition;
+  *    thresholds lowered here because the demo's hot partition is tens
+  *    of MB where the 256 MB default is written for multi-GB cluster
+  *    partitions), `salted` (the manual 8-way salt of q_join_salted —
+  *    works with AQE off, i.e. when skew emerges after filters AQE's
+  *    runtime stats can't see).
+  *  - The same join KEY-ONLY (`joink_*`): the rollup keeps no payload,
+  *    so the fact shuffle carries just the 8-byte hot key — 4.5M
+  *    IDENTICAL values that compress to under the skew threshold. AQE
+  *    detects skew from COMPRESSED map-output sizes, so the skewed
+  *    partition goes undetected and the straggler survives with
+  *    skew-join enabled — measured here deliberately, because it is a
+  *    real 100 TB failure mode (any hot partition whose bytes compress
+  *    ≫ its row count: constant keys, sorted runs, low-cardinality
+  *    payloads). The salted variant needs no statistics and flattens
+  *    it anyway. (This is also why the measured action below is
+  *    rdd.count(), not count(): Dataset.count() lets Catalyst prune
+  *    every payload column, silently turning the full-payload probes
+  *    into this key-only shape.)
+  *  - AGG groupBy(hot key) count+sum: measured to show partial
+  *    aggregation alone flattens it (each task pre-collapses its hot
+  *    rows to one partial row — the straggler never forms).
+  *  - COUNT DISTINCT by key (`cd_native` vs the explicit
+  *    dedup-then-count rewrite `cd_rewrite`). MEASURED FINDING: both
+  *    are flat (ratios ~1.05/1.24) — Spark's planner already rewrites
+  *    a distinct aggregate to exchange on the uniform COMPOUND key
+  *    (key, member) and partial-counts before the per-key exchange, so
+  *    no reducer ever sees the hot key's full member set. The probe
+  *    pins that this stays true; the manual rewrite is only needed on
+  *    engines without the built-in rewrite.
+  *  - TOP-K per key (k=3, row_number ≤ k) — the straggler pattern the
+  *    r15c scale table warns about — vs the salted two-stage window
+  *    (`topk_salted`: local top-3 within (key, salt-of-unique-col),
+  *    then global top-3 over ≤ 8·3 survivors — exact by the top-k
+  *    union bound). MEASURED FINDING: the plain window is ALREADY flat
+  *    (ratio 1.27, max task 76 ms over 4.5M hot rows) because Spark
+  *    3.5+'s WindowGroupLimit plans a PARTIAL map-side top-k per key
+  *    before the exchange — the hot key arrives pre-cut to 3 rows per
+  *    map task — and the manual salted rewrite measures strictly worse
+  *    (one extra shuffle). Declarative row_number-filter top-k is the
+  *    right 100 TB plan as-is; rank-without-filter or large k beyond
+  *    the group-limit rewrite would reopen the question.
+  *
+  * Reported per run: wall sec, task count, and the straggler signal —
+  * the longest task vs the median task of ITS stage (cross-stage medians
+  * would dilute the signal with scan/reduce tasks). Output: one JSON
+  * line per run on stdout plus SKEW_AUDIT.json (snapshot before
+  * re-running).
+  *
+  * `sbt "runMain graft.SkewAudit /root/testdata/sf0.1 /tmp/graft_skew10"`
+  */
+object SkewAudit {
+
+  private val Copies = 10
+  private val HotTenths = 3 // 30% of rows on the hot key
+  private val NSalt = 8
+
+  /** orders ×10 (offset o_orderkey, base-range o_custkey), 30% hot;
+    * every other table symlinked. Returns (dest, hotKey). */
+  def buildSkew10(spark: SparkSession, src: String, dest: String): String =
+    api.buildOnce(dest, Some("_SKEW_READY")) { tmp =>
+      val base = api.tbl(spark, src, "orders")
+      val stride = base.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+      val hotKey = base.agg(min(col("o_custkey"))).head.getLong(0)
+      val copies = (0 until Copies).map { k =>
+        base.withColumn("o_orderkey", col("o_orderkey") + lit(k * stride))
+      }
+      copies.reduce(_ unionByName _)
+        .withColumn("o_custkey",
+          when(pmod(xxhash64(pmod(col("o_orderkey"), lit(stride))), lit(10))
+            .lt(lit(HotTenths)), lit(hotKey))
+            .otherwise(col("o_custkey")))
+        .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+      val tables = new java.io.File(src).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+      for (t <- tables; if t != "orders.parquet")
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(s"$tmp/$t"),
+          java.nio.file.Paths.get(s"$src/$t"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/_SKEW_READY"),
+        s"src=$src copies=$Copies hotTenths=$HotTenths hotKey=$hotKey\n"
+          .getBytes("UTF-8"))
+      ()
+    }
+
+  /** (stageId, taskDurationMs) stream; settle() polls the async listener
+    * bus until quiet (the ShuffleAudit pattern). */
+  private final class TaskDurationListener extends SparkListener {
+    private val q = new ConcurrentLinkedQueue[(Int, Long)]
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      if (t.taskInfo != null) { q.add((t.stageId, t.taskInfo.duration)); () }
+    def settleAndDrain(): Seq[(Int, Long)] = {
+      var prev = q.size
+      var stable = 0
+      while (stable < 2) {
+        Thread.sleep(100)
+        val cur = q.size
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      val out = Seq.newBuilder[(Int, Long)]
+      var e = q.poll()
+      while (e != null) { out += e; e = q.poll() }
+      out.result()
+    }
+  }
+
+  /** Order-independent 64-bit checksum of a full result (xor of per-row
+    * xxhash64) — how strategy pairs are proven identical. bit_xor, not
+    * sum: ANSI sum(BIGINT) raises on the overflow a 45k-row hash sum
+    * certainly hits. */
+  private def checksum(df: DataFrame): Long =
+    df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
+      .agg(expr("bit_xor(h)")).head.getLong(0)
+
+  private def cents(c: String) =
+    expr(s"CAST(round(CAST($c AS DECIMAL(18,4)) * 100, 0) AS BIGINT)")
+
+  /** The one logical join result all four strategies must produce. */
+  private def rollup(joined: DataFrame): DataFrame =
+    joined.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("spend_cents"))
+
+  private def ordersSlim(spark: SparkSession, d: String): DataFrame =
+    api.tbl(spark, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        cents("o_totalprice").as("cents"))
+
+  private def customerSlim(spark: SparkSession, d: String): DataFrame =
+    api.tbl(spark, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+
+  def joinBroadcastPlan(s: SparkSession, d: String): DataFrame =
+    rollup(ordersSlim(s, d).join(broadcast(customerSlim(s, d)),
+      col("o_custkey") === col("c_custkey")))
+
+  def joinShufflePlan(s: SparkSession, d: String): DataFrame =
+    rollup(ordersSlim(s, d).join(customerSlim(s, d),
+      col("o_custkey") === col("c_custkey")))
+
+  /** Key-only rollup: no payload survives column pruning, so the fact
+    * shuffle is pure hot-key bytes — the compressed-size blind spot. */
+  private def rollupKeyOnly(joined: DataFrame): DataFrame =
+    joined.groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+
+  def joinKeyOnlyShufflePlan(s: SparkSession, d: String): DataFrame =
+    rollupKeyOnly(ordersSlim(s, d).drop("cents").join(customerSlim(s, d),
+      col("o_custkey") === col("c_custkey")))
+
+  def joinKeyOnlySaltedPlan(s: SparkSession, d: String): DataFrame = {
+    val fact = ordersSlim(s, d).drop("cents")
+      .withColumn("salt", pmod(xxhash64(col("o_orderkey")), lit(NSalt)))
+    val dim = customerSlim(s, d)
+      .withColumn("salt", explode(sequence(lit(0L), lit(NSalt - 1L))))
+    rollupKeyOnly(fact.join(dim,
+      col("o_custkey") === col("c_custkey") && fact("salt") === dim("salt")))
+  }
+
+  def joinSaltedPlan(s: SparkSession, d: String): DataFrame = {
+    // salt from the UNIQUE column: spreads the hot join key over NSalt
+    // shuffle partitions; dim replicated NSalt× (cheap: dim ≪ fact).
+    val fact = ordersSlim(s, d)
+      .withColumn("salt", pmod(xxhash64(col("o_orderkey")), lit(NSalt)))
+    val dim = customerSlim(s, d)
+      .withColumn("salt", explode(sequence(lit(0L), lit(NSalt - 1L))))
+    rollup(fact.join(dim,
+      col("o_custkey") === col("c_custkey") && fact("salt") === dim("salt")))
+  }
+
+  def aggPlan(s: SparkSession, d: String): DataFrame =
+    ordersSlim(s, d).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("spend_cents"))
+
+  def countDistinctNative(s: SparkSession, d: String): DataFrame =
+    api.tbl(s, d, "orders").groupBy("o_custkey")
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"))
+
+  def countDistinctRewrite(s: SparkSession, d: String): DataFrame =
+    api.tbl(s, d, "orders").select("o_custkey", "o_orderkey").distinct()
+      .groupBy("o_custkey").agg(count(lit(1)).cast(LongType).as("n_orders"))
+
+  private val topkOrder: Seq[org.apache.spark.sql.Column] =
+    Seq(col("cents").desc, col("o_orderkey").asc)
+
+  def topkWindow(s: SparkSession, d: String): DataFrame =
+    ordersSlim(s, d)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_custkey")).orderBy(topkOrder: _*)))
+      .filter(col("rn") <= 3).drop("rn")
+
+  def topkSalted(s: SparkSession, d: String): DataFrame = {
+    val salted = ordersSlim(s, d)
+      .withColumn("salt", pmod(xxhash64(col("o_orderkey")), lit(NSalt)))
+    val local = salted
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_custkey"), col("salt"))
+          .orderBy(topkOrder: _*)))
+      .filter(col("rn") <= 3).drop("rn", "salt")
+    local
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_custkey")).orderBy(topkOrder: _*)))
+      .filter(col("rn") <= 3).drop("rn")
+  }
+
+  private def f3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dest = if (args.length > 1) args(1) else "/tmp/graft_skew10"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildSkew10(spark, src, dest)
+    val o = ordersSlim(spark, dest)
+    val total = o.count()
+    val hot = o.groupBy("o_custkey").count()
+      .orderBy(col("count").desc).head
+    println(s"corpus: $total orders, hot key ${hot.getLong(0)} owns " +
+      s"${hot.getLong(1)} rows (${hot.getLong(1) * 100 / total}%)")
+
+    val listener = new TaskDurationListener
+    spark.sparkContext.addSparkListener(listener)
+
+    // conf knobs toggled per strategy; everything restored after each run
+    val Defaults = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64MB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "10MB",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10MB")
+
+    def run(name: String, conf: Map[String, String],
+            plan: (SparkSession, String) => DataFrame): (Long, String) = {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        // rdd.count(), NOT Dataset.count(): count() prunes the payload
+        // columns and collapses every probe into the key-only shape
+        plan(spark, dest).rdd.count() // warm: codegen + parquet footers
+        listener.settleAndDrain()
+        val t0 = System.nanoTime()
+        val n = plan(spark, dest).rdd.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val tasks = listener.settleAndDrain()
+        val sum = checksum(plan(spark, dest))
+        // straggler signal: the WORST max/median ratio over parallel
+        // stages (≥8 tasks — tiny reduce/collect stages are trivially
+        // balanced and scan stages would dilute a shuffle straggler)
+        val byStage = tasks.groupBy(_._1).values
+          .map(_.map(_._2).sorted).filter(_.size >= 8)
+        val stageMs =
+          if (byStage.nonEmpty)
+            byStage.maxBy(ms => ms.last.toDouble / math.max(1L, ms(ms.size / 2)))
+          else tasks.map(_._2).sorted
+        val maxMs = stageMs.last
+        val p50 = stageMs(stageMs.size / 2)
+        val ratio = maxMs.toDouble / math.max(1L, p50)
+        val line =
+          s"""{"run":"$name","sec":${f3(sec)},"rows":$n,""" +
+            s""""tasks":${tasks.size},"stage_tasks":${stageMs.size},""" +
+            s""""max_task_ms":$maxMs,"stage_p50_ms":$p50,""" +
+            s""""straggler_ratio":${f3(ratio)}}"""
+        println(line)
+        (sum, line)
+      } finally Defaults.foreach { case (k, v) => spark.conf.set(k, v) }
+    }
+
+    val noBcast = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val noAqe = noBcast + ("spark.sql.adaptive.enabled" -> "false")
+    // the demo's hot partition is ~7 MB; production defaults (256 MB
+    // threshold, factor 5) target multi-GB partitions — scale the
+    // thresholds to the fixture, keep the factor at its default
+    val aqeSkew = noBcast ++ Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1MB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+
+    val results = Seq(
+      ("join", run("join_broadcast", Map.empty, joinBroadcastPlan)),
+      ("join", run("join_smj_noaqe", noAqe, joinShufflePlan)),
+      ("join", run("join_smj_aqe", aqeSkew, joinShufflePlan)),
+      ("join", run("join_salted", noAqe, joinSaltedPlan)),
+      ("joink", run("joink_smj_noaqe", noAqe, joinKeyOnlyShufflePlan)),
+      ("joink", run("joink_smj_aqe", aqeSkew, joinKeyOnlyShufflePlan)),
+      ("joink", run("joink_salted", noAqe, joinKeyOnlySaltedPlan)),
+      ("agg", run("agg_partial", noAqe, aggPlan)),
+      ("cd", run("cd_native", noAqe, countDistinctNative)),
+      ("cd", run("cd_rewrite", noAqe, countDistinctRewrite)),
+      ("topk", run("topk_window", noAqe, topkWindow)),
+      ("topk", run("topk_salted", noAqe, topkSalted)))
+
+    // every strategy group must agree on the full result
+    for ((g, rs) <- results.groupBy(_._1) if rs.map(_._2._1).distinct.size > 1)
+      throw new IllegalStateException(
+        s"CHECKSUM MISMATCH in group $g: ${rs.map(r => r._2._1)}")
+    println("CHECKSUMS OK: all strategy groups agree")
+
+    java.nio.file.Files.write(java.nio.file.Paths.get("SKEW_AUDIT.json"),
+      (s"""{"sf":"$dest","total_orders":$total,""" +
+        s""""hot_key_rows":${hot.getLong(1)},"runs":[\n""" +
+        results.map(_._2._2).mkString(",\n") + "\n]}\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Correctness pins for the SkewAudit strategy pairs: every physical
+  * strategy of a probe must return the identical logical result, and the
+  * plan facts the audit's findings rest on (map-side WindowGroupLimit,
+  * compound-key distinct rewrite) must hold. The STRAGGLER measurements
+  * live in SkewAudit/SKEW_AUDIT.json (they need the decade-sized hot
+  * key); this spec keeps the equivalences honest at test scale. */
+class SkewSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = "/tmp/graft_skew_test__sf0001"
+    SkewAudit.buildSkew10(spark, "/root/testdata/sf0.001", d)
+    d
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("skew corpus plants a dominant hot key with FK-clean orders") {
+    val o = api.tbl(spark, dir, "orders")
+    val total = o.count()
+    val top = o.groupBy("o_custkey").count()
+      .orderBy(org.apache.spark.sql.functions.col("count").desc).head
+    assert(total == 10 * api.tbl(spark, "/root/testdata/sf0.001", "orders").count())
+    assert(top.getLong(1) * 100 / total >= 25, s"hot share too low: $top")
+    // every o_custkey resolves against the uncopied customer dim
+    val orphans = o.join(api.tbl(spark, dir, "customer"),
+      o("o_custkey") === org.apache.spark.sql.functions.col("c_custkey"),
+      "left_anti").count()
+    assert(orphans == 0L)
+  }
+
+  test("all four join strategies produce the identical rollup") {
+    val expected = rows(SkewAudit.joinBroadcastPlan(spark, dir))
+    assert(rows(SkewAudit.joinShufflePlan(spark, dir)) == expected)
+    assert(rows(SkewAudit.joinSaltedPlan(spark, dir)) == expected)
+  }
+
+  test("key-only join strategies agree (the compressed-size blind-spot pair)") {
+    val expected = rows(SkewAudit.joinKeyOnlyShufflePlan(spark, dir))
+    assert(rows(SkewAudit.joinKeyOnlySaltedPlan(spark, dir)) == expected)
+  }
+
+  test("native count-distinct equals the dedup-then-count rewrite") {
+    assert(rows(SkewAudit.countDistinctNative(spark, dir)) ==
+      rows(SkewAudit.countDistinctRewrite(spark, dir)))
+  }
+
+  test("salted two-stage top-k equals the plain window top-k") {
+    assert(rows(SkewAudit.topkSalted(spark, dir)) ==
+      rows(SkewAudit.topkWindow(spark, dir)))
+  }
+
+  test("plain top-k plans a PARTIAL map-side WindowGroupLimit before the exchange") {
+    // the audit's finding that the window top-k is skew-safe as-is
+    // rests on this rewrite existing; pin it against Spark upgrades
+    val df = SkewAudit.topkWindow(spark, dir)
+    df.collect()
+    val nodes = flattenPlan(df.queryExecution.executedPlan)
+      .map(_.getClass.getSimpleName)
+    assert(nodes.count(_.contains("WindowGroupLimit")) >= 2,
+      s"expected Partial+Final WindowGroupLimitExec, plan nodes: $nodes")
+  }
+}
