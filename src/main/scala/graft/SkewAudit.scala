@@ -143,7 +143,7 @@ object SkewAudit {
     * xxhash64) — how strategy pairs are proven identical. bit_xor, not
     * sum: ANSI sum(BIGINT) raises on the overflow a 45k-row hash sum
     * certainly hits. */
-  private def checksum(df: DataFrame): Long =
+  private[graft] def checksum(df: DataFrame): Long =
     df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
       .agg(expr("bit_xor(h)")).head.getLong(0)
 
