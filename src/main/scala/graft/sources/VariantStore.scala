@@ -334,9 +334,12 @@ object VariantStore {
     * already left the manifest — a concurrent COMPACTOR won — the pass
     * ABORTS: it un-publishes its staged generation and leaves the store
     * untouched, the guard against silent double-splice row duplication.
-    * Fold files are deleted only after the new manifest is live (crash
-    * in between leaves a readable store + orphans, the batch-commit
-    * ordering contract). */
+    * Fold files are RETIRED (de-manifested but left on disk for the
+    * orphan-sweep grace window) only after the new manifest is live: a
+    * crash in between leaves a readable store + orphans (the
+    * batch-commit ordering contract), and a reader that resolved the
+    * pre-splice manifest finishes against intact files — non-blocking
+    * reads under compaction, the deferred-vacuum contract. */
   private def spliceCompacted(path: String, fold: Seq[ManifestEntry],
       merged: DataFrame, keyCol: String, numRanges: Int,
       beforeSplice: () => Unit): Unit = {
@@ -364,7 +367,12 @@ object VariantStore {
       }
     }
     if (spliced)
-      fold.foreach(e => java.nio.file.Files.deleteIfExists(dir.resolve(e.file)))
+      // RETIRE, don't delete: a reader that resolved the pre-splice
+      // manifest (file list captured at DataFrame construction) must
+      // finish its scan against intact files — the fold set stays on
+      // disk for the sweep grace and is reaped as an aged orphan by a
+      // later maintenance pass ([[StoreManifest.retire]]).
+      fold.foreach(e => StoreManifest.retire(dir, e.file))
     else // abort: un-publish OUR merged generation; the store is untouched
       mergedLines.map(StoreManifest.parse)
         .foreach(e => java.nio.file.Files.deleteIfExists(dir.resolve(e.file)))
@@ -402,6 +410,20 @@ object VariantStore {
     * copies); the local-FS copy here is the portable stand-in. */
   def snapshot(path: String, dest: String, asOf: Long = Long.MaxValue): Unit =
     snapshotImpl(path, dest, asOf, () => ())
+
+  /** Maintenance sweep — the VACUUM verb (Delta VACUUM / Iceberg
+    * expire-files analog): physically delete files no CURRENT manifest
+    * line references once they have sat unreferenced past `graceMs` —
+    * generations RETIRED by compaction's splice or a truncate commit
+    * ([[StoreManifest.retire]]), plus crashed-writer leftovers. The
+    * grace window is the non-blocking-read contract: a reader holds the
+    * file list it resolved from the manifest at DataFrame construction,
+    * and retired files must outlive the longest running scan. Safe to
+    * run any time (the keep set is read under the manifest lock, so a
+    * concurrent commit's files are never swept); compaction and truncate
+    * also run it opportunistically with the default grace. */
+  def vacuum(path: String, graceMs: Long = 3600000L): Unit =
+    StoreManifest.sweepAgedOrphans(java.nio.file.Paths.get(path), graceMs = graceMs)
 
   /** Test seam: `afterManifestRead` runs between the locked manifest
     * read and the file copies — the window in which a concurrent

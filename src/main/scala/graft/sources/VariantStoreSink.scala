@@ -288,6 +288,26 @@ private[sources] object StoreManifest {
       .foreach(_.delete()))
   }
 
+  /** Retire a just-DE-MANIFESTED generation file: leave it on disk so a
+    * reader that resolved the PREVIOUS manifest — a long scan racing this
+    * compaction/truncate (Spark captures the file list at DataFrame
+    * construction, [[graft.sources.VariantStore.readRange]]), or a
+    * snapshot mid-copy — finishes against intact files instead of dying
+    * on a vanished split. This is the deferred-vacuum model every MVCC
+    * table format uses (Delta VACUUM, Iceberg expire_snapshots, HBase
+    * archived HFiles): physical delete happens in [[sweepAgedOrphans]]
+    * once the file has been unreferenced past the grace window. Touching
+    * the mtime restarts the grace clock at RETIREMENT — the file's write
+    * time may be arbitrarily old, but the reader window starts when it
+    * leaves the manifest. Disk rent: one grace window of replaced
+    * generations, the standard price of non-blocking reads. Never used
+    * for files no manifest line ever referenced (aborted staging, task
+    * leftovers) — no reader can hold those, so they delete immediately. */
+  def retire(dir: java.nio.file.Path, file: String): Unit = {
+    val f = dir.resolve(file).toFile
+    if (f.exists()) { f.setLastModified(System.currentTimeMillis()); () }
+  }
+
   def writeLines(dir: java.nio.file.Path, lines: Seq[String]): Unit = {
     val tmp = java.nio.file.Files.createTempFile(dir, FileName, ".tmp")
     java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
@@ -334,19 +354,23 @@ private[sources] class StoreBatchWrite(
     }
     val keep = commits.map(_.file).toSet
     StoreManifest.withManifestLock(dir) {
-      // truncate semantics: the delete set is the PRE-overwrite
-      // manifest's files, computed and reaped UNDER the same lock that
-      // publishes the new manifest. Two reasons this is the only safe
-      // shape: (a) an appender committing between publish and an
-      // unlocked reap would merge into the new manifest while the reap
-      // deletes nothing it references (old-manifest files cannot be
+      // truncate semantics: the retire set is the PRE-overwrite
+      // manifest's files, computed UNDER the same lock that publishes
+      // the new manifest. Two reasons this is the only safe shape:
+      // (a) an appender committing between publish and an unlocked
+      // pass would merge into the new manifest while this pass touches
+      // nothing it references (old-manifest files cannot be
       // re-referenced once replaced); (b) a concurrent writer's TASK
       // files exist on disk before its (lock-blocked) driver commit, so
-      // a directory-listing reap could delete data a manifest is about
-      // to reference — the manifest-derived set never can.
+      // a directory-listing pass could claim data a manifest is about
+      // to reference — the manifest-derived set never can. The files
+      // are RETIRED, not deleted: a reader mid-scan of the replaced
+      // table (file list captured at DataFrame construction) finishes
+      // against intact files; the aged-orphan sweep reaps them after
+      // the grace ([[StoreManifest.retire]]).
       val previous = StoreManifest.readLines(dir).map(StoreManifest.parse(_).file)
       StoreManifest.writeLines(dir, commits.map(StoreManifest.render).sorted)
-      previous.filterNot(keep).foreach(f => java.nio.file.Files.deleteIfExists(dir.resolve(f)))
+      previous.filterNot(keep).foreach(f => StoreManifest.retire(dir, f))
     }
     // Aged orphan sweep, OUTSIDE the lock: crashed-application leftovers
     // (task files no manifest ever referenced, `_MANIFEST*.tmp` from a

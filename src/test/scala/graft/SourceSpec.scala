@@ -440,6 +440,7 @@ class SourceSpec extends SparkSpec {
     def snap(t: Long) = VariantStore.readAsOf(spark, dir, schema, t)
       .select("key", "payload").as[(Long, String)].collect().toSet
     val (liveBefore, s35) = (live(), snap(35L))
+    val preFiles = manifestFiles()
 
     // loser pass: its fold set (the 4 smallest gens) is stolen by the
     // winner, a real compactMinor that completes inside the race window
@@ -455,11 +456,21 @@ class SourceSpec extends SparkSpec {
     // no manifest-listed file is lost
     assert(after.forall(f => java.nio.file.Files.exists(
       java.nio.file.Paths.get(dir).resolve(f))), "manifest lists a missing file")
-    // the loser un-published its merged generation: no orphan parquet
-    // on disk beyond the manifest (orphans would re-enter via a later
-    // directory listing or leak forever)
+    // the loser un-published its merged generation IMMEDIATELY (never
+    // manifested — no reader can hold it); the winner's fold set is
+    // RETIRED (de-manifested, on disk for the sweep grace): the only
+    // extra-manifest parquet must be pre-race generations, never a
+    // loser leak
+    val retired = diskParquet() -- after
+    assert(retired.subsetOf(preFiles),
+      s"unexpected leftovers beyond the retired fold set: ${retired -- preFiles}")
+    // grace expiry: backdate the retired files and vacuum — disk
+    // collapses to exactly the manifest
+    retired.foreach(f => new java.io.File(dir, f)
+      .setLastModified(System.currentTimeMillis() - 7200000L))
+    VariantStore.vacuum(dir)
     assert(diskParquet() == after,
-      s"orphan generation files left by the aborted pass: ${diskParquet() -- after}")
+      s"aged retired files survived the vacuum: ${diskParquet() -- after}")
     // reads are bit-identical — and row counts too (duplication from a
     // double-splice would survive a set-compare of distinct cells)
     assert(live() == liveBefore, "live view changed across the aborted race")
@@ -533,6 +544,7 @@ class SourceSpec extends SparkSpec {
       .readRange(spark, dir, schema, Long.MinValue, Long.MaxValue)
       .select("key", "payload").as[(Long, String)].collect().toSet
     val liveBefore = live()
+    val preFiles = manifestFiles()
 
     VariantStore.compactImpl(spark, dir, schema, numRanges = 1,
       horizon = Long.MinValue,
@@ -541,8 +553,16 @@ class SourceSpec extends SparkSpec {
 
     val after = manifestFiles()
     assert(after.size == 1, s"expected the winner's single generation, got $after")
+    // loser's staged generation un-published immediately; winner's fold
+    // set retired for the reader grace — nothing else may linger
+    val retired = diskParquet() -- after
+    assert(retired.subsetOf(preFiles),
+      s"unexpected leftovers beyond the retired fold set: ${retired -- preFiles}")
+    retired.foreach(f => new java.io.File(dir, f)
+      .setLastModified(System.currentTimeMillis() - 7200000L))
+    VariantStore.vacuum(dir)
     assert(diskParquet() == after,
-      s"orphan generation files left by the aborted pass: ${diskParquet() -- after}")
+      s"aged retired files survived the vacuum: ${diskParquet() -- after}")
     assert(live() == liveBefore, "live view changed across the aborted race")
     val liveRows = VariantStore
       .readRange(spark, dir, schema, Long.MinValue, Long.MaxValue).count()
