@@ -39,14 +39,22 @@ object api {
     * floor). The fixture tables are immutable for the life of a
     * session, so resolving each (dir, table) once per session is the
     * path-read analog of the catalog relation cache: same plans, same
-    * results, the per-call constant paid once. Keyed weakly by session
-    * so stopped test sessions unpin their entries; DataFrames are
+    * results, the per-call constant paid once. DataFrames are
     * immutable and thread-safe to share, and reusing ONE relation
     * instance also lets repeated plans against the same table skip
-    * re-analysis of the relation subtree (~70 ms/plan measured). */
+    * re-analysis of the relation subtree (~70 ms/plan measured).
+    *
+    * Retention: the outer map is weak-keyed by session, but a cached
+    * DataFrame strongly references its own session — held directly,
+    * the value would pin the key and the entry could NEVER collect
+    * (cached relations accumulating across sessions in a long-lived
+    * test JVM). Values are therefore SoftReferences: under heap
+    * pressure the GC clears them first, which un-pins the session, and
+    * the weak entry follows. A cleared ref is just a cache miss — the
+    * relation re-resolves. */
   private val tblCache =
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+      java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[DataFrame]]]()
 
   /** Load one of the driver-generated tables (TESTDATA.md). Plain
     * `spark.read.parquet` — schema comes from the footer, scans are
@@ -66,12 +74,20 @@ object api {
     val perSession = tblCache.synchronized {
       var m = tblCache.get(spark)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        m = new java.util.concurrent.ConcurrentHashMap[String,
+          java.lang.ref.SoftReference[DataFrame]]()
         tblCache.put(spark, m)
       }
       m
     }
-    perSession.computeIfAbsent(s"$sfDir/$name", _ => loadTbl(spark, sfDir, name))
+    val key = s"$sfDir/$name"
+    Option(perSession.get(key)).flatMap(r => Option(r.get)).getOrElse {
+      val df = loadTbl(spark, sfDir, name)
+      // benign race: concurrent loaders resolve the same immutable
+      // relation; last put wins
+      perSession.put(key, new java.lang.ref.SoftReference(df))
+      df
+    }
   }
 
   private def loadTbl(spark: SparkSession, sfDir: String, name: String): DataFrame =

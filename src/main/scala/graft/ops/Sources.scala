@@ -235,8 +235,15 @@ object Sources {
       .repartitionByRange(8, col("key")).sortWithinPartitions("key")
       .write.format("graft.sources.VariantStoreSink")
       .option("path", dir).mode("overwrite").save()
-    // read the directory: the listing skips _-prefixed files (_MANIFEST)
-    s.read.schema("key LONG, payload STRING").parquet(dir)
+    // Read back THROUGH THE MANIFEST (full key range) — the manifest IS
+    // the store's read contract. A raw directory glob was only correct
+    // under immediate-delete truncate semantics: since the deferred
+    // vacuum (r15), an overwrite RETIRES the previous generation's files
+    // in place for the grace window, so a second run in one session
+    // (the driver's Bench-then-Verify schedule) would list and
+    // double-count them. DoubleDriveSpec pins the run-twice contract.
+    graft.sources.VariantStore
+      .readRange(s, dir, "key LONG, payload STRING", Long.MinValue, Long.MaxValue)
       .groupBy("payload")
       .agg(count(lit(1)).as("n"), sum(col("key")).cast(LongType).as("sum_key"))
       .orderBy("payload")

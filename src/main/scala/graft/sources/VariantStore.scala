@@ -425,6 +425,18 @@ object VariantStore {
   def vacuum(path: String, graceMs: Long = 3600000L): Unit =
     StoreManifest.sweepAgedOrphans(java.nio.file.Paths.get(path), graceMs = graceMs)
 
+  /** Configure the store's retired-file retention (the Delta
+    * `deletedFileRetentionDuration` table-property analog, persisted as
+    * a `_GRACE` sidecar): how long a generation DE-MANIFESTED by a
+    * truncate commit or a compaction splice stays on disk for in-flight
+    * readers before maintenance may reclaim it. `0` opts the store into
+    * IMMEDIATE reclaim on retirement — only safe when the caller owns
+    * every reader (single-process temp stores, test fixtures); the
+    * default one hour is the non-blocking-read contract
+    * ([[StoreManifest.retire]]). */
+  def setGrace(path: String, ms: Long): Unit =
+    StoreManifest.setGrace(java.nio.file.Paths.get(path), ms)
+
   /** Test seam: `afterManifestRead` runs between the locked manifest
     * read and the file copies — the window in which a concurrent
     * compactor can delete a listed generation. Production callers go
@@ -447,9 +459,16 @@ object VariantStore {
     var done = false
     while (!done) {
       attempt += 1
-      // consistent manifest snapshot under the lock (concurrent
-      // appenders cannot tear the line list mid-read)
-      val lines = StoreManifest.withManifestLock(srcDir) { StoreManifest.readLines(srcDir) }
+      // consistent manifest + epoch-mark snapshot under ONE lock hold:
+      // reading the mark file separately (after the data copies, as an
+      // earlier version did) let a streaming epoch commit land in
+      // between, producing a clone whose mark claims an epoch whose
+      // generation the clone's manifest lacks — a replay of that epoch
+      // against the clone would be discarded as already-durable, silent
+      // row loss. Captured together, mark ⊆ manifest always holds.
+      val (lines, hwms) = StoreManifest.withManifestLock(srcDir) {
+        (StoreManifest.readLines(srcDir), StoreManifest.readEpochHwms(srcDir))
+      }
       val kept = lines.filter(l => StoreManifest.parse(l).minVer <= asOf)
       if (attempt == 1) afterManifestRead()
       try {
@@ -465,14 +484,11 @@ object VariantStore {
         // epoch's replay into a silent skip — permanent row loss on the
         // clone. Omitting it degrades a stream resumed against the fork
         // to at-least-once (the replay re-appends); duplication is
-        // recoverable, silent loss is not.
-        if (asOf == Long.MaxValue) {
-          val hwm = srcDir.resolve(StoreManifest.EpochHwmFile)
-          if (java.nio.file.Files.exists(hwm))
-            java.nio.file.Files.copy(hwm,
-              destDir.resolve(StoreManifest.EpochHwmFile),
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
+        // recoverable, silent loss is not. The clone gets the map
+        // CAPTURED with the manifest above, never a re-read of the live
+        // file.
+        if (asOf == Long.MaxValue && hwms.nonEmpty)
+          StoreManifest.writeEpochHwms(destDir, hwms)
         done = true
       } catch {
         case _: java.nio.file.NoSuchFileException if attempt < 3 =>

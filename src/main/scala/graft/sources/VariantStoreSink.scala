@@ -228,11 +228,17 @@ private[sources] object StoreManifest {
     * monotone per query and other queries' entries are preserved. */
   def writeEpochHwm(dir: java.nio.file.Path, queryId: String, epoch: Long): Unit = {
     val existing = readEpochHwms(dir)
-    val merged = existing +
-      (queryId -> math.max(existing.getOrElse(queryId, Long.MinValue), epoch))
+    writeEpochHwms(dir,
+      existing + (queryId -> math.max(existing.getOrElse(queryId, Long.MinValue), epoch)))
+  }
+
+  /** Atomically replace the whole mark file with `marks` — the
+    * snapshot/clone path writes a map CAPTURED under the same manifest
+    * lock as the cloned line list, never a re-read of the live file. */
+  def writeEpochHwms(dir: java.nio.file.Path, marks: Map[String, Long]): Unit = {
     val tmp = java.nio.file.Files.createTempFile(dir, EpochHwmFile, ".tmp")
     java.nio.file.Files.write(tmp,
-      merged.toSeq.sorted.map { case (q, e) => s"$q|$e" }
+      marks.toSeq.sorted.map { case (q, e) => s"$q|$e" }
         .mkString("\n").getBytes("UTF-8"))
     try java.nio.file.Files.move(tmp, dir.resolve(EpochHwmFile),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -266,22 +272,51 @@ private[sources] object StoreManifest {
     case _ => None
   }
 
+  /** Per-store retired-file retention (ms), the Delta
+    * `deletedFileRetentionDuration` analog: how long a DE-MANIFESTED
+    * generation must stay on disk for in-flight readers before
+    * [[sweepAgedOrphans]] may reclaim it. Configured by an optional
+    * `_GRACE` sidecar ([[VariantStore.setGrace]]); default one hour.
+    * `0` opts a store into IMMEDIATE reclaim — [[retire]] deletes on
+    * the spot — which is only safe when the caller owns every reader
+    * (test fixtures, single-process temp stores): it is the seam the
+    * durability specs use to assert prompt disk==manifest, and the
+    * knob a caller-owned scratch store uses to avoid paying a grace
+    * window of disk rent it cannot need. */
+  val GraceFile = "_GRACE"
+  val DefaultGraceMs = 3600000L
+
+  def graceFor(dir: java.nio.file.Path): Long = {
+    val f = dir.resolve(GraceFile)
+    if (!java.nio.file.Files.exists(f)) DefaultGraceMs
+    else scala.util.Try(new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      .trim.toLong).getOrElse(DefaultGraceMs)
+  }
+
+  def setGrace(dir: java.nio.file.Path, ms: Long): Unit = {
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve(GraceFile),
+      ms.toString.getBytes("UTF-8"))
+  }
+
   /** Aged-orphan sweep shared by the batch truncate commit and the
     * compaction splice — the ONE definition of the reap policy: files no
     * CURRENT manifest line references (crashed-writer tasks, a
     * staged-but-never-spliced generation from a compactor that died in
-    * its race window) are deleted once aged past `graceMs`. The keep set
-    * is read under the manifest lock and always protects the metadata
-    * sidecars; `extraKeep` lets a caller shield files it just published.
-    * The grace protects in-flight concurrent writers — their task files
-    * exist on disk seconds before their (lock-blocked) driver commit
-    * publishes them. */
+    * its race window, generations RETIRED past their window) are deleted
+    * once aged past the grace (negative `graceMs` ⇒ the store's
+    * configured [[graceFor]]). The keep set is read under the manifest
+    * lock and always protects the metadata sidecars; `extraKeep` lets a
+    * caller shield files it just published. The grace protects in-flight
+    * concurrent writers — their task files exist on disk seconds before
+    * their (lock-blocked) driver commit publishes them. */
   def sweepAgedOrphans(dir: java.nio.file.Path,
-      extraKeep: Set[String] = Set.empty, graceMs: Long = 3600000L): Unit = {
+      extraKeep: Set[String] = Set.empty, graceMs: Long = -1L): Unit = {
     val keep = withManifestLock(dir) {
       readLines(dir).map(parse(_).file).toSet
-    } ++ extraKeep + FileName + (FileName + ".lck") + EpochHwmFile
-    val cutoff = System.currentTimeMillis() - graceMs
+    } ++ extraKeep + FileName + (FileName + ".lck") + EpochHwmFile + GraceFile
+    val grace = if (graceMs < 0) graceFor(dir) else graceMs
+    val cutoff = System.currentTimeMillis() - grace
     Option(dir.toFile.listFiles()).foreach(_
       .filterNot(f => keep(f.getName))
       .filter(_.lastModified < cutoff)
@@ -302,10 +337,15 @@ private[sources] object StoreManifest {
     * leaves the manifest. Disk rent: one grace window of replaced
     * generations, the standard price of non-blocking reads. Never used
     * for files no manifest line ever referenced (aborted staging, task
-    * leftovers) — no reader can hold those, so they delete immediately. */
+    * leftovers) — no reader can hold those, so they delete immediately.
+    * A store configured to zero grace ([[graceFor]]) has declared it
+    * owns every reader, so retirement degenerates to immediate delete —
+    * the test/temp-store seam. */
   def retire(dir: java.nio.file.Path, file: String): Unit = {
     val f = dir.resolve(file).toFile
-    if (f.exists()) { f.setLastModified(System.currentTimeMillis()); () }
+    if (!f.exists()) ()
+    else if (graceFor(dir) <= 0L) { f.delete(); () }
+    else { f.setLastModified(System.currentTimeMillis()); () }
   }
 
   def writeLines(dir: java.nio.file.Path, lines: Seq[String]): Unit = {
@@ -378,7 +418,7 @@ private[sources] class StoreBatchWrite(
     // policy with the compaction splice — see
     // [[StoreManifest.sweepAgedOrphans]].
     StoreManifest.sweepAgedOrphans(dir, extraKeep = keep,
-      graceMs = 3600000L + (System.currentTimeMillis() - t0))
+      graceMs = StoreManifest.graceFor(dir) + (System.currentTimeMillis() - t0))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

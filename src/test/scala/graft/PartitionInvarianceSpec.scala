@@ -92,9 +92,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_string_agg", "q_topk", "q_topk_per_group", "q_lateral_topk",
     "q_hybrid_rrf", "q_bm25", "q_tfidf", "q_lm_score",
     "q_token_entropy", "q_inverted_index", "q_feature_hash",
-    // windows with tie potential / sessionization
+    // windows with tie potential / sessionization / multi-stage prefix sums
     "q_window_ntile", "q_window_range", "q_window_frame",
-    "q_funnel", "q_session_paths", "q_sessionize",
+    "q_funnel", "q_session_paths", "q_sessionize", "q_seq_pack",
     // gVCF allele-merge order sensitivity
     "q_combine_merge", "q_genotype_gvcf", "q_merge_bands")
 

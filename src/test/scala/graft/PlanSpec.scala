@@ -243,14 +243,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q_seq_pack's packing window is partitioned (no global single-partition window)") {
+  test("q_seq_pack packs within (lang, bucket) shards and broadcasts the boundary stitch") {
     val p = plan(Pipeline.seqPack)
     assert(p.contains("Window"))
-    assert(!p.contains("Window [") || !p.contains("windowspecdefinition(doc_id"),
-      "window must partition by lang")
-    // a single-partition window would show as 'SinglePartition' feeding WindowExec
-    assert(!p.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id"),
-      s"global window exchange found:\n${p.take(2000)}")
+    // every window must carry a partition spec — a GLOBAL window would
+    // print `windowspecdefinition(<order> ASC` with no partition columns
+    // and run single-task. (The plan's one SinglePartition exchange is
+    // the 1-row max(doc_id) scalar aggregate — fine.)
+    assert(!p.contains("windowspecdefinition(doc_id") &&
+      !p.contains("windowspecdefinition(bucket"),
+      s"unpartitioned window found:\n${p.take(2000)}")
+    // the CORPUS cumsum must shard on (lang, bucket) — a lang-only window
+    // bounds parallelism by language count (5), the r15 weak-for-scale plan
+    assert(p.contains("hashpartitioning(lang") && p.contains("bucket"),
+      s"corpus window must partition by (lang, bucket):\n${p.take(2000)}")
+    // shard base offsets come back as a broadcast, never a corpus re-shuffle
+    assert(p.contains("BroadcastHashJoin"),
+      "boundary-stitch bases must broadcast onto the sharded corpus")
   }
 
   test("q_mix_sample's sampling pass is a broadcast-joined map-side filter") {

@@ -614,10 +614,24 @@ class SourceSpec extends SparkSpec {
       .setLastModified(System.currentTimeMillis() - 7200000L))
     val fresh = new java.io.File(dir, "part-fresh-orphan.parquet")
     java.nio.file.Files.write(fresh.toPath, Array[Byte](1, 2, 3))
+    val preFold = manifestFiles()
     VariantStore.compact(spark, dir, schema, numRanges = 1)
     val leftOver = diskParquet() -- manifestFiles()
-    assert(leftOver == Set("part-fresh-orphan.parquet"),
-      s"sweep should reap exactly the AGED orphans, left: $leftOver")
+    // Deferred-vacuum contract: the compactor RETIRES its fold set in
+    // place (still on disk inside the grace window for in-flight
+    // readers); the sweep reaps exactly the AGED crash orphans and
+    // nothing fresh — not the just-retired generations, not the fresh
+    // orphan (a concurrent writer's possible task output).
+    assert(leftOver == preFold + "part-fresh-orphan.parquet",
+      s"sweep should reap exactly the AGED orphans, left: $leftOver vs retired $preFold")
+    assert(live() == liveBefore)
+    // once the retired fold set ages past the grace, vacuum reclaims it;
+    // the still-fresh orphan keeps its protection
+    preFold.foreach(f => new java.io.File(dir, f)
+      .setLastModified(System.currentTimeMillis() - 7200000L))
+    VariantStore.vacuum(dir)
+    assert(diskParquet() -- manifestFiles() == Set("part-fresh-orphan.parquet"),
+      s"aged retired generations survived the vacuum: ${diskParquet() -- manifestFiles()}")
     assert(live() == liveBefore)
   }
 
@@ -627,7 +641,14 @@ class SourceSpec extends SparkSpec {
     // snapshot with NoSuchFileException. The retry loop must land the
     // clone on the fresh post-splice manifest, with reads bit-identical
     // to the source (both file sets resolve the same cells).
+    // Zero grace opts this caller-owned temp store into IMMEDIATE
+    // reclaim on retirement, which is what arms the race: under the
+    // default deferred vacuum the retired fold set stays readable for
+    // the grace window and the snapshot simply succeeds on the
+    // pre-splice manifest (the non-blocking-read contract, covered by
+    // the deferred-vacuum variant below).
     val dir = sinkDir("snaprace")
+    VariantStore.setGrace(dir, 0L)
     val schema = "key LONG, ver LONG, payload STRING"
     def gen(ver: Long, rows: Seq[(Long, String)], mode: String): Unit =
       rows.toDF("key", "payload")
@@ -654,6 +675,44 @@ class SourceSpec extends SparkSpec {
     // isolation still holds: mutate the source, clone unchanged
     gen(30L, Seq((1L, "post-snap")), "append")
     assert(live(dest) == liveBefore)
+  }
+
+  test("snapshot during compaction under deferred vacuum reads the retired generation without retry") {
+    // The default grace window is WHY reads are non-blocking: a
+    // compactor splicing mid-snapshot retires (not deletes) the fold
+    // set, so the snapshot's already-captured pre-splice manifest still
+    // resolves every file and the clone lands first try — consistent,
+    // just on the older (equivalent) manifest. This is the production
+    // path; the zero-grace variant above is the test seam that forces
+    // the retry loop.
+    val dir = sinkDir("snapgrace")
+    val schema = "key LONG, ver LONG, payload STRING"
+    def gen(ver: Long, rows: Seq[(Long, String)], mode: String): Unit =
+      rows.toDF("key", "payload")
+        .select($"key", lit(ver).as("ver"), $"payload")
+        .coalesce(1).sortWithinPartitions("key")
+        .write.format("graft.sources.VariantStoreSink")
+        .option("path", dir).mode(mode).save()
+    gen(10L, (1L to 20L).map(k => (k, s"base$k")), "overwrite")
+    gen(20L, Seq((7L, "v20")), "append")
+    def live(d: String) = VariantStore
+      .readRange(spark, d, schema, Long.MinValue, Long.MaxValue)
+      .select("key", "payload").as[(Long, String)].collect().toSet
+    val liveBefore = live(dir)
+    val dest = sinkDir("snapgraceclone")
+
+    VariantStore.snapshotImpl(dir, dest, Long.MaxValue,
+      afterManifestRead =
+        () => VariantStore.compact(spark, dir, schema, numRanges = 1))
+
+    assert(live(dest) == liveBefore,
+      "clone diverged reading the retired pre-splice generation")
+    // first-try clone: the pre-splice manifest's two generations
+    assert(VariantStore.rangeFiles(dest, Long.MinValue, Long.MaxValue).size == 2,
+      "deferred vacuum should let the pre-splice snapshot land without retry")
+    // the source folded to one generation and still reads identically
+    assert(VariantStore.rangeFiles(dir, Long.MinValue, Long.MaxValue).size == 1)
+    assert(live(dir) == liveBefore)
   }
 
   test("randomized generation lifecycle matches a driver-side version-resolution reference") {

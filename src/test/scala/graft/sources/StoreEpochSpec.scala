@@ -80,6 +80,9 @@ class StoreEpochSpec extends graft.SparkSpec {
     // epoch high-water mark is the durable witness that must turn the
     // replay into a no-op (and reap the replay's task files).
     val dir = java.nio.file.Files.createTempDirectory("graft_epoch_fold").toString
+    // caller-owned temp store: zero grace ⇒ retirement reclaims
+    // immediately, so disk == manifest is assertable right after the fold
+    VariantStore.setGrace(dir, 0L)
     val write = new StoreStreamingWrite(dir, schema, "test-query")
     write.commit(5L, Array(epochFiles(dir, 5L, Seq((1L, 5L, "a5"), (2L, 5L, "b5")))))
     write.commit(6L, Array(epochFiles(dir, 6L, Seq((1L, 6L, "a6"), (3L, 6L, "c6")))))
