@@ -489,6 +489,15 @@ object VariantStore {
         // file.
         if (asOf == Long.MaxValue && hwms.nonEmpty)
           StoreManifest.writeEpochHwms(destDir, hwms)
+        // retention is a table property, not data: every clone (as-of
+        // forks included) keeps the source's configured grace — a
+        // zero-grace scratch store must not fork into a store paying an
+        // hour of disk rent, and vice versa
+        val grace = srcDir.resolve(StoreManifest.GraceFile)
+        if (java.nio.file.Files.exists(grace))
+          java.nio.file.Files.copy(grace,
+            destDir.resolve(StoreManifest.GraceFile),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         done = true
       } catch {
         case _: java.nio.file.NoSuchFileException if attempt < 3 =>

@@ -318,6 +318,7 @@ class StoreEpochSpec extends graft.SparkSpec {
     // fork therefore drops the mark (at-least-once on resume), while a
     // full clone keeps the replay-after-fold guard armed.
     val dir = java.nio.file.Files.createTempDirectory("graft_epoch_snap").toString
+    VariantStore.setGrace(dir, 0L)
     val write = new StoreStreamingWrite(dir, schema, "test-query")
     write.commit(0L, Array(epochFiles(dir, 0L, Seq((1L, 10L, "a")))))
     write.commit(1L, Array(epochFiles(dir, 1L, Seq((2L, 20L, "b")))))
@@ -329,6 +330,13 @@ class StoreEpochSpec extends graft.SparkSpec {
     VariantStore.snapshot(dir, fork, asOf = 10L)
     assert(StoreManifest.readEpochHwms(java.nio.file.Paths.get(fork)).isEmpty,
       "as-of fork carried a mark for an epoch it may not hold")
+    // retention is a table property: full clones AND as-of forks keep
+    // the source's configured grace (a zero-grace scratch store must
+    // not fork into one paying an hour of disk rent)
+    assert(StoreManifest.graceFor(java.nio.file.Paths.get(full)) == 0L,
+      "full clone lost the retention policy")
+    assert(StoreManifest.graceFor(java.nio.file.Paths.get(fork)) == 0L,
+      "as-of fork lost the retention policy")
   }
 
   test("an epoch commit landing inside a compaction splice window survives") {
