@@ -835,10 +835,23 @@ object Pipeline {
       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
       |FROM pk GROUP BY lang, pack_id
       |ORDER BY lang, pack_id""".stripMargin) { (s, d) =>
+    packAssignments(tbl(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tokens")))
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("lang", "pack_id")
+  }
+
+  /** The sharded stream-offset computation behind [[seqPack]], exposed
+    * for the differential spec (SeqPackSpec drives it over adversarial
+    * synthetic streams against a naive single-window reference). Input:
+    * (lang, doc_id, n_tokens); output adds `start_off` (the document's
+    * exclusive global token offset within its language's doc_id-ordered
+    * stream) and `pack_id` (start_off div [[PackWindow]]). */
+  private[graft] val PackWindow = 2048L
+  private[graft] def packAssignments(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = tbl(s, d, "documents")
-      .select(col("lang"), col("doc_id"),
-        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
     // shard width from a 1-row metadata aggregate (broadcast scalar, the
     // q_bm25 pattern — no driver collect): ≥256 ids per shard, capped at
     // 65536 shards of the id range
@@ -861,10 +874,8 @@ object Pipeline {
       .select("lang", "bucket", "bucket_base")
     local.join(broadcast(bases), Seq("lang", "bucket"))
       .withColumn("start_off", col("bucket_base") + col("local_off"))
-      .withColumn("pack_id", expr("start_off div 2048"))
-      .groupBy("lang", "pack_id")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
-      .orderBy("lang", "pack_id")
+      .withColumn("pack_id", expr(s"start_off div $PackWindow"))
+      .select("lang", "doc_id", "n_tokens", "start_off", "pack_id")
   }
 
   /** BM25 retrieval scoring (k1=1.2, b=0.75) for a fixed 3-term query
