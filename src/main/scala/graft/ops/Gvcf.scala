@@ -843,26 +843,34 @@ object Gvcf {
         coalesce(col("gq"), lit(Int.MinValue)).as("g"),
         concat(coalesce(col("gtm"), lit("./.")), lit(":"),
           coalesce(col("gq").cast(StringType), lit("."))).as("call")))).as("es"))
-      // ONE row per (site, sample) before the map build: a sample with
-      // two records covering the same site (overlapping gVCF blocks in
-      // messy real input) would otherwise abort the whole export with a
-      // duplicate-map-key error under the default
-      // spark.sql.mapKeyDedupPolicy=EXCEPTION. The sorted entry list
-      // keeps each sample's max-(gq, call) record — deterministic, pure
-      // post-aggregation array work, no extra shuffle. NS= counts the
-      // DEDUPED map for the same reason.
-      .withColumn("m", expr(
-        "map_from_entries(transform(" +
-          "filter(es, (x, i) -> i = size(es) - 1 OR es[i + 1].k != x.k), " +
-          "x -> struct(x.k AS k, x.call AS v)))"))
+      // ONE row per (site, sample): a sample with two records covering
+      // the same site (overlapping gVCF blocks in messy real input)
+      // keeps its max-(gq, call) record via the sorted adjacent-dedup —
+      // deterministic, pure post-aggregation array work, no extra
+      // shuffle. NS= counts the DEDUPED entries for the same reason.
+      .withColumn("esd", expr(
+        "filter(es, (x, i) -> i = size(es) - 1 OR es[i + 1].k != x.k)"))
       .crossJoin(broadcast(samplesArr))
+      // Per-sample calls by SORTED MERGE, not map probe: the earlier
+      // shape built a per-site map and ran element_at(m, sample) for
+      // every cohort sample — and Catalyst map lookup is a LINEAR scan
+      // of the kv array, so each line cost O(samples²) (~4 s for 120
+      // lines at a 3,000-wide cohort, ×100 at 30,000). Covered entries
+      // and the uncovered samples' './.:.'  defaults (array_except is
+      // hash-based) are concatenated and one sort_array restores cohort
+      // order — O(samples log samples) per line, and the order is
+      // identical because `samples` was already sorted.
       .select(col("contig"), col("pos"),
         concat_ws("\t",
           col("contig"), col("pos").cast(StringType), lit("."), col("ref"), col("alt"),
           lit("."), lit("PASS"),
-          concat(lit("NS="), size(col("m")).cast(StringType)), lit("GT:GQ"),
-          array_join(transform(col("samples"),
-            n => coalesce(element_at(col("m"), n), lit("./.:."))), "\t")).as("line"))
+          concat(lit("NS="), size(col("esd")).cast(StringType)), lit("GT:GQ"),
+          array_join(expr(
+            """transform(sort_array(concat(
+              |  transform(esd, x -> struct(x.k AS k, x.call AS v)),
+              |  transform(array_except(samples, transform(esd, x -> x.k)),
+              |    n -> struct(n AS k, './.:.' AS v)))), x -> x.v)""".stripMargin),
+            "\t")).as("line"))
   }
 
   /** gVCF export over the synthetic cohort; the oracle builds the
