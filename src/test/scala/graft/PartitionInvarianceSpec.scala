@@ -95,8 +95,14 @@ class PartitionInvarianceSpec extends SparkSpec {
     // windows with tie potential / sessionization / multi-stage prefix sums
     "q_window_ntile", "q_window_range", "q_window_frame",
     "q_funnel", "q_session_paths", "q_sessionize", "q_seq_pack",
-    // gVCF allele-merge order sensitivity
-    "q_combine_merge", "q_genotype_gvcf", "q_merge_bands")
+    // gVCF allele-merge order sensitivity. The wide trio rides along
+    // since r16's collect_set rework: the merged-alt union now passes
+    // through a hash-set buffer whose iteration order is arbitrary, and
+    // the wide cohort is where those sets are largest — the final
+    // array_sort must make the output independent of it under any
+    // re-planning.
+    "q_combine_merge", "q_genotype_gvcf", "q_merge_bands",
+    "q_combine_wide", "q_genotype_wide", "q_export_wide")
 
   /** `GRAFT_INVARIANCE_ALL=true sbt "testOnly graft.PartitionInvarianceSpec"`
     * widens the gate to EVERY registered query — the exhaustive one-off
