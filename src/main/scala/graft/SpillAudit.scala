@@ -41,7 +41,10 @@ object SpillAudit {
     "q_dedup_ngram",     // 97 MB: shingle explode + band join
     "q_token_entropy",   // 33 MB: per-token hash aggregate
     "q_tpch_q7",         // multi-join + year agg
-    "q_combine_merge")   // gVCF long-format combine chain
+    "q_combine_merge",   // gVCF long-format combine chain
+    "q_combine_wide")    // r16: 30k-element per-site collect buffers
+                         // (ObjectHashAggregate fallback + window set
+                         // buffers) — the dense-cohort pressure case
 
   private final class SpillListener extends SparkListener {
     val spill = new LongAdder
