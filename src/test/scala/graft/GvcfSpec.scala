@@ -197,6 +197,23 @@ class GvcfSpec extends SparkSpec {
     assert(p15(3) == "G" && p15(4) == "A,<NON_REF>" && p15.drop(9) == Seq("0/1:99", "0/0:42", "./.:."))
   }
 
+  test("exportLines dedups a doubly-covering sample to its max-(gq, call) cell") {
+    // Messy real gVCF: sample a's two blocks BOTH cover position 9
+    // (overlapping records). The export must render exactly one cell
+    // for a — the lexicographically-max (gq, call) record, the
+    // adjacent-dedup contract — and NS must count the deduped sample
+    // once. This is the only gate that exercises the dedup branch:
+    // every synthetic cohort is overlap-free, so without this test the
+    // filter would be identity in all three oracle drives.
+    val dup = fixture.union(Seq(
+      ("a", "chr1", 5L, 12L, "block", Seq("REF"), 77)).toDF(fixture.columns: _*))
+    val p9 = Gvcf.exportLines(dup).orderBy("pos")
+      .select("line").as[String].collect().head.split("\t", -1).toSeq
+    assert(p9(7) == "NS=2", s"doubly-covered sample must count once: ${p9(7)}")
+    assert(p9.drop(9) == Seq("0/0:77", "0/1:88"),
+      s"expected a's max-gq record and one cell per sample: ${p9.drop(9)}")
+  }
+
   test("export and genotyping hold at cohort WIDTH (50-sample wide cohort)") {
     // The wide-cohort generator drives combine through the oracle
     // (q_combine_wide); this pins the OTHER two wide-row consumers at
