@@ -169,11 +169,10 @@ class RetentionSpec extends graft.SparkSpec {
   test("randomized retention schedule: reads reference-exact, vacuum " +
       "reclaims exactly the aged unreferenced set, policy travels") {
     driveSchedule(20260815L, canonical = true)
-  }
-
-  test("widened multi-seed retention sweep (GRAFT_RETENTION_SEEDS=n)") {
+    // env-gated widening (the GRAFT_INVARIANCE_ALL pattern): n extra
+    // derived seeds, invariants only — a derived seed may legitimately
+    // starve a verb, so no coverage self-defense.
     val n = sys.env.get("GRAFT_RETENTION_SEEDS").flatMap(_.toIntOption).getOrElse(0)
     for (i <- 1 to n) driveSchedule(20260815L + i * 7919L, canonical = false)
-    assert(n >= 0) // green no-op in the default CI run
   }
 }
