@@ -81,7 +81,13 @@ object api {
       m
     }
     val key = s"$sfDir/$name"
-    Option(perSession.get(key)).flatMap(r => Option(r.get)).getOrElse {
+    val cached = Option(perSession.get(key))
+    cached.flatMap(r => Option(r.get)).getOrElse {
+      // drop a GC-cleared entry so keys never re-read don't accumulate
+      // dead references over a long-lived session (value-conditional
+      // remove: only OUR dead reference is evicted, never a fresh one a
+      // concurrent loader just published)
+      cached.foreach(r => perSession.remove(key, r))
       val df = loadTbl(spark, sfDir, name)
       // benign race: concurrent loaders resolve the same immutable
       // relation; last put wins

@@ -382,8 +382,9 @@ object VariantStore {
     // Aged orphan sweep — compaction is the store's maintenance pass
     // (since the splice rework the sink's truncate-commit sweep no
     // longer runs against the REAL store dir); the shared reap policy
-    // lives in [[StoreManifest.sweepAgedOrphans]].
-    StoreManifest.sweepAgedOrphans(dir)
+    // lives in [[StoreManifest.sweepAgedOrphans]]; piggy-backed sweeps
+    // carry the concurrent-writer floor ([[StoreManifest.sweepOpportunistic]]).
+    StoreManifest.sweepOpportunistic(dir)
   }
 
   /** Snapshot/clone — the HBase table-snapshot analog: copy the CURRENT
@@ -421,8 +422,13 @@ object VariantStore {
     * and retired files must outlive the longest running scan. Safe to
     * run any time (the keep set is read under the manifest lock, so a
     * concurrent commit's files are never swept); compaction and truncate
-    * also run it opportunistically with the default grace. */
-  def vacuum(path: String, graceMs: Long = 3600000L): Unit =
+    * also run it opportunistically ([[StoreManifest.sweepOpportunistic]]).
+    * Negative `graceMs` (the default) defers to the store's configured
+    * retention ([[setGrace]] / `_GRACE` sidecar) — a store that declared
+    * a longer-than-default window keeps it through a plain
+    * `vacuum(dir)`; passing an explicit grace (including `0`) overrides
+    * the policy for this one sweep, on the caller's authority. */
+  def vacuum(path: String, graceMs: Long = -1L): Unit =
     StoreManifest.sweepAgedOrphans(java.nio.file.Paths.get(path), graceMs = graceMs)
 
   /** Configure the store's retired-file retention (the Delta
@@ -433,7 +439,11 @@ object VariantStore {
     * IMMEDIATE reclaim on retirement — only safe when the caller owns
     * every reader (single-process temp stores, test fixtures); the
     * default one hour is the non-blocking-read contract
-    * ([[StoreManifest.retire]]). */
+    * ([[StoreManifest.retire]]). The policy governs RETIRED-file rent
+    * only: opportunistic commit/compaction sweeps keep a fixed
+    * concurrent-writer floor regardless of the configured grace
+    * ([[StoreManifest.sweepOpportunistic]]), so zero grace does not
+    * expose a neighbor writer's in-flight task files. */
   def setGrace(path: String, ms: Long): Unit =
     StoreManifest.setGrace(java.nio.file.Paths.get(path), ms)
 

@@ -323,6 +323,25 @@ private[sources] object StoreManifest {
       .foreach(_.delete()))
   }
 
+  /** Floor for OPPORTUNISTIC sweeps — the passes a truncate commit or a
+    * compaction splice piggy-backs, as opposed to an explicit caller
+    * [[graft.sources.VariantStore.vacuum]]. The `_GRACE` policy governs
+    * retired-file rent (how long DE-MANIFESTED generations wait for
+    * in-flight READERS), but a piggy-backed sweep also races concurrent
+    * WRITERS: their task files exist on disk seconds before their
+    * lock-blocked driver commit publishes them, and that exposure window
+    * is a property of the writer, not of the store's retention policy —
+    * so even a zero-grace store must not let a commit-time sweep reap a
+    * neighbor's in-flight output. Explicit vacuum keeps raw caller
+    * semantics (a caller passing `0` asserts it owns every reader AND
+    * that no commit is in flight). */
+  val OpportunisticFloorMs = 60000L
+
+  def sweepOpportunistic(dir: java.nio.file.Path,
+      extraKeep: Set[String] = Set.empty, elapsedMs: Long = 0L): Unit =
+    sweepAgedOrphans(dir, extraKeep,
+      graceMs = math.max(graceFor(dir), OpportunisticFloorMs) + elapsedMs)
+
   /** Retire a just-DE-MANIFESTED generation file: leave it on disk so a
     * reader that resolved the PREVIOUS manifest — a long scan racing this
     * compaction/truncate (Spark captures the file list at DataFrame
@@ -417,8 +436,8 @@ private[sources] class StoreBatchWrite(
     // crash between createTempFile and the atomic move). Shared reap
     // policy with the compaction splice — see
     // [[StoreManifest.sweepAgedOrphans]].
-    StoreManifest.sweepAgedOrphans(dir, extraKeep = keep,
-      graceMs = StoreManifest.graceFor(dir) + (System.currentTimeMillis() - t0))
+    StoreManifest.sweepOpportunistic(dir, extraKeep = keep,
+      elapsedMs = System.currentTimeMillis() - t0)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -52,6 +52,17 @@ class RetentionSpec extends graft.SparkSpec {
     StoreManifest.readLines(java.nio.file.Paths.get(dir))
       .map(StoreManifest.parse(_).file).toSet
 
+  /** Deterministically age every unreferenced data file past "now":
+    * vacuum's cutoff is strict (`lastModified < now - grace`), and
+    * file-mtime granularity is platform-dependent (1 s on some
+    * filesystems), so a sleep shorter than the worst-case granularity
+    * makes a `vacuum(0)` flaky. Backdating the files is exact. */
+  private def ageUnreferenced(dir: String): Unit =
+    (diskDataFiles(dir) -- manifestFiles(dir)).foreach { f =>
+      new java.io.File(dir, f).setLastModified(System.currentTimeMillis() - 5000L)
+      ()
+    }
+
   private def liveRead(dir: String): Seq[(Long, Long, String)] =
     VariantStore.readRange(spark, dir, schema, Long.MinValue, Long.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
@@ -103,10 +114,9 @@ class RetentionSpec extends graft.SparkSpec {
           VariantStore.compact(spark, dir, schema, numRanges = 2)
         case 5 => // flip the retention policy mid-life
           VariantStore.setGrace(dir, if (rnd.nextBoolean()) 0L else 3600000L)
-        case 6 => // explicit maintenance: reclaim everything unreferenced.
-          // mtime has millisecond granularity and the cutoff is strict
-          // (<), so age the just-retired files past "now" first.
-          Thread.sleep(15)
+        case 6 => // explicit maintenance: reclaim everything unreferenced
+          // (the cutoff is strict, so backdate the retirees first).
+          ageUnreferenced(dir)
           VariantStore.vacuum(dir, graceMs = 0L)
           assert(diskDataFiles(dir) == manifestFiles(dir),
             s"[seed $seed] vacuum(0) left orphans or ate live files at step $step")
@@ -160,7 +170,7 @@ class RetentionSpec extends graft.SparkSpec {
       s"[seed $seed] an in-window retired file was reclaimed by a full-grace vacuum")
     assert(liveRead(dir) == reference(), s"[seed $seed] final live read diverged")
     // ... and a zero-grace vacuum then reclaims exactly that set.
-    Thread.sleep(15)
+    ageUnreferenced(dir)
     VariantStore.vacuum(dir, graceMs = 0L)
     assert(diskDataFiles(dir) == manifestFiles(dir),
       s"[seed $seed] final vacuum(0) did not collapse disk to the manifest")
