@@ -14,6 +14,20 @@ import org.apache.spark.sql.types._
   *     aggregates over money doubles, `round(x, 6)` for unavoidable float
   *     math, and a total ORDER BY on every result.
   */
+/** Test seam for the write-path audit: every entry into a
+  * persistent-scratch choke point — [[api.buildOnce]] (hit or miss),
+  * the store manifest (the ONLY read/write surface of a
+  * [[graft.sources.VariantStore]]), the catalog-backed bucketed scratch
+  * tables — bumps this counter, so a spec can DERIVE which queries
+  * depend on out-of-session state instead of hand-maintaining the
+  * run-twice list (WritePathAuditSpec vs DoubleDriveSpec). Production
+  * cost: one atomic increment on paths that already do filesystem I/O. */
+private[graft] object ScratchObserver {
+  private val counter = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def touch(): Unit = { counter.incrementAndGet(); () }
+  private[graft] def count: Long = counter.get
+}
+
 object api {
 
   /** A declared operator: name, DataFrame program, optional DuckDB oracle. */
@@ -160,6 +174,7 @@ object api {
     * (ops/Gvcf). */
   def buildOnce(dirPath: String, marker: Option[String] = None)
       (build: String => Unit): String = {
+    ScratchObserver.touch()
     val dir = new java.io.File(dirPath)
     def ready =
       marker.fold(dir.exists())(m => new java.io.File(dir, m).exists())

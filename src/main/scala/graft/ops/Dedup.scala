@@ -634,6 +634,10 @@ object Dedup {
       java.util.concurrent.ConcurrentHashMap[String, () => DataFrame]]()
 
   def clusterLabels(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    // scratch choke point BEFORE the memo: every caller depends on the
+    // persistent label cache even when this session already paid the
+    // build, so the write-path audit must see all of them
+    graft.ScratchObserver.touch()
     // evict memo entries of stopped sessions — their DataFrames are
     // unusable, and holding them would leak across session cycles in a
     // long-lived JVM

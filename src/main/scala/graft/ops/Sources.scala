@@ -176,6 +176,7 @@ object Sources {
     * the Spark analog of HBase's pre-split, key-sorted regions (A11) and
     * the layout that makes fact-fact joins shuffle-free at 100 TB. */
   def bucketedTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    graft.ScratchObserver.touch() // catalog-backed scratch choke point
     val suf = d.replaceAll("[^a-zA-Z0-9]", "_")
     val (liName, ordName) = (s"graft_li_bkt_$suf", s"graft_ord_bkt_$suf")
     if (!s.catalog.tableExists(liName)) {

@@ -149,6 +149,7 @@ private[sources] object StoreManifest {
   /** Raw manifest lines (empty if absent). Files.readAllLines — no
     * leaked handles. */
   def readLines(dir: java.nio.file.Path): Seq[String] = {
+    graft.ScratchObserver.touch()
     val m = dir.resolve(FileName)
     if (!java.nio.file.Files.exists(m)) Seq.empty
     else {
@@ -368,6 +369,7 @@ private[sources] object StoreManifest {
   }
 
   def writeLines(dir: java.nio.file.Path, lines: Seq[String]): Unit = {
+    graft.ScratchObserver.touch()
     val tmp = java.nio.file.Files.createTempFile(dir, FileName, ".tmp")
     java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
     try java.nio.file.Files.move(tmp, dir.resolve(FileName),

@@ -18,20 +18,20 @@ import org.apache.spark.sql.DataFrame
   * Cells are canonicalized by raw IEEE bits (PartitionInvarianceSpec's
   * rule) and compared as a sorted multiset.
   */
-class DoubleDriveSpec extends SparkSpec {
-
-  private val sf = "/root/testdata/sf0.001"
-
-  /** Every SparkEntry query whose implementation writes outside the
-    * session: store sinks, overwrite round-trip dirs, buildOnce caches.
-    * Kept explicit — a new write-path query must be ADDED here (the
-    * write-site inventory lives in ops/Sources, Combine:q_sorted_write,
-    * Ivf:buildIndex, Dedup:cc cache, Gvcf:incrementalStore,
-    * Vcf:syntheticGvcfPath). */
-  private val writePathQueries = Seq(
+object DoubleDriveSpec {
+  /** Every SparkEntry query whose implementation depends on persistent
+    * scratch state outside the session: store sinks, overwrite
+    * round-trip dirs, buildOnce caches (read OR write — a cache READER
+    * diverges on the second drive just as a writer does if the publish
+    * is broken). The list stays explicit so the gate is readable, but
+    * it is no longer hand-trusted: WritePathAuditSpec DERIVES the set
+    * mechanically (scratch choke-point observer + fs snapshot diff
+    * under a fresh tmpdir) and fails when this list drifts from the
+    * derived one in either direction. */
+  val writePathQueries: Seq[String] = Seq(
     "q_sink_store",       // VariantStoreSink overwrite + manifest read-back
     "q_source_csv", "q_source_json", "q_source_orc", "q_source_xml",
-    "q_source_custom", "q_source_binary",
+    "q_source_binary",
     "q_schema_evolution",
     "q_partition_prune", "q_bucketed_join",
     "q_sorted_write",
@@ -39,7 +39,19 @@ class DoubleDriveSpec extends SparkSpec {
     "q_combine_incremental",
     "q_ann_ivf", "q_ann_recall",
     "q_dedup_cluster", "q_cluster_rep",
+    "q_corpus_clean",     // reads the dedup-cluster label cache (r17 audit find)
     "q_source_vcf")
+  // r17 audit finds: q_source_custom REMOVED (RangeVariantSource is a
+  // pure generator — no scratch); q_corpus_clean ADDED (it consumes the
+  // clusterLabels cache through the session memo, so the hand-kept list
+  // never noticed).
+}
+
+class DoubleDriveSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def writePathQueries = DoubleDriveSpec.writePathQueries
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().toSeq.map(_.toSeq.map {
