@@ -81,12 +81,23 @@ object FloorAudit {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B seam for floor experiments (r17): semicolon-separated k=v
+    // session confs, e.g. SPARK_GRAFT_EXTRA_CONFS=
+    // "spark.sql.codegen.methodSplitThreshold=256" — so a codegen-shape
+    // hypothesis is one env var, not a code edit, and the variant is
+    // recorded verbatim in the audit invocation.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => builder.config(k.trim, v.trim)
+        case _ => ()
+      }
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Same global warmups as Bench: one-time JVM/session costs (parquet
     // footer caches, first-codegen of common shapes, build-once

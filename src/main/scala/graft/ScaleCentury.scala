@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Evidence tool (r17): the 100×-step probe — a sf10-equivalent corpus
+  * for the heaviest shuffle movers only, plus a targeted growth
+  * measurement main ([[CenturyProbe]]), so the 10×→100× per-family
+  * growth exponent can sit next to the decade curve in SCALE.md.
+  *
+  * Construction = [[ScaleDecade]]'s key-offset copies with ONE
+  * deliberate difference: document text is perturbed per copy (every
+  * token gets a copy-unique suffix, `n_chars` recomputed), so
+  * cross-copy documents are neither exact nor near duplicates.
+  * Duplication DENSITY therefore stays at the sf0.1 level while the
+  * corpus grows — the decade's byte-identical twins are right for its
+  * job (oracle-exact compare on a duplication-rich corpus) but would
+  * make a 100-copy dedup measurement quantify duplication richness
+  * (pair expansion grows with copies² inside each LSH bucket), not
+  * corpus scale. Run the SAME builder at copies=10 for a
+  * density-constant 10× point and the 1×→10×→100× exponents are
+  * apples-to-apples.
+  *
+  * Only the probe's input tables are copied (lineitem, orders,
+  * documents, embeddings); the rest symlink to the source — the probe
+  * is a perf instrument, not a correctness gate (the decade drive owns
+  * that), so unscanned tables need not scale.
+  *
+  *   sbt "runMain graft.ScaleCentury /root/testdata/sf0.1 /tmp/graft_c100 100"
+  *   sbt "runMain graft.CenturyProbe /tmp/graft_c100 CENTURY_100x.json"
+  */
+object ScaleCentury {
+
+  private val keyParents: Map[String, (String, String)] = Map(
+    "o_custkey" -> ("customer", "c_custkey"),
+    "o_orderkey" -> ("orders", "o_orderkey"),
+    "l_orderkey" -> ("orders", "o_orderkey"),
+    "l_partkey" -> ("part", "p_partkey"),
+    "l_suppkey" -> ("supplier", "s_suppkey"),
+    "doc_id" -> ("docvec", ""),
+    "vec_id" -> ("docvec", ""))
+
+  private val factTables = Seq("orders", "lineitem", "documents", "embeddings")
+
+  def build(spark: SparkSession, src: String, dest: String, copies: Int): String =
+    api.buildOnce(dest, Some("_CENTURY_READY")) { tmp =>
+      def maxKey(table: String, col0: String): Long =
+        api.tbl(spark, src, table).agg(max(expr(s"cast($col0 as bigint)"))).head.getLong(0)
+      val docvecStride = math.max(
+        maxKey("documents", "doc_id"), maxKey("embeddings", "vec_id")) + 1L
+      val stride: Map[String, Long] = keyParents.map {
+        case (k, ("docvec", _)) => k -> docvecStride
+        case (k, (t, c)) => k -> (maxKey(t, c) + 1L)
+      }
+      for (t <- Seq("region", "nation", "customer", "supplier", "part", "events"))
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(s"$tmp/$t.parquet"),
+          java.nio.file.Paths.get(s"$src/$t.parquet"))
+      for (t <- factTables) {
+        val base = api.tbl(spark, src, t)
+        val keys = base.columns.filter(keyParents.contains)
+        val copiesDf = (0 until copies).map { k =>
+          val keyed = keys.foldLeft(base) { (df, c) =>
+            df.withColumn(c, col(c) + lit(k * stride(c)))
+          }
+          if (t == "documents" && k > 0)
+            keyed
+              .withColumn("text", array_join(
+                transform(split(col("text"), " "), w => concat(w, lit(s"_$k"))), " "))
+              .withColumn("n_chars", length(col("text")).cast("long"))
+          else keyed
+        }
+        copiesDf.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/_CENTURY_READY"),
+        s"src=$src copies=$copies perturbed=documents\n".getBytes("UTF-8"))
+      ()
+    }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dest = if (args.length > 1) args(1) else "/tmp/graft_c100"
+    val copies = if (args.length > 2) args(2).toInt else 100
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(s"CENTURY READY: ${build(spark, src, dest, copies)}")
+    spark.stop()
+  }
+}
+
+/** Times the heavy-mover queries at a given sfDir with full-width
+  * execution (`queryExecution.toRdd.count()` — Bench's `df.count()`
+  * prunes output columns, which hid the r16 wide-cohort quadratics).
+  * Each query runs twice, both timed: exec1 carries one-time costs
+  * (codegen, build-once cache construction — for q_dedup_cluster that
+  * build IS the operator), exec2 is the steady re-run. One JSON object
+  * per run; scripts/century_compare.py fits the growth exponents. */
+object CenturyProbe {
+
+  val ProbeQueries = Seq(
+    "q_sorted_write",
+    "q_dedup_exact", "q_dedup_near", "q_dedup_ngram", "q_dedup_simhash",
+    "q_dedup_cluster", "q_seq_pack", "q_combine_wide")
+
+  private def f3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "CENTURY_PROBE.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm the JIT/codegen floor off the first measured query, then
+    // cache the two tables every probe query re-scans (the Bench rule:
+    // measure the operator, not repeated cold scans of one corpus)
+    try SparkEntry.queries("q_agg_count_by_key")(spark, sfDir).count()
+    catch { case e: Throwable => System.err.println(s"WARMUP FAILED: $e") }
+    for (t <- Seq("lineitem", "documents", "orders"))
+      try api.tbl(spark, sfDir, t).cache().count()
+      catch { case e: Throwable => System.err.println(s"TABLE CACHE FAILED $t: $e") }
+    val results = ProbeQueries.map { name =>
+      def once(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.toRdd.count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (e1, rows) = once()
+      val (e2, _) = once()
+      System.err.println(s"PROBE $name: exec1=${f3(e1)}s exec2=${f3(e2)}s rows=$rows")
+      s""""$name":{"exec1":${f3(e1)},"exec2":${f3(e2)},"rows":$rows}"""
+    }
+    val json = s"""{"sf":"$sfDir","cpus":$cpus,"queries":{${results.mkString(",")}}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}
