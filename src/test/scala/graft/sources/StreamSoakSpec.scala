@@ -7,8 +7,10 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * StoreEpochSpec's replay idempotency, RetentionSpec's batch
   * schedule): ONE real MemoryStream query drives 200+ epochs into a
   * VariantStore sink while minor/major compactions, grace flips,
-  * explicit vacuums, snapshots, and a mid-soak restart-from-checkpoint
-  * interleave at seeded random points. What a hand-built case cannot
+  * explicit vacuums, snapshots, BATCH appends and truncates on the
+  * same store (the locked manifest read-modify-write the sink's commit
+  * exists for), and a mid-soak restart-from-checkpoint interleave at
+  * seeded random points. What a hand-built case cannot
   * see is the INTERACTION surface: an epoch committing right after a
   * splice retired the generations it would have replaced by name, a
   * vacuum between a restart's replayed epoch and its high-water-mark
@@ -90,7 +92,26 @@ class StreamSoakSpec extends graft.SparkSpec {
     val restartAt = 1 + rnd.nextInt(epochs - 1) // exactly one mid-soak restart
     var snapshots = 0
     var maintenance = Map.empty[String, Int].withDefaultValue(0)
-    val verbNames = Seq("compactMinor", "compact", "setGrace", "vacuum", "snapshot")
+    val verbNames = Seq("compactMinor", "compact", "setGrace", "vacuum",
+      "snapshot", "batchAppend", "batchTruncate")
+    // Batch writes on the SAME store the streaming query owns — the
+    // interaction the sink's locked read-modify-write manifest commit
+    // exists for (a batch appender merging lines a streaming epoch may
+    // be updating). Interleaving here is event-granular (between
+    // micro-batches); the in-flight-commit races are SourceSpec's
+    // *Impl-seam differentials. ver offsets 7/8 keep batch rows
+    // disjoint from epoch rows (i < 3) under the maxBy resolution.
+    def batchWrite(epoch: Int, mode: String): Unit = {
+      val rows = Seq(
+        (rnd.nextInt(20).toLong, epoch * 10L + 7, s"ba$epoch"),
+        (rnd.nextInt(20).toLong, epoch * 10L + 8,
+          if (rnd.nextInt(100) < 10) VariantStore.Tombstone else s"bb$epoch"))
+      rows.toDF("key", "ver", "payload")
+        .repartitionByRange(1, $"key").sortWithinPartitions("key")
+        .write.format("graft.sources.VariantStoreSink")
+        .option("path", dir).mode(mode).save()
+      log = (if (mode == "overwrite") Vector.empty[(Long, Long, String)] else log) ++ rows
+    }
     def fire(verb: Int, epoch: Int): Unit = {
       verb match {
         case 0 => VariantStore.compactMinor(spark, dir, ddl, keepGenerations = 3)
@@ -111,6 +132,13 @@ class StreamSoakSpec extends graft.SparkSpec {
             s"[seed $seed] clone not self-contained at epoch $epoch")
           assert(resolved(dest) == reference(),
             s"[seed $seed] clone resolved read diverged at epoch $epoch")
+        case 5 => batchWrite(epoch, "append")
+        case 6 => // batch truncate retires EVERY generation, including the
+          // streaming query's — later epochs append on top of the new
+          // baseline, and a replay of a pre-truncate epoch must stay
+          // discarded (its rows were deliberately dropped; the _EPOCH_HWM
+          // sidecar survives the truncate)
+          batchWrite(epoch, "overwrite")
         case _ => ()
       }
       maintenance = maintenance.updated(verbNames(verb), maintenance(verbNames(verb)) + 1)
@@ -140,7 +168,7 @@ class StreamSoakSpec extends graft.SparkSpec {
           maintenance = maintenance.updated("restart", maintenance("restart") + 1)
           fullCheck("restart-from-checkpoint", epoch)
         }
-        if (rnd.nextInt(100) < 8) fire(rnd.nextInt(5), epoch)
+        if (rnd.nextInt(100) < 8) fire(rnd.nextInt(7), epoch)
       }
       // Coverage by construction: any maintenance verb the random
       // schedule starved fires once here, under the live query, each
