@@ -63,6 +63,10 @@ object SpillAudit {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/graft_sf1")
+    // optional explicit query list (the ShuffleAudit/FloorAudit
+    // convention) — e.g. the r17 century pressure probe runs only the
+    // wide combine, not 60M-row TPC-H self-joins under a 1200m heap
+    val names = if (args.length > 1) args.drop(1).toSeq else QuerySet
     val tight = sys.env.contains("SPILL_TIGHT")
     val mode = if (tight) "TIGHT" else "REF"
     val builder = SparkSession.builder()
@@ -80,7 +84,7 @@ object SpillAudit {
     val listener = new SpillListener
     spark.sparkContext.addSparkListener(listener)
 
-    val lines = QuerySet.map { name =>
+    val lines = names.map { name =>
       val q = SparkEntry.queries(name)
       q(spark, sfDir).rdd.count() // warm: codegen, footers, fixtures
       Thread.sleep(300)
