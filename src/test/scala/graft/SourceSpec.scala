@@ -635,6 +635,53 @@ class SourceSpec extends SparkSpec {
     assert(live() == liveBefore)
   }
 
+  test("zero grace never lets a piggy-backed sweep reap a fresh in-flight orphan") {
+    // The r17 writer-floor contract (StoreManifest.sweepOpportunistic):
+    // `_GRACE` governs RETIRED-file rent for readers, but the sweeps a
+    // truncate commit or compaction splice piggy-backs also race
+    // concurrent WRITERS, whose task files exist on disk before their
+    // lock-blocked driver commit publishes them. Even a zero-grace
+    // store must keep a fixed floor for those. Explicit vacuum keeps
+    // raw caller semantics.
+    val dir = sinkDir("writerfloor")
+    VariantStore.setGrace(dir, 0L)
+    val schema = "key LONG, ver LONG, payload STRING"
+    def gen(ver: Long, mode: String): Unit =
+      (1L to 10L).map(k => (k, ver, s"p$ver-$k")).toDF("key", "ver", "payload")
+        .coalesce(1).sortWithinPartitions("key")
+        .write.format("graft.sources.VariantStoreSink")
+        .option("path", dir).mode(mode).save()
+    def disk(): Set[String] =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    gen(10L, "overwrite")
+    // a concurrent writer's in-flight task file: on disk, in no manifest
+    val orphan = new java.io.File(dir, "part-inflight-writer.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    // truncate commit (retires gen-10 — zero grace deletes it on the
+    // spot) and compaction both run their piggy-backed sweeps: the
+    // FRESH orphan must survive every one of them
+    gen(20L, "overwrite")
+    VariantStore.compact(spark, dir, schema, numRanges = 1)
+    assert(disk().contains("part-inflight-writer.parquet"),
+      "a piggy-backed sweep reaped a fresh in-flight writer file on a zero-grace store")
+    // aged past the writer floor, the NEXT opportunistic sweep reaps it
+    // (the floor is a window, not immunity)
+    orphan.setLastModified(System.currentTimeMillis() - 120000L) // 2x the 60s floor
+    VariantStore.compact(spark, dir, schema, numRanges = 1)
+    assert(!disk().contains("part-inflight-writer.parquet"),
+      "an aged orphan survived the opportunistic sweep past the writer floor")
+    // and an explicit zero-grace vacuum reaps a file still well INSIDE
+    // the writer floor — the caller-owns-everything seam is untouched
+    // by the floor (backdated 5 s, not slept: mtime granularity can be
+    // 1 s on some filesystems and the cutoff is strict)
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    orphan.setLastModified(System.currentTimeMillis() - 5000L)
+    VariantStore.vacuum(dir, graceMs = 0L)
+    assert(!disk().contains("part-inflight-writer.parquet"),
+      "explicit vacuum(0) must keep raw caller semantics")
+  }
+
   test("snapshot taken during compaction retries onto the post-splice manifest") {
     // A compactor publishing its merge and reaping the fold set between
     // snapshot's manifest read and its file copies used to fail the
