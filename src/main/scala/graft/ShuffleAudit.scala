@@ -66,6 +66,11 @@ object ShuffleAudit {
     val input = new LongAdder
     val shuffleWrite = new LongAdder
     val shuffleRead = new LongAdder
+    // records too (r17): bytes alone conflate data growth with
+    // compression-ratio drift across partition counts — a cross-scale
+    // byte ratio above the data ratio with a records ratio AT it is
+    // codec economics, not candidate-volume growth
+    val shuffleRecs = new LongAdder
     val spill = new LongAdder
     val tasks = new LongAdder
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -74,12 +79,14 @@ object ShuffleAudit {
         input.add(m.inputMetrics.bytesRead)
         shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
         shuffleRead.add(m.shuffleReadMetrics.totalBytesRead)
+        shuffleRecs.add(m.shuffleWriteMetrics.recordsWritten)
         spill.add(m.memoryBytesSpilled + m.diskBytesSpilled)
         tasks.increment()
       }
     }
     def snapshot: Seq[Long] =
-      Seq(input.sum, shuffleWrite.sum, shuffleRead.sum, spill.sum, tasks.sum)
+      Seq(input.sum, shuffleWrite.sum, shuffleRead.sum, shuffleRecs.sum,
+        spill.sum, tasks.sum)
     /** Poll until no event has landed for two consecutive 100 ms windows
       * (the listener bus delivers asynchronously; a fixed sleep either
       * wastes time or under-counts on a loaded host). */
@@ -177,13 +184,13 @@ object ShuffleAudit {
             }
           val sec = (System.nanoTime() - t0) / 1e9
           val after = listener.settle()
-          val Seq(in, sw, sr, sp, nt) =
+          val Seq(in, sw, sr, recs, sp, nt) =
             after.zip(before).map { case (a, b) => a - b }
           val line =
             s"""{"query":"$name","sec":${f3(sec)},"rows":$rows,""" +
               s""""input_mb":${mb(in)},"shuffle_write_mb":${mb(sw)},""" +
-              s""""shuffle_read_mb":${mb(sr)},"spill_mb":${mb(sp)},""" +
-              s""""tasks":$nt}"""
+              s""""shuffle_read_mb":${mb(sr)},"shuffle_records":$recs,""" +
+              s""""spill_mb":${mb(sp)},"tasks":$nt}"""
           println(line)
           Some(line)
       }
