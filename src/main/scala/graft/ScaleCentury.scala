@@ -114,6 +114,10 @@ object CenturyProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "CENTURY_PROBE.json"
+    // optional explicit query list (the ShuffleAudit/SpillAudit
+    // convention) — a width-axis point only needs the wide combine, not
+    // a 200M-row sorted write sharing the host
+    val names = if (args.length > 2) args.drop(2).toSeq else ProbeQueries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -130,7 +134,7 @@ object CenturyProbe {
     for (t <- Seq("lineitem", "documents", "orders"))
       try api.tbl(spark, sfDir, t).cache().count()
       catch { case e: Throwable => System.err.println(s"TABLE CACHE FAILED $t: $e") }
-    val results = ProbeQueries.map { name =>
+    val results = names.map { name =>
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(name)(spark, sfDir)
