@@ -10,6 +10,15 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites MUST run sequentially inside the forked test JVM:
+// WritePathAuditSpec swaps the process-global java.io.tmpdir property
+// and derives its write-path set from the process-global
+// graft.ScratchObserver counter — concurrent suites would bleed their
+// buildOnce/manifest touches into its per-query delta and produce
+// nondeterministic false drift failures. These are sbt's defaults, but
+// the audit's correctness depends on them, so pin both explicitly.
+Test / parallelExecution := false
+Test / testForkedParallel := false
 run / fork := true
 // Forked run output goes straight to stdout (no sbt "[info] " prefix) —
 // the bench/verify harness needs machine-parseable lines that start

@@ -29,9 +29,11 @@ def main():
         t1 = [r["queries"][n]["exec1"] for r in runs]
         s10 = math.log10(t[1] / t[0]) if t[0] > 0 else float("nan")
         s100 = math.log10(t[2] / t[1]) if t[1] > 0 else float("nan")
-        # least-squares slope of log t vs log scale over the 3 points
+        # least-squares slope of log t vs log scale over the 3 points.
+        # Clamp to 1ms: the probe's %.3f formatting can round a
+        # floor-bound query to 0.000, and log10(0) would kill the script.
         xs = [math.log10(s) for s in scales]
-        ys = [math.log10(v) for v in t]
+        ys = [math.log10(max(v, 1e-3)) for v in t]
         mx, my = sum(xs) / 3, sum(ys) / 3
         fit = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / \
             sum((x - mx) ** 2 for x in xs)

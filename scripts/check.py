@@ -7,8 +7,18 @@ pyarrow on both sides so DECIMAL stays DECIMAL (no silent float
 conversion). Usage:
 
     scripts/check.py [sfDir] [verifyOutDir]
+
+Oracle-result cache (r17 verdict item 5): the decade corpus makes the
+DuckDB side cost ~90 min wall (quadratic CTEs over the dup-dense
+corpus), which disincentivizes re-confirming the gate after late
+fixes. Set GRAFT_ORACLE_CACHE=<dir> to memoize each oracle's result
+parquet keyed by (query name, oracle SQL text, corpus fingerprint) —
+an unchanged query over an unchanged corpus skips the DuckDB run
+entirely. The fingerprint covers every table file's (relpath, size,
+mtime), so regenerating the corpus — even same-cardinality — misses.
 """
 import glob
+import hashlib
 import json
 import math
 import os
@@ -59,9 +69,43 @@ def rows_of(table):
                   for i in range(table.num_rows)]
 
 
+def corpus_fingerprint(sf):
+    """md5 over every table file's (relpath, size, mtime_ns) — a
+    content-change or regeneration proxy cheap enough to run per
+    invocation (stat only, no reads)."""
+    h = hashlib.md5()
+    for t in TABLES:
+        p = f"{sf}/{t}.parquet"
+        files = sorted(glob.glob(f"{p}/*.parquet")) if os.path.isdir(p) else [p]
+        for f in files:
+            st = os.stat(f)
+            h.update(f"{os.path.relpath(f, sf)}:{st.st_size}:{st.st_mtime_ns}\n"
+                     .encode())
+    return h.hexdigest()
+
+
+def oracle_result(con, cache_dir, fp, name, sql, stats):
+    """The oracle's arrow result, through the cache when enabled."""
+    if not cache_dir:
+        return con.execute(sql).arrow()
+    key = hashlib.md5(f"{name}\n{fp}\n{sql}".encode()).hexdigest()
+    path = os.path.join(cache_dir, f"{name}_{key}.parquet")
+    if os.path.exists(path):
+        stats["hit"] += 1
+        return pq.read_table(path)
+    stats["miss"] += 1
+    tbl = con.execute(sql).arrow()
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = f"{path}.tmp{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)  # atomic publish: a concurrent reader never
+    return tbl             # sees a half-written cache entry
+
+
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    cache_dir = os.environ.get("GRAFT_ORACLE_CACHE")
     con = duckdb.connect()
     for t in TABLES:
         # testdata ships single-file parquet; synthesized corpora
@@ -69,11 +113,14 @@ def main():
         p = f"{sf}/{t}.parquet"
         src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
+    fp = corpus_fingerprint(sf) if cache_dir else None
+    stats = {"hit": 0, "miss": 0}
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass, fails = 0, []
     for name in sorted(oracle):
         try:
-            exp_cols, exp = rows_of(con.execute(oracle[name]).arrow())
+            exp_cols, exp = rows_of(
+                oracle_result(con, cache_dir, fp, name, oracle[name], stats))
             files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
             if not files:
                 fails.append((name, "no verify output"))
@@ -100,6 +147,9 @@ def main():
             fails.append((name, f"error: {ex}"))
     for n, m in fails:
         print(f"FAIL {n}: {m}")
+    if cache_dir:
+        print(f"oracle cache: {stats['hit']} hit / {stats['miss']} miss "
+              f"(corpus {fp[:12]})")
     print(f"\n{n_pass}/{len(oracle)} pass")
     sys.exit(1 if fails else 0)
 

@@ -93,7 +93,9 @@ object FloorAudit {
     // recorded verbatim in the audit invocation.
     sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach(_.split(";").foreach { kv =>
       kv.split("=", 2) match {
-        case Array(k, v) if k.nonEmpty => builder.config(k.trim, v.trim)
+        // trim BEFORE the guard: a whitespace-only key (stray '; =v'
+        // segment) must be ignored, not passed as builder.config("", v)
+        case Array(k, v) if k.trim.nonEmpty => builder.config(k.trim, v.trim)
         case _ => ()
       }
     })

@@ -27,7 +27,13 @@ package graft
   * Derived == declared is the contract: a missing entry means a
   * scratch-dependent query is not driven twice (the r15 q_sink_store
   * class); an extra entry means the gate documents a dependency that no
-  * longer exists. */
+  * longer exists.
+  *
+  * PROCESS-GLOBAL STATE: this spec mutates `java.io.tmpdir` and reads
+  * the process-global [[ScratchObserver]] counter, so it is only
+  * correct when suites run sequentially in the forked test JVM —
+  * build.sbt pins `Test / parallelExecution := false` and
+  * `Test / testForkedParallel := false` for exactly this reason. */
 class WritePathAuditSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
@@ -81,9 +87,18 @@ class WritePathAuditSpec extends SparkSpec {
           s"gated queries with no observed scratch dependency: " +
           s"${stale.toSeq.sorted.mkString(", ")}")
     } finally {
-      // restore, but keep the fresh tree on disk: the shared session's
-      // catalog may now hold bucketed-table entries pointing into it
+      // restore, and keep the fresh tree on disk UNTIL JVM EXIT: the
+      // shared session's catalog may now hold bucketed-table entries
+      // pointing into it, so later suites in this JVM can still read
+      // them — but the tree must not accumulate across runs.
       System.setProperty("java.io.tmpdir", prevTmp)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(fresh).iterator().asScala.toSeq.reverse
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch {
+            case _: java.io.IOException => ()
+          })
+      }))
     }
   }
 }

@@ -25,8 +25,9 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   *      maintenance event, all manifest-listed files are re-read and
   *      the raw row multiset must equal the write log — compaction
   *      folds but never drops or duplicates a version; vacuum never
-  *      eats a live file (the streaming path is append-only, so the
-  *      log is the full history).
+  *      eats a live file. The log RESETS at a batchTruncate (verb 6
+  *      empties both store and log), so invariant 2 covers the history
+  *      since the last truncate, not all rows ever written.
   *   3. **Resolution stays reference-exact.** After every maintenance
   *      event and at the end, the resolved read (latest version per
   *      key, tombstones dropped) must match a driver-side reference.
