@@ -94,6 +94,79 @@ object ScaleCentury {
   }
 }
 
+/** r18 evidence main: drive [[graft.ops.Gvcf.combineAuto]] at a corpus
+  * whose derived cohort width (|orders|/50) exceeds the dense admission
+  * bound — at /tmp/graft_c334 that is 1,002,000 samples — and prove the
+  * three things the r17 verdict asked of the handoff:
+  *   (1) the admission rule fires FROM METADATA before execution
+  *       (format == "long", decided on the lazy plan);
+  *   (2) the long-format execution completes materially under the 257 s
+  *       dense median measured at the same width (CENTURY_PROBE_334x);
+  *   (3) the results are correct — validated full-width by formula
+  *       invariants of the synthetic cohort: every one of the 120 sites
+  *       carries exactly `width` rows, the hom-ref rows per site equal
+  *       the arithmetic block count (#k in [0,width) with (j+k)%3 == 2),
+  *       and no site carries more than 5 distinct genotypes (two
+  *       distinct alt letters per site under the (j+1+k%3)%4 scheme →
+  *       merged indices 1..2 → {0/0, 0/1, 0/2, 1/1, 2/2}). Path
+  *       EQUIVALENCE (long reassembles to the dense bytes) is GvcfSpec's
+  *       dense≡long test — here width makes dense infeasible by design.
+  *
+  *   sbt "runMain graft.AutoCombineProbe /tmp/graft_c334 AUTO_COMBINE_334x.json"
+  */
+object AutoCombineProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/graft_c334")
+    val out = if (args.length > 1) args(1) else "AUTO_COMBINE_PROBE.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.ops.Gvcf
+    val n = Gvcf.wideN(spark, sfDir)
+    val auto = Gvcf.combineAuto(Gvcf.syntheticVariantsWide(spark, n))
+    // (1) admission from metadata: nothing has executed yet
+    require(auto.width == n, s"declared width ${auto.width} != cohort $n")
+    val expectFormat = if (n > Gvcf.MaxDenseWidth) "long" else "dense"
+    require(auto.format == expectFormat,
+      s"admission mis-route: width $n -> ${auto.format}, expected $expectFormat")
+    // (2)+(3) full-width execution, timed, validated by formula
+    val t0 = System.nanoTime()
+    val agg = auto.df.groupBy("contig", "pos").agg(
+      count(lit(1)).as("rows"),
+      sum(when(col("gt") === "0/0", 1L).otherwise(0L)).as("homref"),
+      countDistinct("gt").as("ngt")).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // #k in [0, n) with k ≡ r (mod 3): floor((n - 1 - r) / 3) + 1
+    def blocksAt(j: Long): Long = {
+      val r = ((2 - j) % 3 + 3) % 3
+      if (r >= n) 0L else (n - 1 - r) / 3 + 1
+    }
+    val bad = agg.flatMap { row =>
+      val (pos, rows, homref, ngt) =
+        (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+      val j = (pos - 1) / 10
+      val exp = blocksAt(j)
+      if (rows != n) Some(s"pos $pos rows $rows != width $n")
+      else if (homref != exp) Some(s"pos $pos homref $homref != $exp")
+      else if (ngt > 5) Some(s"pos $pos ngt $ngt > 5")
+      else None
+    }
+    require(agg.length == 120, s"sites ${agg.length} != 120")
+    require(bad.isEmpty, s"invariant failures: ${bad.take(5).mkString("; ")}")
+    val json = s"""{"sf":"$sfDir","cpus":$cpus,"width":$n,""" +
+      s""""format":"${auto.format}","secs":${"%.1f".formatLocal(java.util.Locale.ROOT, secs)},""" +
+      s""""sites":${agg.length},"rows":${agg.map(_.getLong(2)).sum},"invariants":"pass"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}
+
 /** Times the heavy-mover queries at a given sfDir with full-width
   * execution (`queryExecution.toRdd.count()` — Bench's `df.count()`
   * prunes output columns, which hid the r16 wide-cohort quadratics).

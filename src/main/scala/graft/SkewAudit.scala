@@ -89,20 +89,21 @@ object SkewAudit {
   private val HotTenths = 3 // 30% of rows on the hot key
   private val NSalt = 8
 
-  /** orders ×10 (offset o_orderkey, base-range o_custkey), 30% hot;
-    * every other table symlinked. Returns (dest, hotKey). */
-  def buildSkew10(spark: SparkSession, src: String, dest: String): String =
+  /** orders ×`copies` (offset o_orderkey, base-range o_custkey),
+    * `hotTenths`/10 of rows hot; every other table symlinked. */
+  def buildSkew10(spark: SparkSession, src: String, dest: String,
+      copies: Int = Copies, hotTenths: Int = HotTenths): String =
     api.buildOnce(dest, Some("_SKEW_READY")) { tmp =>
       val base = api.tbl(spark, src, "orders")
       val stride = base.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
       val hotKey = base.agg(min(col("o_custkey"))).head.getLong(0)
-      val copies = (0 until Copies).map { k =>
+      val copiesDf = (0 until copies).map { k =>
         base.withColumn("o_orderkey", col("o_orderkey") + lit(k * stride))
       }
-      copies.reduce(_ unionByName _)
+      copiesDf.reduce(_ unionByName _)
         .withColumn("o_custkey",
           when(pmod(xxhash64(pmod(col("o_orderkey"), lit(stride))), lit(10))
-            .lt(lit(HotTenths)), lit(hotKey))
+            .lt(lit(hotTenths)), lit(hotKey))
             .otherwise(col("o_custkey")))
         .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
       val tables = new java.io.File(src).listFiles()
@@ -113,14 +114,14 @@ object SkewAudit {
           java.nio.file.Paths.get(s"$src/$t"))
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$tmp/_SKEW_READY"),
-        s"src=$src copies=$Copies hotTenths=$HotTenths hotKey=$hotKey\n"
+        s"src=$src copies=$copies hotTenths=$hotTenths hotKey=$hotKey\n"
           .getBytes("UTF-8"))
       ()
     }
 
   /** (stageId, taskDurationMs) stream; settle() polls the async listener
     * bus until quiet (the ShuffleAudit pattern). */
-  private final class TaskDurationListener extends SparkListener {
+  private[graft] final class TaskDurationListener extends SparkListener {
     private val q = new ConcurrentLinkedQueue[(Int, Long)]
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
       if (t.taskInfo != null) { q.add((t.stageId, t.taskInfo.duration)); () }
@@ -339,6 +340,222 @@ object SkewAudit {
     java.nio.file.Files.write(java.nio.file.Paths.get("SKEW_AUDIT.json"),
       (s"""{"sf":"$dest","total_orders":$total,""" +
         s""""hot_key_rows":${hot.getLong(1)},"runs":[\n""" +
+        results.map(_._2._2).mkString(",\n") + "\n]}\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}
+
+/** Evidence tool (r18, verdict item 2): skew at CENTURY scale, on the
+  * axis the r15g decade audit never exercised — the WINDOW-heavy movers
+  * under a planted hot key, where AQE cannot help: skew-join splitting
+  * applies to joins only, and a `PARTITION BY key` window partition is
+  * indivisible (its frame semantics need the key's full ordered run in
+  * one task). A hot key under a window operator SERIALIZES by
+  * construction; the fix is an operator rewrite, not a runtime knob.
+  *
+  * Corpus (`buildSkewCentury`): events ×100 with offset event_id,
+  * user_id in the base range, then 10% of ALL rows — hash-chosen by
+  * post-offset event_id — reassigned to ONE hot user (≈1M of 10M rows
+  * at the sf0.1 source, vs ~6.7k rows for a median user); orders gets
+  * the [[SkewAudit.buildSkew10]] treatment at the same 100 copies /
+  * 10% heat for the join control at this scale.
+  *
+  * Probes:
+  *  - the four window movers (q_sessionize, q_window_running,
+  *    q_rolling_median, q_ewma) run AS SHIPPED against the corpus —
+  *    the straggler ratio quantifies what the hot key costs each;
+  *    q_rolling_median partitions by event_type (cardinality 5), so it
+  *    is coarse-partitioned at ANY corpus and its number is the
+  *    baseline "window wider than the cluster" shape.
+  *  - `running_twostage` — the prefix-sum decomposition of the per-user
+  *    running total: chunk each user's series into day buckets, local
+  *    running sums within (user, day) partitions, then per-chunk
+  *    offsets by a second window over the chunk TOTALS (≤31 rows per
+  *    user — metadata scale) joined back. Exact: decimal addition is
+  *    associative, so local + offset equals the global prefix sum to
+  *    the bit. The hot user's 1M-row indivisible partition becomes ~31
+  *    divisible ones; checksum-compared against the plain plan.
+  *  - the join control at 100×: unsalted no-AQE (the straggler),
+  *    AQE skew-join (split partition counts visible as stage_tasks >
+  *    shuffle.partitions), and the manual salt — checksum-compared.
+  *
+  *   sbt "runMain graft.SkewCentury /root/testdata/sf0.1 /tmp/graft_skewc100"
+  */
+object SkewCentury {
+
+  private val Copies = 100
+  private val HotTenths = 1 // 10% of events on the hot user
+
+  def buildSkewCentury(spark: SparkSession, src: String, dest: String,
+      copies: Int = Copies): String =
+    api.buildOnce(dest, Some("_SKEWC_READY")) { tmp =>
+      val ev = api.tbl(spark, src, "events")
+      val stride = ev.agg(max(col("event_id"))).head.getLong(0) + 1L
+      val hotUser = ev.agg(min(col("user_id"))).head.getLong(0)
+      (0 until copies).map { k =>
+        ev.withColumn("event_id", col("event_id") + lit(k * stride))
+      }.reduce(_ unionByName _)
+        .withColumn("user_id",
+          when(pmod(xxhash64(col("event_id")), lit(10)).lt(lit(HotTenths)),
+            lit(hotUser)).otherwise(col("user_id")))
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      // orders at the same copy count / heat for the join control
+      val base = api.tbl(spark, src, "orders")
+      val ostride = base.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+      val hotCust = base.agg(min(col("o_custkey"))).head.getLong(0)
+      (0 until copies).map { k =>
+        base.withColumn("o_orderkey", col("o_orderkey") + lit(k * ostride))
+      }.reduce(_ unionByName _)
+        .withColumn("o_custkey",
+          when(pmod(xxhash64(col("o_orderkey")), lit(10)).lt(lit(HotTenths)),
+            lit(hotCust)).otherwise(col("o_custkey")))
+        .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+      val tables = new java.io.File(src).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+      for (t <- tables; if t != "events.parquet" && t != "orders.parquet")
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(s"$tmp/$t"),
+          java.nio.file.Paths.get(s"$src/$t"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/_SKEWC_READY"),
+        s"src=$src copies=$copies hotTenths=$HotTenths hotUser=$hotUser\n"
+          .getBytes("UTF-8"))
+      ()
+    }
+
+  private def decVal = expr("CAST(value AS DECIMAL(18,4))")
+
+  /** The q_window_running core WITHOUT its presentation limit (the
+    * probe must execute — and checksum — the full window output). */
+  def runningPlain(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    api.tbl(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        sum(decVal).over(w).cast("double").as("running_value"))
+  }
+
+  /** Prefix-sum decomposition: identical result, no indivisible hot
+    * partition. Stage 1 computes running sums within (user_id, day);
+    * stage 2 windows over the per-(user, day) TOTALS — at most one row
+    * per user per day — to get each chunk's starting offset; the
+    * shuffle join back is on (user_id, day), which the hot user spreads
+    * over its active days. */
+  def runningTwoStage(s: SparkSession, d: String): DataFrame = {
+    val ev = api.tbl(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), decVal.as("v"))
+      .withColumn("day", to_date(col("ts")))
+    val wLocal = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ev.withColumn("local_sum", sum(col("v")).over(wLocal))
+    val wChunks = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ev.groupBy(col("user_id"), col("day"))
+      .agg(sum(col("v")).as("day_sum"))
+      .select(col("user_id"), col("day"),
+        coalesce(sum(col("day_sum")).over(wChunks), lit(0).cast("decimal(28,4)"))
+          .as("offset"))
+    local.join(offsets, Seq("user_id", "day"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("local_sum") + col("offset")).cast("double").as("running_value"))
+  }
+
+  private def f3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dest = if (args.length > 1) args(1) else "/tmp/graft_skewc100"
+    val out = if (args.length > 2) args(2) else "SKEW_AUDIT_CENTURY.json"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildSkewCentury(spark, src, dest)
+    val ev = api.tbl(spark, dest, "events")
+    val total = ev.count()
+    val hot = ev.groupBy("user_id").count().orderBy(col("count").desc).head
+    println(s"corpus: $total events, hot user ${hot.getLong(0)} owns " +
+      s"${hot.getLong(1)} rows (${hot.getLong(1) * 100 / total}%)")
+
+    val listener = new SkewAudit.TaskDurationListener
+    spark.sparkContext.addSparkListener(listener)
+
+    val Defaults = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64MB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "10MB",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10MB")
+
+    def run(name: String, conf: Map[String, String],
+            plan: (SparkSession, String) => DataFrame): (Long, String) = {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        plan(spark, dest).rdd.count() // warm: codegen + parquet footers
+        listener.settleAndDrain()
+        val t0 = System.nanoTime()
+        val n = plan(spark, dest).rdd.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val tasks = listener.settleAndDrain()
+        val sum = SkewAudit.checksum(plan(spark, dest))
+        val byStage = tasks.groupBy(_._1).values
+          .map(_.map(_._2).sorted).filter(_.size >= 8)
+        val stageMs =
+          if (byStage.nonEmpty)
+            byStage.maxBy(ms => ms.last.toDouble / math.max(1L, ms(ms.size / 2)))
+          else tasks.map(_._2).sorted
+        val maxMs = stageMs.last
+        val p50 = stageMs(stageMs.size / 2)
+        val ratio = maxMs.toDouble / math.max(1L, p50)
+        val line =
+          s"""{"run":"$name","sec":${f3(sec)},"rows":$n,""" +
+            s""""tasks":${tasks.size},"stage_tasks":${stageMs.size},""" +
+            s""""max_task_ms":$maxMs,"stage_p50_ms":$p50,""" +
+            s""""straggler_ratio":${f3(ratio)}}"""
+        println(line)
+        (sum, line)
+      } finally Defaults.foreach { case (k, v) => spark.conf.set(k, v) }
+    }
+
+    def shipped(name: String): (SparkSession, String) => DataFrame =
+      (s, d) => SparkEntry.queries(name)(s, d)
+
+    val noBcast = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val noAqe = noBcast + ("spark.sql.adaptive.enabled" -> "false")
+    val aqeSkew = noBcast ++ Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8MB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+
+    val results = Seq(
+      ("sessionize", run("q_sessionize", Map.empty, shipped("q_sessionize"))),
+      ("wrunning", run("q_window_running", Map.empty, shipped("q_window_running"))),
+      ("rmedian", run("q_rolling_median", Map.empty, shipped("q_rolling_median"))),
+      ("ewma", run("q_ewma", Map.empty, shipped("q_ewma"))),
+      ("running", run("running_plain", Map.empty, runningPlain)),
+      ("running", run("running_twostage", Map.empty, runningTwoStage)),
+      ("join", run("join_smj_noaqe", noAqe, SkewAudit.joinShufflePlan)),
+      ("join", run("join_smj_aqe", aqeSkew, SkewAudit.joinShufflePlan)),
+      ("join", run("join_salted", noAqe, SkewAudit.joinSaltedPlan)))
+
+    // strategy groups with >1 member must agree on the full result
+    for ((g, rs) <- results.groupBy(_._1) if rs.map(_._2._1).distinct.size > 1)
+      throw new IllegalStateException(
+        s"CHECKSUM MISMATCH in group $g: ${rs.map(r => r._2._1)}")
+    println("CHECKSUMS OK: all strategy groups agree")
+
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (s"""{"sf":"$dest","total_events":$total,""" +
+        s""""hot_user_rows":${hot.getLong(1)},"runs":[\n""" +
         results.map(_._2._2).mkString(",\n") + "\n]}\n").getBytes("UTF-8"))
     spark.stop()
   }

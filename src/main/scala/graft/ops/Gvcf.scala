@@ -225,6 +225,101 @@ object Gvcf {
         .as("calls"))
       .orderBy("contig", "pos")
 
+  // --------------------------------------------------------------------
+  // Dense → long-format combine handoff (SCALE.md r17g, enforced in code
+  // r18): the dense per-site calls row is O(cohort width) — linear and
+  // spill-safe to ~300k samples (memory floor ∝ width), then GC-bound
+  // (~1.4 width exponent at 1M samples, CENTURY_PROBE_334x). Past the
+  // handoff the SAME combine semantics are served in LONG format — one
+  // O(1) row per (site, covered sample) — which has no per-row width
+  // term at any cohort size. [[combineAuto]] makes the handoff an
+  // admission rule a planner enforces from table metadata BEFORE any
+  // execution, not a prose contract.
+  // --------------------------------------------------------------------
+
+  /** Column-metadata key carrying the declared cohort width on the
+    * `sample` column. Spark column metadata round-trips through parquet,
+    * so a store-written cohort keeps its declared width across reads —
+    * the 100 TB planner's "table metadata" in local form. */
+  val CohortWidthKey = "graft.cohortWidth"
+
+  /** The measured dense-combine admission bound (SCALE.md r17g): dense
+    * is linear and spill-safe to ~300k samples; past it, per-site rows
+    * reach 20–30 MB and wall time goes GC-bound (~1.4 width exponent at
+    * 1M samples). */
+  val MaxDenseWidth = 300000L
+
+  /** Declare the cohort width on `sample`'s column metadata (writers
+    * that know their cohort call this; [[syntheticVariantsWide]] does). */
+  def annotateWidth(variants: DataFrame, width: Long): DataFrame = {
+    val md = new MetadataBuilder().putLong(CohortWidthKey, width).build()
+    variants.withColumn("sample", col("sample").as("sample", md))
+  }
+
+  /** Cohort width: the declared `sample`-column metadata when present
+    * (zero execution — the planner path), else one distinct-count
+    * aggregate over the sample column (metadata-scale: |cohort| rows
+    * through one exchange, never the record corpus). */
+  def cohortWidth(variants: DataFrame): Long =
+    variants.schema.find(_.name == "sample")
+      .filter(_.metadata.contains(CohortWidthKey))
+      .map(_.metadata.getLong(CohortWidthKey))
+      .getOrElse(variants.select("sample").distinct().count())
+
+  /** [[combineAuto]]'s decision record: which format was admitted, the
+    * width that decided it, and the (lazy) result plan. The format is
+    * fixed before anything executes. */
+  final case class AutoCombine(format: String, width: Long, df: DataFrame)
+
+  /** LONG-format combine — the same CombineGVCFs semantics as
+    * [[combineSites]] with the dense per-site calls row unbundled to one
+    * row per (site, covered sample): (contig, pos, merged ref, merged
+    * alt list, sample, sample_idx, remapped genotype, gq). Every row is
+    * O(1) regardless of cohort width, so this path has no width ceiling
+    * — the shuffles are the identical bucketed coverage join + site-key
+    * window exchange as the dense path; only the final width-sized
+    * collect_list is gone. [[denseFromLong]] reassembles the dense shape
+    * exactly (GvcfSpec proves hash-identity), so the two formats are one
+    * logical result. */
+  def combineLong(variants: DataFrame, bucketWidth: Long = 64): DataFrame =
+    combinedCalls(variants, bucketWidth)
+      .select(col("contig"), col("pos"), col("ref"),
+        array_join(col("alts"), ",").as("alt"),
+        col("sample"), col("sample_idx"),
+        coalesce(col("gtm"), lit("./.")).as("gt"), col("gq"))
+
+  /** Reassemble [[combineSites]]' dense shape from [[combineLong]] rows
+    * — the equality witness (and the explicit opt-in for a consumer that
+    * truly wants dense rows above the handoff, paying the width cost
+    * knowingly). Same call-string formula and sample_idx order as the
+    * dense path, so the outputs are value-identical. */
+  def denseFromLong(long: DataFrame): DataFrame =
+    long.groupBy("contig", "pos")
+      .agg(max(col("ref")).as("ref"), max(col("alt")).as("alt"),
+        count(lit(1)).as("n_samples"),
+        expr("transform(sort_array(collect_list(struct(sample_idx AS i, " +
+          "concat(sample, ':', gt, ':', " +
+          "coalesce(CAST(gq AS STRING), '.')) AS c))), s -> s.c)")
+          .as("calls"))
+      .orderBy("contig", "pos")
+
+  /** Width-dispatching combine — the r17g handoff rule as code: read the
+    * cohort width from table metadata ([[cohortWidth]]; declared
+    * column metadata when present, one metadata-scale aggregate
+    * otherwise), then admit the DENSE per-site format only up to
+    * [[MaxDenseWidth]] samples and route wider cohorts to the LONG
+    * format. The decision happens before any combine work executes —
+    * the returned plan is lazy — so a 100 TB planner can assert the
+    * admission rule without touching the record corpus. */
+  def combineAuto(variants: DataFrame, bucketWidth: Long = 64,
+      maxDenseWidth: Long = MaxDenseWidth): AutoCombine = {
+    val width = cohortWidth(variants)
+    if (width <= maxDenseWidth)
+      AutoCombine("dense", width, combineSites(variants, bucketWidth))
+    else
+      AutoCombine("long", width, combineLong(variants, bucketWidth))
+  }
+
   /** The GenotypeGVCFs step — the computation the reference's store
     * exists to enable (`VariantCombiner.java:~8 (unverified)`, per
     * SURVEY §0): re-genotype every covered sample at every merged site
@@ -380,7 +475,10 @@ object Gvcf {
     // sample-axis partitions sized to the OUTPUT rows (samples ×
     // positions); the fixed 120-position side rides along as a single
     // slice — see syntheticVariants on why sizing beats the session
-    // default here
+    // default here. The generator KNOWS its width, so it declares it on
+    // the sample column ([[annotateWidth]]) — [[combineAuto]] reads the
+    // admission decision from metadata with zero execution.
+    annotateWidth(
     s.range(0, nSamples, 1, sizedParts(nSamples * nPositions))
       .selectExpr("id AS k")
       .crossJoin(s.range(0, nPositions, 1, 1).selectExpr("id AS j"))
@@ -396,7 +494,8 @@ object Gvcf {
           "ELSE array(substr('ACGT', CAST(j % 4 AS INT) + 1, 1)) END AS alleles",
         "CAST((j * 7 + k * 13) % 90 + 10 AS INT) AS gq",
         "CASE WHEN (j + k) % 3 >= 2 THEN '0/0' " +
-          "WHEN (j + k) % 2 = 0 THEN '0/1' ELSE '1/1' END AS gt")
+          "WHEN (j + k) % 2 = 0 THEN '0/1' ELSE '1/1' END AS gt"),
+      nSamples)
 
   /** Fixed position count for the wide cohort: the point is per-site
     * WIDTH, so positions don't scale. 120 positions → 60 sites/contig. */
@@ -558,6 +657,41 @@ object Gvcf {
     combineSites(syntheticVariantsWide(s, wideN(s, d)))
       .withColumn("calls_md5", md5(array_join(col("calls"), ";").cast(BinaryType)))
       .drop("calls")
+  }
+
+  /** The r17g handoff ENFORCED under the driver's gate: run
+    * [[combineAuto]] over the wide cohort and emit the admitted format
+    * as a result column. At every driver scale the cohort width
+    * (|orders|/50 ≤ 60,000 at sf1) is under [[MaxDenseWidth]], so the
+    * oracle pins `format = 'dense'` — if the dispatch ever mis-routes a
+    * bounded cohort to the long format (schema change) or the dense
+    * output drifts, the gate goes red. The long branch is exercised by
+    * the same query entry at the 334× probe corpus (width 1,002,000 →
+    * long; graft.AutoCombineProbe validates it there) and by GvcfSpec's
+    * dense≡long equality. Oracle SQL is [[combineWide]]'s verbatim plus
+    * the format literal. */
+  val combineAutoQuery = Query(
+    "q_combine_auto",
+    s"""WITH $duckWideV,
+      |$duckCombineChain
+      |SELECT 'dense' AS format, r.contig, r.pos, m.mref AS ref,
+      |  array_to_string(m.calts, ',') || ',<NON_REF>' AS alt,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  md5(array_to_string(list(r.sample || ':' || r.gtm || ':' || CAST(r.gq AS VARCHAR)
+      |    ORDER BY r.sample), ';')) AS calls_md5
+      |FROM remap r JOIN merged m ON r.contig = m.contig AND r.pos = m.pos
+      |GROUP BY r.contig, r.pos, m.mref, m.calts
+      |ORDER BY r.contig, r.pos""".stripMargin) { (s, d) =>
+    val auto = combineAuto(syntheticVariantsWide(s, wideN(s, d)))
+    auto.format match {
+      case "dense" => auto.df
+        .withColumn("calls_md5", md5(array_join(col("calls"), ";").cast(BinaryType)))
+        .drop("calls")
+        .select(lit("dense").as("format"), col("*"))
+      // width-free long rows — reached only above MaxDenseWidth, where
+      // no oracle runs (the probe corpus); kept schema-stable per route
+      case _ => auto.df.select(lit("long").as("format"), col("*"))
+    }
   }
 
   /** Delta sample for the incremental combine: 's3' contributes a het
@@ -1558,5 +1692,6 @@ object Gvcf {
     Seq(combineMerge, sampleIndexQuery, gvcfExport, siteStats, mergeBands,
       coverageHist, tiTv, breadth, mendel, concordance, covGaps,
       intervalOverlap, genotypeGvcfQuery, gvcfHeader, rebandMergedQuery,
-      combineIncremental, combineWide, genotypeWide, exportWide)
+      combineIncremental, combineWide, genotypeWide, exportWide,
+      combineAutoQuery)
 }

@@ -237,6 +237,34 @@ class GvcfSpec extends SparkSpec {
       s"genotypeGvcf must genotype all $nS samples at every site: ${gt.toSeq.distinct}")
   }
 
+  test("combineAuto: dense ≡ long at 30k samples (hash-identical) and " +
+      "the admission rule dispatches from metadata before execution") {
+    import org.apache.spark.sql.functions.{md5, array_join, col}
+    val nS = 30000L
+    val v = Gvcf.syntheticVariantsWide(spark, nS)
+    // (c) admission from metadata: the generator declared its width on
+    // the sample column, so no aggregate runs and the format is fixed
+    // on the LAZY plan — dense under the bound...
+    val auto = Gvcf.combineAuto(v)
+    assert(auto.format == "dense" && auto.width == nS)
+    // ...and long the moment the declared width crosses it (no
+    // execution here either — only the plan is constructed)
+    val wide = Gvcf.combineAuto(Gvcf.annotateWidth(v, Gvcf.MaxDenseWidth + 1))
+    assert(wide.format == "long" && wide.width == Gvcf.MaxDenseWidth + 1)
+    assert(wide.df.columns.toSeq ==
+      Seq("contig", "pos", "ref", "alt", "sample", "sample_idx", "gt", "gq"))
+    // (a) the two formats are ONE logical result: reassembling the
+    // long rows yields the dense output value-for-value (site digests
+    // compare the ~30k-entry calls arrays without shipping them)
+    def digests(df: DataFrame): Seq[Seq[Any]] = df
+      .withColumn("calls_md5", md5(array_join(col("calls"), ";").cast("binary")))
+      .drop("calls").collect().map(_.toSeq.toList).toSeq
+    val dense = digests(auto.df)
+    val viaLong = digests(Gvcf.denseFromLong(Gvcf.combineLong(v)))
+    assert(dense.size == 120 && dense == viaLong,
+      "long-format combine must reassemble to the dense bytes")
+  }
+
   test("coverageHistogram: sweep-line depths match hand-counted bases") {
     // fixture covers chr1 [1,30] with both samples everywhere → depth 2
     // for all 30 bases, except nothing: a covers [1,30] via 3 records,

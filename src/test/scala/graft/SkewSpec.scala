@@ -19,6 +19,17 @@ class SkewSpec extends SparkSpec {
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  test("two-stage running sum equals the plain window under a hot user") {
+    // the SkewCentury prefix-sum decomposition must be value-identical
+    // to the plain per-user running window — exact decimal addition is
+    // associative, so chunk-local sums + chunk offsets reassemble the
+    // global prefix sum to the bit (doubles compare exactly)
+    val d = "/tmp/graft_skewc_test__sf0001"
+    SkewCentury.buildSkewCentury(spark, "/root/testdata/sf0.001", d, copies = 3)
+    assert(rows(SkewCentury.runningTwoStage(spark, d)) ==
+      rows(SkewCentury.runningPlain(spark, d)))
+  }
+
   test("skew corpus plants a dominant hot key with FK-clean orders") {
     val o = api.tbl(spark, dir, "orders")
     val total = o.count()
