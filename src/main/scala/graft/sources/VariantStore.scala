@@ -304,7 +304,7 @@ object VariantStore {
 
   private[graft] def compactMinorImpl(spark: SparkSession, path: String,
       schema: String, keepGenerations: Int, numRanges: Int,
-      beforeSplice: () => Unit): Unit = {
+      beforeSplice: () => Unit, afterSplice: () => Unit = () => ()): Unit = {
     require(keepGenerations >= 1, s"keepGenerations must be >= 1: $keepGenerations")
     // consistent manifest + mark snapshot for fold-set selection
     val dirPath = java.nio.file.Paths.get(path)
@@ -319,7 +319,7 @@ object VariantStore {
     if (fold.size < 2) return // nothing worth merging among the eligible
     spliceCompacted(path, fold,
       spark.read.schema(schema).parquet(fold.map(e => s"$path/${e.file}"): _*),
-      colNames(schema)(0), numRanges, beforeSplice)
+      colNames(schema)(0), numRanges, beforeSplice, afterSplice)
   }
 
   /** Shared compaction commit ([[compact]] folds every snapshot
@@ -342,7 +342,7 @@ object VariantStore {
     * reads under compaction, the deferred-vacuum contract. */
   private def spliceCompacted(path: String, fold: Seq[ManifestEntry],
       merged: DataFrame, keyCol: String, numRanges: Int,
-      beforeSplice: () => Unit): Unit = {
+      beforeSplice: () => Unit, afterSplice: () => Unit = () => ()): Unit = {
     val dir = java.nio.file.Paths.get(path)
     val foldSet = fold.map(_.file).toSet
     val tmpDir = java.nio.file.Files.createTempDirectory("graft_compact_")
@@ -366,6 +366,10 @@ object VariantStore {
         true
       }
     }
+    // kill window (KillDurabilitySpec): spliced manifest live, fold
+    // files not yet retired — a crash here must serve the compacted
+    // content with the fold set as sweepable orphans
+    if (spliced) afterSplice()
     if (spliced)
       // RETIRE, don't delete: a reader that resolved the pre-splice
       // manifest (file list captured at DataFrame construction) must
@@ -536,7 +540,7 @@ object VariantStore {
     * a concurrent compactor aborts the pass instead of double-splicing. */
   private[graft] def compactImpl(spark: SparkSession, path: String,
       schema: String, numRanges: Int, horizon: Long,
-      beforeSplice: () => Unit): Unit = {
+      beforeSplice: () => Unit, afterSplice: () => Unit = () => ()): Unit = {
     val cols = colNames(schema)
     // consistent manifest + mark snapshot for fold-set selection
     val dirPath = java.nio.file.Paths.get(path)
@@ -555,6 +559,6 @@ object VariantStore {
       if (!isVersioned(cols) || horizon == Long.MinValue) raw
       else raw.filter(col("ver") > horizon).unionByName(
         dropTombstones(latestPerKey(raw.filter(col("ver") <= horizon), cols), cols))
-    spliceCompacted(path, fold, kept, cols(0), numRanges, beforeSplice)
+    spliceCompacted(path, fold, kept, cols(0), numRanges, beforeSplice, afterSplice)
   }
 }

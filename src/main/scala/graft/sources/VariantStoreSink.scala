@@ -383,6 +383,19 @@ private[sources] object StoreManifest {
   }
 }
 
+/** Process-global crash-injection seams for the PROCESS-KILL durability
+  * spec (KillDurabilitySpec): the batch commit runs inside Spark's
+  * writer framework, so unlike the compaction Impls there is no call
+  * site to thread a hook through — the subprocess driver installs a
+  * block-forever hook here, the parent SIGKILLs it at the published
+  * sync point, and the reopened store must satisfy the atomic-rename /
+  * manifest-ordering contract. All no-ops in production. */
+private[graft] object CommitSeams {
+  @volatile var appendPrePublish: () => Unit = () => ()
+  @volatile var truncatePrePublish: () => Unit = () => ()
+  @volatile var truncatePostRetire: () => Unit = () => ()
+}
+
 private[sources] class StoreBatchWrite(
     path: String, schema: StructType, truncate: Boolean) extends BatchWrite {
 
@@ -408,6 +421,9 @@ private[sources] class StoreBatchWrite(
     val t0 = System.currentTimeMillis()
     if (!truncate) {
       StoreManifest.withManifestLock(dir) {
+        // kill window: task files durable, manifest not yet appended —
+        // a crash here must leave the OLD content readable + orphans
+        CommitSeams.appendPrePublish()
         StoreManifest.writeLines(dir,
           (StoreManifest.readLines(dir) ++ commits.map(StoreManifest.render)).sorted)
       }
@@ -430,8 +446,14 @@ private[sources] class StoreBatchWrite(
       // against intact files; the aged-orphan sweep reaps them after
       // the grace ([[StoreManifest.retire]]).
       val previous = StoreManifest.readLines(dir).map(StoreManifest.parse(_).file)
+      // kill window: new generation durable, OLD manifest still live —
+      // a crash here must leave the old content readable + orphans
+      CommitSeams.truncatePrePublish()
       StoreManifest.writeLines(dir, commits.map(StoreManifest.render).sorted)
       previous.filterNot(keep).foreach(f => StoreManifest.retire(dir, f))
+      // kill window: NEW manifest live, old generations retired — a
+      // crash here must serve exactly the new content
+      CommitSeams.truncatePostRetire()
     }
     // Aged orphan sweep, OUTSIDE the lock: crashed-application leftovers
     // (task files no manifest ever referenced, `_MANIFEST*.tmp` from a
