@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Evidence tool (r18, verdict item 6): the streaming store's
+  * read-amplification curve as generations accumulate, at several
+  * compaction cadences — the LSM read/write-amplification tradeoff in
+  * numbers, so the compaction cadence is a recorded policy instead of
+  * folklore.
+  *
+  * Workload: `epochs` batch appends into one store, each writing a NEW
+  * VERSION of the same `rowsPerEpoch` keys (the streaming-upsert shape
+  * the 2,000-epoch soak models — full key overlap, so manifest key
+  * pruning cannot help a reader and the generation count is the read
+  * cost). Grace 0 (the tool owns every reader), so retired fold sets
+  * leave disk at retirement and live bytes are honest.
+  *
+  * Cadences: `never`, and size-tiered minor compaction
+  * ([[VariantStore.compactMinor]], keepGenerations = 4) every 64 / 16 /
+  * 4 epochs. Per sampled epoch:
+  *   gens            manifest line count (the reader's file-list)
+  *   manifest_bytes  manifest size on disk
+  *   list_us         driver-side readLines+parse+filter wall (the
+  *                   metadata half of readRange)
+  *   read_ms         a narrow resolved read (100-key slice), collected
+  *   live_mb         manifest-listed bytes on disk
+  *   written_mb      CUMULATIVE bytes ever written into the store dir
+  *                   (appends + every compaction rewrite) — the
+  *                   write-amplification numerator
+  *
+  *   sbt "runMain graft.sources.StoreEconomics STORE_ECONOMICS.json 400 2000"
+  */
+object StoreEconomics {
+
+  private val Ddl = "key LONG, ver LONG, payload STRING"
+
+  private def f1(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("STORE_ECONOMICS.json")
+    val epochs = if (args.length > 1) args(1).toInt else 400
+    val rowsPerEpoch = if (args.length > 2) args(2).toInt else 2000
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val cadences = Seq(("never", 0), ("every64", 64), ("every16", 16), ("every4", 4))
+    val samples = (1 to epochs).filter(e => e % (epochs / 16).max(1) == 0 || e == 1)
+
+    val lines = cadences.flatMap { case (name, every) =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_econ_${name}_").toString
+      VariantStore.setGrace(dir, 0L)
+      // cumulative write tracking: any file name seen in the dir ever,
+      // with the size at first sighting (generation files are immutable)
+      val seen = scala.collection.mutable.Map.empty[String, Long]
+      def trackWrites(): Unit =
+        Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(f => seen.getOrElseUpdate(f.getName, f.length()))
+      val rows = Seq.newBuilder[String]
+      for (e <- 1 to epochs) {
+        (0L until rowsPerEpoch.toLong).map(k => (k, e.toLong, s"v$e-$k"))
+          .toDF("key", "ver", "payload")
+          .repartitionByRange(1, col("key")).sortWithinPartitions("key")
+          .write.format("graft.sources.VariantStoreSink")
+          .option("path", dir).mode("append").save()
+        trackWrites()
+        if (every > 0 && e % every == 0) {
+          VariantStore.compactMinor(spark, dir, Ddl, keepGenerations = 4)
+          trackWrites()
+        }
+        if (samples.contains(e)) {
+          val dirPath = java.nio.file.Paths.get(dir)
+          val t0 = System.nanoTime()
+          val allEntries = StoreManifest.readLines(dirPath)
+            .map(StoreManifest.parse)
+          val entries = allEntries
+            .filter(en => en.minKey <= 199L && en.maxKey >= 100L)
+          val listUs = (System.nanoTime() - t0) / 1000
+          val manifestBytes = java.nio.file.Files.size(
+            dirPath.resolve(StoreManifest.FileName))
+          val t1 = System.nanoTime()
+          val n = VariantStore.readRange(spark, dir, Ddl, 100L, 199L).count()
+          val readMs = (System.nanoTime() - t1) / 1e6
+          val live = StoreManifest.readLines(dirPath)
+            .map(StoreManifest.parse(_).file)
+            .map(f => new java.io.File(dir, f).length()).sum
+          val written = seen.values.sum
+          require(n == 100L, s"narrow read resolved $n rows, expected 100")
+          rows += s"""{"cadence":"$name","epoch":$e,""" +
+            s""""gens":${allEntries.size},"read_files":${entries.size},""" +
+            s""""manifest_bytes":$manifestBytes,"list_us":$listUs,""" +
+            s""""read_ms":${f1(readMs)},"live_mb":${f1(live / 1e6)},""" +
+            s""""written_mb":${f1(written / 1e6)}}"""
+          System.err.println(rows.result().last)
+        }
+      }
+      rows.result()
+    }
+    val json = s"""{"epochs":$epochs,"rows_per_epoch":$rowsPerEpoch,""" +
+      s""""keep_generations":4,"samples":[\n${lines.mkString(",\n")}\n]}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}
