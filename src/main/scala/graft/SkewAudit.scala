@@ -531,8 +531,14 @@ object SkewCentury {
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
     val noAqe = noBcast + ("spark.sql.adaptive.enabled" -> "false")
+    // skewedPartitionFactor 2 (default 5): the fixture's hot partition
+    // is ~3× the median — cluster-real skew at this corpus size — while
+    // the 5× default targets pathological partitions; thresholds scaled
+    // to the fixture as in SkewAudit. Split evidence shows up as
+    // stage_tasks > shuffle.partitions in the join stage.
     val aqeSkew = noBcast ++ Map(
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8MB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8MB",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
 
