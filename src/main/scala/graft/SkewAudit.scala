@@ -544,6 +544,8 @@ object SkewCentury {
 
     val results = Seq(
       ("sessionize", run("q_sessionize", Map.empty, shipped("q_sessionize"))),
+      ("sessionize", run("sessionize_segmented", Map.empty,
+        (s, d) => graft.ops.Pipeline.sessionizeSegmented(api.tbl(s, d, "events")))),
       ("wrunning", run("q_window_running", Map.empty, shipped("q_window_running"))),
       ("rmedian", run("q_rolling_median", Map.empty, shipped("q_rolling_median"))),
       ("ewma", run("q_ewma", Map.empty, shipped("q_ewma"))),

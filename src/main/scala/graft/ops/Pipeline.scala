@@ -431,6 +431,68 @@ object Pipeline {
       .orderBy("user_id")
   }
 
+  /** SKEW-IMMUNE sessionization — the segmented-scan rewrite of
+    * [[sessionize]] for hot keys (SCALE.md r18b): a `PARTITION BY
+    * user_id` window partition is indivisible, so a user owning 10% of
+    * a 100 TB stream is a 10 TB single task under the plain plan. This
+    * decomposition has no indivisible partition:
+    *
+    *   1. chunk each user's series by day — chunks are contiguous in
+    *      the (ts, event_id) order, so the previous event of a chunk's
+    *      first event IS the previous chunk's last event;
+    *   2. gaps-and-islands LOCALLY within (user, day) partitions;
+    *   3. a second window over the per-(user, day) SUMMARIES (≤
+    *      days-spanned rows per user — metadata scale) computes each
+    *      chunk's global-session-id offset: `Σ m(c') [c'<c] − Σ
+    *      merge(c') [c'≤c]`, where merge(c) = 1 iff the boundary gap ≤
+    *      the session gap. Local id + offset = global id: boundary
+    *      sessions that merge get the SAME global id (including chains
+    *      through whole-chunk sessions), and max(id) = true count.
+    *   4. the final per-session counts groupBy (user, global id) —
+    *      partial aggregation makes the count skew-immune even when one
+    *      merged session is enormous.
+    *
+    * Output identical to [[sessionize]] (SkewSpec pins equality; the
+    * SkewCentury probe checksum-compares at 10M events with a 10%-hot
+    * user, where max task drops ~10×). Exact by construction — integer
+    * session arithmetic, microsecond gap math, no reordering. */
+  def sessionizeSegmented(raw: DataFrame, gapUs: Long = 1800000000L): DataFrame = {
+    val ev = raw.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("chunk", to_date(col("ts")))
+    val byChunk = Window.partitionBy(col("user_id"), col("chunk"))
+      .orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(col("ts"), 1).over(byChunk)
+    val local = ev
+      .withColumn("new_s",
+        when(prevTs.isNull || unix_micros(col("ts")) - unix_micros(prevTs) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("lsid", sum(col("new_s")).over(
+        byChunk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val summary = local.groupBy("user_id", "chunk")
+      .agg(max(col("lsid")).as("m"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("chunk"))
+    val offsets = summary
+      .withColumn("merge",
+        when(unix_micros(col("first_ts")) -
+          unix_micros(lag(col("last_ts"), 1).over(byUser)) <= gapUs, 1L)
+          .otherwise(0L)) // first chunk: null gap → no merge
+      .withColumn("offset",
+        coalesce(sum(col("m")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) -
+          sum(col("merge")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("chunk"), col("offset"))
+    local.join(offsets, Seq("user_id", "chunk"))
+      .withColumn("session_id", col("offset") + col("lsid"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("sess_n"))
+      .groupBy("user_id")
+      .agg(max(col("session_id")).cast(LongType).as("n_sessions"),
+        max(col("sess_n")).cast(LongType).as("max_session_len"))
+      .orderBy("user_id")
+  }
+
   /** C8 — 1-hour tumbling event-time windows (same `window()` expression
     * works unchanged under Structured Streaming — see Streaming). */
   val windowTumbling = Query(

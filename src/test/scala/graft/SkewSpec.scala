@@ -19,6 +19,37 @@ class SkewSpec extends SparkSpec {
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
+  test("segmented sessionize equals the plain window sessionize under a hot user") {
+    // boundary-merge arithmetic: local gaps-and-islands per (user, day)
+    // + global offsets over chunk summaries must reproduce the shipped
+    // q_sessionize exactly, including sessions that CROSS day chunks
+    // (the skew corpus's hot user is dense enough to have them)
+    val d = "/tmp/graft_skewc_test__sf0001"
+    SkewCentury.buildSkewCentury(spark, "/root/testdata/sf0.001", d, copies = 3)
+    assert(rows(graft.ops.Pipeline.sessionizeSegmented(api.tbl(spark, d, "events"))) ==
+      rows(SparkEntry.queries("q_sessionize")(spark, d)))
+  }
+
+  test("segmented sessionize merges boundary sessions (hand fixture)") {
+    // the random corpus's gaps are mostly > 30 min, so pin the merge
+    // branch explicitly: user 1's first session CROSSES midnight
+    // (23:40 → 23:55 → 00:10, all gaps ≤ 30 min, two day-chunks)
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 23:40:00", 1L),
+      (1L, "2024-01-01 23:55:00", 2L),
+      (1L, "2024-01-02 00:10:00", 3L), // merges into the day-1 session
+      (1L, "2024-01-02 09:00:00", 4L), // big gap: a genuine new session
+      (2L, "2024-01-01 10:00:00", 5L),
+      (2L, "2024-01-01 10:10:00", 6L)
+    ).toDF("user_id", "ts_s", "event_id")
+      .withColumn("ts", org.apache.spark.sql.functions.to_timestamp($"ts_s"))
+    val out = graft.ops.Pipeline.sessionizeSegmented(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 2L, 3L), (2L, 1L, 2L)),
+      s"merge across the chunk boundary failed: $out")
+  }
+
   test("two-stage running sum equals the plain window under a hot user") {
     // the SkewCentury prefix-sum decomposition must be value-identical
     // to the plain per-user running window — exact decimal addition is
