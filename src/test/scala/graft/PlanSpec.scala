@@ -127,6 +127,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("combineLong plans the SAME shuffles as the dense combine, minus the width aggregate") {
+    // the long format must not add exchanges: one coverage bucket-explode
+    // Generate, no nested loop, and NO width-sized collect_list in any
+    // aggregate (the dense path's per-site calls assembly) — per-row
+    // projections only above the shared window exchange.
+    val p = Gvcf.combineLong(Gvcf.syntheticVariants(spark, 300L))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert("explode\\(sequence\\(\\(start".r.findAllIn(p).length == 1,
+      "coverage subtree must be evaluated exactly once")
+    // the dense path's width-sized per-site aggregate is
+    // collect_list(struct(i, sample_idx …)); the only collect_list a long
+    // plan may carry is sampleNameIndex's one-row cohort array (the
+    // documented broadcast build)
+    assert(!p.contains("collect_list(struct(i, sample_idx"),
+      "long format must carry no width-sized per-site calls aggregate")
+    val dense = Gvcf.combineSites(Gvcf.syntheticVariants(spark, 300L))
+      .queryExecution.executedPlan.toString
+    assert(dense.contains("collect_list(struct(i, sample_idx"),
+      "pin drifted: the dense plan no longer shows the width aggregate " +
+        "this test distinguishes against")
+  }
+
   test("q_funnel scans the events fact exactly once (window funnel, no join cascade)") {
     val p = plan(Extras.funnel)
     val scans = "Scan parquet".r.findAllIn(p).length
