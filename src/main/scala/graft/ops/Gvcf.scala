@@ -346,7 +346,20 @@ object Gvcf {
     * one merged-allele aggregate joined back, then pure per-row array
     * expressions (codegen'd, no UDFs) and one final site aggregate —
     * nothing new shuffles at 100 TB beyond what combine already pays. */
-  def genotypeGvcf(variants: DataFrame, bucketWidth: Long = 64): DataFrame = {
+  def genotypeGvcf(variants: DataFrame, bucketWidth: Long = 64): DataFrame =
+    mergedSiteAgg(genotypeCalls(variants, bucketWidth),
+      sum(col("dp")).cast(LongType).as("sum_dp"),
+      expr("array_join(transform(sort_array(collect_list(struct(sample_idx AS i, " +
+        "concat(sample, ':', gt_new, ':', gq_new) AS c))), s -> s.c), ';')")
+        .as("calls"))
+      .orderBy("contig", "pos")
+
+  /** The per-sample half of [[genotypeGvcf]] — every covered sample's
+    * re-genotyped call in merged allele space, BEFORE the width-sized
+    * per-site calls assembly. This is the genotype family's long-format
+    * core (the [[combinedCalls]] analog): [[genotypeLong]] projects it,
+    * [[genotypeGvcf]] rolls it up densely. */
+  private def genotypeCalls(variants: DataFrame, bucketWidth: Long): DataFrame = {
     val cov = siteCoverage(variants, bucketWidth)
       .select("contig", "pos", "sample", "kind", "alleles", "gq", "dp", "pl")
     // merged ref/alts as whole-partition window aggregates over the ONE
@@ -399,12 +412,44 @@ object Gvcf {
       .withColumn("gt_new", expr("concat(pairs[g][0], '/', pairs[g][1])"))
       .withColumn("spl", array_sort(col("mpl")))
       .withColumn("gq_new", expr("least(try_element_at(spl, 2) - try_element_at(spl, 1), 99)"))
-    mergedSiteAgg(re.join(broadcast(sampleNameIndex(variants)), "sample"),
-      sum(col("dp")).cast(LongType).as("sum_dp"),
-      expr("array_join(transform(sort_array(collect_list(struct(sample_idx AS i, " +
-        "concat(sample, ':', gt_new, ':', gq_new) AS c))), s -> s.c), ';')")
-        .as("calls"))
+    re.join(broadcast(sampleNameIndex(variants)), "sample")
+  }
+
+  /** LONG-format genotyping — the [[combineLong]] analog for
+    * [[genotypeGvcf]]: one O(1) row per (site, covered sample) with the
+    * merged header and the sample's RE-GENOTYPED call, no width-sized
+    * per-site assembly anywhere in the plan. Same shuffles as the dense
+    * path (bucketed coverage join + site-key window). */
+  def genotypeLong(variants: DataFrame, bucketWidth: Long = 64): DataFrame =
+    genotypeCalls(variants, bucketWidth)
+      .select(col("contig"), col("pos"), col("ref"),
+        array_join(col("alts"), ",").as("alt"),
+        col("sample"), col("sample_idx"),
+        col("gt_new").as("gt"), col("gq_new").as("gq"), col("dp"))
+
+  /** Reassemble [[genotypeGvcf]]'s dense shape from [[genotypeLong]]
+    * rows — the genotype equality witness (GvcfSpec). */
+  def genotypeFromLong(long: DataFrame): DataFrame =
+    long.groupBy("contig", "pos")
+      .agg(max(col("ref")).as("ref"), max(col("alt")).as("alt"),
+        count(lit(1)).as("n_samples"),
+        sum(col("dp")).cast(LongType).as("sum_dp"),
+        expr("array_join(transform(sort_array(collect_list(struct(sample_idx AS i, " +
+          "concat(sample, ':', gt, ':', gq) AS c))), s -> s.c), ';')")
+          .as("calls"))
       .orderBy("contig", "pos")
+
+  /** Width-dispatching genotyping — the same r17g admission rule as
+    * [[combineAuto]], applied to the GenotypeGVCFs output: dense
+    * per-site rows up to [[MaxDenseWidth]] samples, the long format
+    * beyond, decided from table metadata on the lazy plan. */
+  def genotypeAuto(variants: DataFrame, bucketWidth: Long = 64,
+      maxDenseWidth: Long = MaxDenseWidth): AutoCombine = {
+    val width = cohortWidth(variants)
+    if (width <= maxDenseWidth)
+      AutoCombine("dense", width, genotypeGvcf(variants, bucketWidth))
+    else
+      AutoCombine("long", width, genotypeLong(variants, bucketWidth))
   }
 
   /** Deterministic 3-sample synthetic cohort (pure arithmetic — the

@@ -265,6 +265,26 @@ class GvcfSpec extends SparkSpec {
       "long-format combine must reassemble to the dense bytes")
   }
 
+  test("genotypeAuto: dense ≡ long (hash-identical) and the admission " +
+      "rule dispatches from metadata") {
+    import org.apache.spark.sql.functions.{md5, col}
+    val nS = 5000L
+    val v = Gvcf.syntheticVariantsWidePl(spark, nS)
+    val auto = Gvcf.genotypeAuto(v)
+    assert(auto.format == "dense" && auto.width == nS)
+    val wide = Gvcf.genotypeAuto(Gvcf.annotateWidth(v, Gvcf.MaxDenseWidth + 1))
+    assert(wide.format == "long" && wide.width == Gvcf.MaxDenseWidth + 1)
+    assert(wide.df.columns.toSeq ==
+      Seq("contig", "pos", "ref", "alt", "sample", "sample_idx", "gt", "gq", "dp"))
+    def digests(df: DataFrame): Seq[Seq[Any]] = df
+      .withColumn("calls_md5", md5(col("calls").cast("binary")))
+      .drop("calls").collect().map(_.toSeq.toList).toSeq
+    val dense = digests(auto.df)
+    val viaLong = digests(Gvcf.genotypeFromLong(Gvcf.genotypeLong(v)))
+    assert(dense.size == 120 && dense == viaLong,
+      "long-format genotyping must reassemble to the dense bytes")
+  }
+
   test("coverageHistogram: sweep-line depths match hand-counted bases") {
     // fixture covers chr1 [1,30] with both samples everywhere → depth 2
     // for all 30 bases, except nothing: a covers [1,30] via 3 records,
