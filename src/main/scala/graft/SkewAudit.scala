@@ -549,6 +549,8 @@ object SkewCentury {
       ("wrunning", run("q_window_running", Map.empty, shipped("q_window_running"))),
       ("rmedian", run("q_rolling_median", Map.empty, shipped("q_rolling_median"))),
       ("ewma", run("q_ewma", Map.empty, shipped("q_ewma"))),
+      ("ewma", run("ewma_lastk", Map.empty,
+        (s, d) => graft.ops.Extras.ewmaLastK(api.tbl(s, d, "events")))),
       ("running", run("running_plain", Map.empty, runningPlain)),
       ("running", run("running_twostage", Map.empty, runningTwoStage)),
       ("join", run("join_smj_noaqe", noAqe, SkewAudit.joinShufflePlan)),

@@ -1041,6 +1041,49 @@ object Extras {
       .orderBy("event_type", "user_id")
   }
 
+  /** SKEW-IMMUNE EWMA — the last-K rewrite of [[ewmaOf]] for hot keys
+    * (SCALE.md r18b): the output only depends on each series' LAST 8
+    * values (the bounded frame) plus its row count, so the sliding
+    * window over the full series is unnecessary work AND an indivisible
+    * hot partition. Rewritten as:
+    *
+    *   1. `row_number() DESC ≤ 8` — Spark's InferWindowGroupLimit plans
+    *      a PARTIAL map-side top-k per key BEFORE the exchange (the
+    *      SkewAudit top-k finding), so a hot key arrives at the reducer
+    *      pre-cut to ≤8 rows per map task — no straggler can form;
+    *   2. the fixed-point weighted sum over the ≤8-element tail, with
+    *      the newest row (rnd = 1) at asc position len − rnd, weights
+    *      identical to [[ewmaOf]]'s 2^j0;
+    *   3. `n_events` from a separate partial-aggregated count (skew-
+    *      immune by map-side combine), joined on the same key — the
+    *      join reuses the aggregation partitioning, no extra exchange
+    *      class at scale.
+    *
+    * Bit-identical to [[ewmaOf]] (integer arithmetic end to end, one
+    * final IEEE division in both): SkewSpec pins equality; SkewCentury
+    * checksum-compares at 10M events with a 10%-hot user. */
+  private[graft] def ewmaLastK(raw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val byKeyDesc = Window.partitionBy("event_type", "user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val lastK = raw
+      .withColumn("um", (dec("value") * 10000).cast(LongType))
+      .withColumn("rnd", row_number().over(byKeyDesc))
+      .filter(col("rnd") <= 8)
+      .groupBy("event_type", "user_id")
+      .agg(expr("sort_array(collect_list(struct(rnd, um)))").as("tail"))
+      .withColumn("numer", expr(
+        "aggregate(transform(tail, t -> t.um * shiftleft(1L, size(tail) - t.rnd)), " +
+          "0L, (a, b) -> a + b)"))
+      .withColumn("denom", expr("shiftleft(1L, size(tail)) - 1"))
+    val counts = raw.groupBy("event_type", "user_id")
+      .agg(count(lit(1)).cast(LongType).as("n_events"))
+    lastK.join(counts, Seq("event_type", "user_id"))
+      .select(col("event_type"), col("user_id"), col("n_events"),
+        round(col("numer").cast(DoubleType) / col("denom") / 10000, 6).as("ewma"))
+      .orderBy("event_type", "user_id")
+  }
+
   /** Pairwise Pearson correlation (quantity/discount/tax) — the
     * corr/covar aggregate family, done portably: doubles are scaled to
     * exact cent integers, all five moment sums accumulate in BIGINT

@@ -61,6 +61,17 @@ class SkewSpec extends SparkSpec {
       rows(SkewCentury.runningPlain(spark, d)))
   }
 
+  test("last-K EWMA equals the sliding-window EWMA under a hot user") {
+    // the output depends only on each series' last 8 values + count,
+    // so the top-k rewrite (map-side WindowGroupLimit pre-cut) must be
+    // bit-identical to the full sliding window — same integer weights,
+    // same single final IEEE division
+    val d = "/tmp/graft_skewc_test__sf0001"
+    SkewCentury.buildSkewCentury(spark, "/root/testdata/sf0.001", d, copies = 3)
+    assert(rows(ops.Extras.ewmaLastK(api.tbl(spark, d, "events"))) ==
+      rows(SparkEntry.queries("q_ewma")(spark, d)))
+  }
+
   test("skew corpus plants a dominant hot key with FK-clean orders") {
     val o = api.tbl(spark, dir, "orders")
     val total = o.count()
