@@ -134,12 +134,24 @@ object AutoCombineProbe {
     val expectFormat = if (n > Gvcf.MaxDenseWidth) "long" else "dense"
     require(auto.format == expectFormat,
       s"admission mis-route: width $n -> ${auto.format}, expected $expectFormat")
-    // (2)+(3) full-width execution, timed, validated by formula
+    // (2)+(3) full-width execution, timed, validated by formula — the
+    // validation aggregate depends on the admitted FORMAT (long rows
+    // carry per-sample gt; dense rows carry n_samples + a calls array),
+    // so a dense-route corpus (width <= MaxDenseWidth) validates too
+    // instead of failing on a missing column.
     val t0 = System.nanoTime()
-    val agg = auto.df.groupBy("contig", "pos").agg(
-      count(lit(1)).as("rows"),
-      sum(when(col("gt") === "0/0", 1L).otherwise(0L)).as("homref"),
-      countDistinct("gt").as("ngt")).collect()
+    val agg = (if (auto.format == "long")
+      auto.df.groupBy("contig", "pos").agg(
+        count(lit(1)).as("rows"),
+        sum(when(col("gt") === "0/0", 1L).otherwise(0L)).as("homref"),
+        countDistinct("gt").as("ngt"))
+    else
+      auto.df.select(col("contig"), col("pos"),
+        col("n_samples").as("rows"),
+        expr("size(filter(calls, c -> c like '%:0/0:%'))").cast("long").as("homref"),
+        expr("size(array_distinct(transform(calls, " +
+          "c -> split(c, ':')[1])))").cast("long").as("ngt"))
+      ).collect()
     val secs = (System.nanoTime() - t0) / 1e9
     // #k in [0, n) with k ≡ r (mod 3): floor((n - 1 - r) / 3) + 1
     def blocksAt(j: Long): Long = {

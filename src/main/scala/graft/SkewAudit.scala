@@ -89,10 +89,14 @@ object SkewAudit {
   private val HotTenths = 3 // 30% of rows on the hot key
   private val NSalt = 8
 
-  /** orders ×`copies` (offset o_orderkey, base-range o_custkey),
-    * `hotTenths`/10 of rows hot; every other table symlinked. */
-  def buildSkew10(spark: SparkSession, src: String, dest: String,
-      copies: Int = Copies, hotTenths: Int = HotTenths): String =
+  /** orders ×10 (offset o_orderkey, base-range o_custkey), 30% of rows
+    * hot — chosen by a hash of the BASE (pre-offset) key, so copies of
+    * the same source row are hot-correlated; every other table
+    * symlinked. ([[SkewCentury.buildSkewCentury]] deliberately differs:
+    * it hashes the POST-offset key, i.i.d. across copies.) */
+  def buildSkew10(spark: SparkSession, src: String, dest: String): String = {
+    val copies = Copies
+    val hotTenths = HotTenths
     api.buildOnce(dest, Some("_SKEW_READY")) { tmp =>
       val base = api.tbl(spark, src, "orders")
       val stride = base.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
@@ -118,6 +122,7 @@ object SkewAudit {
           .getBytes("UTF-8"))
       ()
     }
+  }
 
   /** (stageId, taskDurationMs) stream; settle() polls the async listener
     * bus until quiet (the ShuffleAudit pattern). */
@@ -236,9 +241,6 @@ object SkewAudit {
       .filter(col("rn") <= 3).drop("rn")
   }
 
-  private def f3(v: Double): String =
-    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dest = if (args.length > 1) args(1) else "/tmp/graft_skew10"
@@ -260,50 +262,9 @@ object SkewAudit {
     val listener = new TaskDurationListener
     spark.sparkContext.addSparkListener(listener)
 
-    // conf knobs toggled per strategy; everything restored after each run
-    val Defaults = Map(
-      "spark.sql.adaptive.enabled" -> "true",
-      "spark.sql.adaptive.skewJoin.enabled" -> "true",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256MB",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64MB",
-      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
-      "spark.sql.autoBroadcastJoinThreshold" -> "10MB",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10MB")
-
     def run(name: String, conf: Map[String, String],
-            plan: (SparkSession, String) => DataFrame): (Long, String) = {
-      conf.foreach { case (k, v) => spark.conf.set(k, v) }
-      try {
-        // rdd.count(), NOT Dataset.count(): count() prunes the payload
-        // columns and collapses every probe into the key-only shape
-        plan(spark, dest).rdd.count() // warm: codegen + parquet footers
-        listener.settleAndDrain()
-        val t0 = System.nanoTime()
-        val n = plan(spark, dest).rdd.count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        val tasks = listener.settleAndDrain()
-        val sum = checksum(plan(spark, dest))
-        // straggler signal: the WORST max/median ratio over parallel
-        // stages (≥8 tasks — tiny reduce/collect stages are trivially
-        // balanced and scan stages would dilute a shuffle straggler)
-        val byStage = tasks.groupBy(_._1).values
-          .map(_.map(_._2).sorted).filter(_.size >= 8)
-        val stageMs =
-          if (byStage.nonEmpty)
-            byStage.maxBy(ms => ms.last.toDouble / math.max(1L, ms(ms.size / 2)))
-          else tasks.map(_._2).sorted
-        val maxMs = stageMs.last
-        val p50 = stageMs(stageMs.size / 2)
-        val ratio = maxMs.toDouble / math.max(1L, p50)
-        val line =
-          s"""{"run":"$name","sec":${f3(sec)},"rows":$n,""" +
-            s""""tasks":${tasks.size},"stage_tasks":${stageMs.size},""" +
-            s""""max_task_ms":$maxMs,"stage_p50_ms":$p50,""" +
-            s""""straggler_ratio":${f3(ratio)}}"""
-        println(line)
-        (sum, line)
-      } finally Defaults.foreach { case (k, v) => spark.conf.set(k, v) }
-    }
+            plan: (SparkSession, String) => DataFrame): (Long, String) =
+      SkewHarness.run(spark, dest, listener)(name, conf, plan)
 
     val noBcast = Map(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
@@ -345,6 +306,68 @@ object SkewAudit {
   }
 }
 
+/** ONE measurement harness for both skew audits ([[SkewAudit]] at the
+  * decade, [[SkewCentury]] at 100×) — the r18 review found the two
+  * inlined copies had already drifted (SkewCentury overrode
+  * `skewedPartitionFactor` but its copied restore map did not contain
+  * the key, leaking the override into later runs). Per probe: warm run
+  * (codegen + parquet footers), timed `rdd.count()` (NOT
+  * Dataset.count(), which prunes payload columns and collapses every
+  * probe into the key-only shape), order-independent checksum, and the
+  * straggler signal — the WORST max/median task ratio over parallel
+  * stages (≥8 tasks; tiny reduce stages are trivially balanced and scan
+  * stages would dilute a shuffle straggler). Every conf key any variant
+  * may touch is in [[Defaults]] and restored after each run. */
+private[graft] object SkewHarness {
+
+  /** Session defaults restored after every probe — the superset of all
+    * keys any strategy variant overrides. */
+  val Defaults = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256MB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "5.0",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64MB",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.autoBroadcastJoinThreshold" -> "10MB",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10MB")
+
+  private def f3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  def run(spark: SparkSession, dest: String,
+      listener: SkewAudit.TaskDurationListener)(
+      name: String, conf: Map[String, String],
+      plan: (SparkSession, String) => DataFrame): (Long, String) = {
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      plan(spark, dest).rdd.count() // warm: codegen + parquet footers
+      listener.settleAndDrain()
+      val t0 = System.nanoTime()
+      val n = plan(spark, dest).rdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val tasks = listener.settleAndDrain()
+      val sum = SkewAudit.checksum(plan(spark, dest))
+      val byStage = tasks.groupBy(_._1).values
+        .map(_.map(_._2).sorted).filter(_.size >= 8)
+      val stageMs =
+        if (byStage.nonEmpty)
+          byStage.maxBy(ms => ms.last.toDouble / math.max(1L, ms(ms.size / 2)))
+        else tasks.map(_._2).sorted
+      val maxMs = stageMs.last
+      val p50 = stageMs(stageMs.size / 2)
+      val ratio = maxMs.toDouble / math.max(1L, p50)
+      val line =
+        s"""{"run":"$name","sec":${f3(sec)},"rows":$n,""" +
+          s""""tasks":${tasks.size},"stage_tasks":${stageMs.size},""" +
+          s""""max_task_ms":$maxMs,"stage_p50_ms":$p50,""" +
+          s""""straggler_ratio":${f3(ratio)}}"""
+      println(line)
+      (sum, line)
+    } finally Defaults.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+}
+
 /** Evidence tool (r18, verdict item 2): skew at CENTURY scale, on the
   * axis the r15g decade audit never exercised — the WINDOW-heavy movers
   * under a planted hot key, where AQE cannot help: skew-join splitting
@@ -357,7 +380,10 @@ object SkewAudit {
   * user_id in the base range, then 10% of ALL rows — hash-chosen by
   * post-offset event_id — reassigned to ONE hot user (≈1M of 10M rows
   * at the sf0.1 source, vs ~6.7k rows for a median user); orders gets
-  * the [[SkewAudit.buildSkew10]] treatment at the same 100 copies /
+  * the same copy-offset + hot-reassignment SHAPE (hot rows chosen by a
+  * POST-offset key hash — i.i.d. across copies, unlike
+  * [[SkewAudit.buildSkew10]]'s base-key choice, which hot-correlates
+  * copies of the same source row) at the same 100 copies /
   * 10% heat for the join control at this scale.
   *
   * Probes:
@@ -461,9 +487,6 @@ object SkewCentury {
         (col("local_sum") + col("offset")).cast("double").as("running_value"))
   }
 
-  private def f3(v: Double): String =
-    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dest = if (args.length > 1) args(1) else "/tmp/graft_skewc100"
@@ -485,44 +508,9 @@ object SkewCentury {
     val listener = new SkewAudit.TaskDurationListener
     spark.sparkContext.addSparkListener(listener)
 
-    val Defaults = Map(
-      "spark.sql.adaptive.enabled" -> "true",
-      "spark.sql.adaptive.skewJoin.enabled" -> "true",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256MB",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64MB",
-      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
-      "spark.sql.autoBroadcastJoinThreshold" -> "10MB",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "10MB")
-
     def run(name: String, conf: Map[String, String],
-            plan: (SparkSession, String) => DataFrame): (Long, String) = {
-      conf.foreach { case (k, v) => spark.conf.set(k, v) }
-      try {
-        plan(spark, dest).rdd.count() // warm: codegen + parquet footers
-        listener.settleAndDrain()
-        val t0 = System.nanoTime()
-        val n = plan(spark, dest).rdd.count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        val tasks = listener.settleAndDrain()
-        val sum = SkewAudit.checksum(plan(spark, dest))
-        val byStage = tasks.groupBy(_._1).values
-          .map(_.map(_._2).sorted).filter(_.size >= 8)
-        val stageMs =
-          if (byStage.nonEmpty)
-            byStage.maxBy(ms => ms.last.toDouble / math.max(1L, ms(ms.size / 2)))
-          else tasks.map(_._2).sorted
-        val maxMs = stageMs.last
-        val p50 = stageMs(stageMs.size / 2)
-        val ratio = maxMs.toDouble / math.max(1L, p50)
-        val line =
-          s"""{"run":"$name","sec":${f3(sec)},"rows":$n,""" +
-            s""""tasks":${tasks.size},"stage_tasks":${stageMs.size},""" +
-            s""""max_task_ms":$maxMs,"stage_p50_ms":$p50,""" +
-            s""""straggler_ratio":${f3(ratio)}}"""
-        println(line)
-        (sum, line)
-      } finally Defaults.foreach { case (k, v) => spark.conf.set(k, v) }
-    }
+            plan: (SparkSession, String) => DataFrame): (Long, String) =
+      SkewHarness.run(spark, dest, listener)(name, conf, plan)
 
     def shipped(name: String): (SparkSession, String) => DataFrame =
       (s, d) => SparkEntry.queries(name)(s, d)

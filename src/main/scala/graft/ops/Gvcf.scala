@@ -250,16 +250,42 @@ object Gvcf {
   val MaxDenseWidth = 300000L
 
   /** Declare the cohort width on `sample`'s column metadata (writers
-    * that know their cohort call this; [[syntheticVariantsWide]] does). */
+    * that know their cohort call this; [[syntheticVariantsWide]] does).
+    *
+    * CONTRACT: the declared width is an UPPER BOUND on the cohort's
+    * distinct samples — the same trust model as catalog table
+    * statistics (a CBO broadcasts on declared sizes; stale stats
+    * mis-plan). Spark propagates column metadata through
+    * width-changing transformations it knows nothing about, so a
+    * transformation that can GROW the cohort (a union of cohorts, an
+    * append of new samples) must re-declare — [[mergeCohorts]] is the
+    * blessed union and sums the bounds. The upper-bound direction is
+    * the safe one: over-declaring can only route a dense-eligible
+    * cohort to the long format (a performance pessimization with
+    * identical results), never a too-wide cohort to the dense path
+    * (the GC-death mis-route the admission rule exists to prevent).
+    * Filters keep the stale larger bound — conservative, same
+    * direction. */
   def annotateWidth(variants: DataFrame, width: Long): DataFrame = {
     val md = new MetadataBuilder().putLong(CohortWidthKey, width).build()
     variants.withColumn("sample", col("sample").as("sample", md))
   }
 
+  /** Union two cohorts PRESERVING the admission contract: the result
+    * declares the SUM of the inputs' widths — an upper bound on the
+    * union's distinct samples whatever the overlap, so the dispatch
+    * stays fail-safe (see [[annotateWidth]]'s contract). A bare
+    * `unionByName` would silently keep ONE side's declaration and could
+    * admit a 2×-wider cohort to the dense path. Un-annotated inputs
+    * fall back to their measured width (one metadata-scale aggregate). */
+  def mergeCohorts(a: DataFrame, b: DataFrame): DataFrame =
+    annotateWidth(a.unionByName(b), cohortWidth(a) + cohortWidth(b))
+
   /** Cohort width: the declared `sample`-column metadata when present
-    * (zero execution — the planner path), else one distinct-count
-    * aggregate over the sample column (metadata-scale: |cohort| rows
-    * through one exchange, never the record corpus). */
+    * (zero execution — the planner path; an UPPER BOUND by the
+    * [[annotateWidth]] contract), else one distinct-count aggregate
+    * over the sample column (metadata-scale: |cohort| rows through one
+    * exchange, never the record corpus). */
   def cohortWidth(variants: DataFrame): Long =
     variants.schema.find(_.name == "sample")
       .filter(_.metadata.contains(CohortWidthKey))

@@ -253,6 +253,15 @@ class GvcfSpec extends SparkSpec {
     assert(wide.format == "long" && wide.width == Gvcf.MaxDenseWidth + 1)
     assert(wide.df.columns.toSeq ==
       Seq("contig", "pos", "ref", "alt", "sample", "sample_idx", "gt", "gq"))
+    // the union hazard (r18 review): a bare union keeps one side's
+    // declared width; mergeCohorts sums the bounds, so two cohorts that
+    // together cross the dense ceiling route LONG even though each
+    // alone declares dense-eligible
+    val half = Gvcf.annotateWidth(v, Gvcf.MaxDenseWidth / 2 + 1)
+    val merged = Gvcf.combineAuto(Gvcf.mergeCohorts(half, half))
+    assert(merged.format == "long" &&
+      merged.width == 2 * (Gvcf.MaxDenseWidth / 2 + 1),
+      "mergeCohorts must sum the declared bounds (fail-safe dispatch)")
     // (a) the two formats are ONE logical result: reassembling the
     // long rows yields the dense output value-for-value (site digests
     // compare the ~30k-entry calls arrays without shipping them)
