@@ -127,8 +127,16 @@ object AutoCombineProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.ops.Gvcf
+    // optional 3rd arg: which width-dispatched family to drive —
+    // "combine" (default) or "genotype" (the PL-remap path, heavier
+    // per row, same admission rule and invariants: block-covered
+    // samples re-genotype to 0/0 from banded likelihoods, sites to
+    // 0/x or x/x in merged space)
+    val op = if (args.length > 2) args(2) else "combine"
     val n = Gvcf.wideN(spark, sfDir)
-    val auto = Gvcf.combineAuto(Gvcf.syntheticVariantsWide(spark, n))
+    val auto =
+      if (op == "genotype") Gvcf.genotypeAuto(Gvcf.syntheticVariantsWidePl(spark, n))
+      else Gvcf.combineAuto(Gvcf.syntheticVariantsWide(spark, n))
     // (1) admission from metadata: nothing has executed yet
     require(auto.width == n, s"declared width ${auto.width} != cohort $n")
     val expectFormat = if (n > Gvcf.MaxDenseWidth) "long" else "dense"
@@ -145,13 +153,20 @@ object AutoCombineProbe {
         count(lit(1)).as("rows"),
         sum(when(col("gt") === "0/0", 1L).otherwise(0L)).as("homref"),
         countDistinct("gt").as("ngt"))
-    else
-      auto.df.select(col("contig"), col("pos"),
-        col("n_samples").as("rows"),
-        expr("size(filter(calls, c -> c like '%:0/0:%'))").cast("long").as("homref"),
-        expr("size(array_distinct(transform(calls, " +
-          "c -> split(c, ':')[1])))").cast("long").as("ngt"))
-      ).collect()
+    else {
+      // dense calls cell: combine emits an ARRAY of "sample:gt:gq"
+      // entries, genotype a ';'-joined STRING — normalize first
+      val callsArr =
+        if (op == "genotype") expr("split(calls, ';')") else col("calls")
+      auto.df
+        .withColumn("ca", callsArr)
+        .select(col("contig"), col("pos"),
+          col("n_samples").as("rows"),
+          expr("size(filter(ca, c -> c like '%:0/0:%'))")
+            .cast("long").as("homref"),
+          expr("size(array_distinct(transform(ca, " +
+            "c -> split(c, ':')[1])))").cast("long").as("ngt"))
+    }).collect()
     val secs = (System.nanoTime() - t0) / 1e9
     // #k in [0, n) with k ≡ r (mod 3): floor((n - 1 - r) / 3) + 1
     def blocksAt(j: Long): Long = {
@@ -170,7 +185,7 @@ object AutoCombineProbe {
     }
     require(agg.length == 120, s"sites ${agg.length} != 120")
     require(bad.isEmpty, s"invariant failures: ${bad.take(5).mkString("; ")}")
-    val json = s"""{"sf":"$sfDir","cpus":$cpus,"width":$n,""" +
+    val json = s"""{"sf":"$sfDir","cpus":$cpus,"op":"$op","width":$n,""" +
       s""""format":"${auto.format}","secs":${"%.1f".formatLocal(java.util.Locale.ROOT, secs)},""" +
       s""""sites":${agg.length},"rows":${agg.map(_.getLong(2)).sum},"invariants":"pass"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out), (json + "\n").getBytes("UTF-8"))

@@ -102,7 +102,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     // array_sort must make the output independent of it under any
     // re-planning.
     "q_combine_merge", "q_genotype_gvcf", "q_merge_bands",
-    "q_combine_wide", "q_genotype_wide", "q_export_wide")
+    "q_combine_wide", "q_genotype_wide", "q_export_wide",
+    // r18: the width-dispatched combine (dense route at this sf)
+    "q_combine_auto")
 
   /** `GRAFT_INVARIANCE_ALL=true sbt "testOnly graft.PartitionInvarianceSpec"`
     * widens the gate to EVERY registered query — the exhaustive one-off
@@ -112,6 +114,32 @@ class PartitionInvarianceSpec extends SparkSpec {
     if (sys.env.get("GRAFT_INVARIANCE_ALL").contains("true"))
       SparkEntry.queries.keys.toSeq.sorted
     else Subset
+
+  test("the r18 rewrite operators are re-planning invariant (non-query APIs)") {
+    // the hot-key window rewrites and the long-format combine/genotype
+    // paths are APIs, not registered queries, so the query gate above
+    // never re-plans them — drive each under both configs directly.
+    // They are exactly this spec's risk class: multi-stage prefix sums
+    // with arithmetic merges (tie-breaks), top-k frames, and the
+    // long-format rows whose dense reassembly elsewhere depends on
+    // their values being layout-independent.
+    val skewDir = "/tmp/graft_skewc_test__sf0001"
+    SkewCentury.buildSkewCentury(spark, sf, skewDir, copies = 3)
+    val plans: Seq[(String, () => DataFrame)] = Seq(
+      "sessionizeSegmented" ->
+        (() => ops.Pipeline.sessionizeSegmented(api.tbl(spark, skewDir, "events"))),
+      "runningTwoStage" -> (() => SkewCentury.runningTwoStage(spark, skewDir)),
+      "ewmaLastK" -> (() => ops.Extras.ewmaLastK(api.tbl(spark, skewDir, "events"))),
+      "combineLong" ->
+        (() => ops.Gvcf.combineLong(ops.Gvcf.syntheticVariants(spark, 300L))),
+      "genotypeLong" ->
+        (() => ops.Gvcf.genotypeLong(ops.Gvcf.syntheticVariantsPl(spark, 300L))))
+    for ((n, p) <- plans) {
+      val base = canon(p())
+      val alt = withConfs(Alt)(canon(p()))
+      assert(base == alt, s"$n: ${firstDiff(base, alt)}")
+    }
+  }
 
   test("the gate itself detects a partition-leaking result (negative control)") {
     // A query whose output leaks the physical partitioning MUST differ
