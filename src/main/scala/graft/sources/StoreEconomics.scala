@@ -42,6 +42,11 @@ object StoreEconomics {
     val out = args.headOption.getOrElse("STORE_ECONOMICS.json")
     val epochs = if (args.length > 1) args(1).toInt else 400
     val rowsPerEpoch = if (args.length > 2) args(2).toInt else 2000
+    // optional 4th arg "disjoint": each epoch writes its OWN key slice
+    // (append-only ingest shape) instead of re-versioning the same keys
+    // — the workload where manifest KEY PRUNING, not compaction, keeps
+    // narrow reads flat (the complementary cadence-policy data point)
+    val disjoint = args.length > 3 && args(3) == "disjoint"
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -66,7 +71,8 @@ object StoreEconomics {
           .foreach(f => seen.getOrElseUpdate(f.getName, f.length()))
       val rows = Seq.newBuilder[String]
       for (e <- 1 to epochs) {
-        (0L until rowsPerEpoch.toLong).map(k => (k, e.toLong, s"v$e-$k"))
+        val base = if (disjoint) (e - 1).toLong * rowsPerEpoch else 0L
+        (base until base + rowsPerEpoch).map(k => (k, e.toLong, s"v$e-$k"))
           .toDF("key", "ver", "payload")
           .repartitionByRange(1, col("key")).sortWithinPartitions("key")
           .write.format("graft.sources.VariantStoreSink")
