@@ -449,43 +449,15 @@ object SkewCentury {
       ()
     }
 
-  private def decVal = expr("CAST(value AS DECIMAL(18,4))")
+  /** The q_window_running cores WITHOUT the presentation limit (the
+    * probe must execute — and checksum — the full window output). Thin
+    * wrappers over the single ops implementations (r18 lesson:
+    * duplicated harness code drifts). */
+  def runningPlain(s: SparkSession, d: String): DataFrame =
+    ops.Relational.runningPlain(api.tbl(s, d, "events"))
 
-  /** The q_window_running core WITHOUT its presentation limit (the
-    * probe must execute — and checksum — the full window output). */
-  def runningPlain(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    api.tbl(s, d, "events")
-      .select(col("user_id"), col("event_id"), col("ts"),
-        sum(decVal).over(w).cast("double").as("running_value"))
-  }
-
-  /** Prefix-sum decomposition: identical result, no indivisible hot
-    * partition. Stage 1 computes running sums within (user_id, day);
-    * stage 2 windows over the per-(user, day) TOTALS — at most one row
-    * per user per day — to get each chunk's starting offset; the
-    * shuffle join back is on (user_id, day), which the hot user spreads
-    * over its active days. */
-  def runningTwoStage(s: SparkSession, d: String): DataFrame = {
-    val ev = api.tbl(s, d, "events")
-      .select(col("user_id"), col("event_id"), col("ts"), decVal.as("v"))
-      .withColumn("day", to_date(col("ts")))
-    val wLocal = Window.partitionBy(col("user_id"), col("day"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ev.withColumn("local_sum", sum(col("v")).over(wLocal))
-    val wChunks = Window.partitionBy(col("user_id")).orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ev.groupBy(col("user_id"), col("day"))
-      .agg(sum(col("v")).as("day_sum"))
-      .select(col("user_id"), col("day"),
-        coalesce(sum(col("day_sum")).over(wChunks), lit(0).cast("decimal(28,4)"))
-          .as("offset"))
-    local.join(offsets, Seq("user_id", "day"))
-      .select(col("user_id"), col("event_id"), col("ts"),
-        (col("local_sum") + col("offset")).cast("double").as("running_value"))
-  }
+  def runningTwoStage(s: SparkSession, d: String): DataFrame =
+    ops.Relational.runningTwoStage(api.tbl(s, d, "events"))
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -530,15 +502,18 @@ object SkewCentury {
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8MB",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
 
+    // since r19 the SHIPPED q_sessionize / q_ewma / q_window_running run
+    // the skew-immune rewrites; each group pairs the shipped plan with
+    // the retired naive window so the probe keeps measuring both sides
     val results = Seq(
       ("sessionize", run("q_sessionize", Map.empty, shipped("q_sessionize"))),
-      ("sessionize", run("sessionize_segmented", Map.empty,
-        (s, d) => graft.ops.Pipeline.sessionizeSegmented(api.tbl(s, d, "events")))),
+      ("sessionize", run("sessionize_plain", Map.empty,
+        (s, d) => graft.ops.Pipeline.sessionizePlain(api.tbl(s, d, "events")))),
       ("wrunning", run("q_window_running", Map.empty, shipped("q_window_running"))),
       ("rmedian", run("q_rolling_median", Map.empty, shipped("q_rolling_median"))),
       ("ewma", run("q_ewma", Map.empty, shipped("q_ewma"))),
-      ("ewma", run("ewma_lastk", Map.empty,
-        (s, d) => graft.ops.Extras.ewmaLastK(api.tbl(s, d, "events")))),
+      ("ewma", run("ewma_plain", Map.empty,
+        (s, d) => graft.ops.Extras.ewmaOf(api.tbl(s, d, "events")))),
       ("running", run("running_plain", Map.empty, runningPlain)),
       ("running", run("running_twostage", Map.empty, runningTwoStage)),
       ("join", run("join_smj_noaqe", noAqe, SkewAudit.joinShufflePlan)),

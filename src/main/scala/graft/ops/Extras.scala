@@ -986,11 +986,14 @@ object Extras {
     * DECIMAL-exact value units and the EWMA is the integer weighted sum
     * Σ unitⱼ·2ʲ (newest = heaviest) over denominator 2^L − 1 — every
     * step BIGINT, the single final division one IEEE op, rounded.
-    * Plan: ONE window exchange on (event_type, user_id) — thousands of
-    * small partitions, never a per-type global sort — then max_by picks
-    * each series' latest state in the same aggregation that counts it.
-    * The 8-row frame bounds per-row state at 100 TB (vs the recursive
-    * form, whose state is the full series prefix). */
+    * SHIPS the last-K plan ([[ewmaLastK]], r19): the output depends only
+    * on each series' last 8 values + its count, so the full-series
+    * sliding window ([[ewmaOf]], kept as the SkewSpec reference) is both
+    * wasted work and an indivisible hot-key partition
+    * (SKEW_AUDIT_r18_century: 3.3× straggler, 2.2× total wall vs last-K
+    * at 10M events). The rewrite's map-side WindowGroupLimit pre-cuts
+    * every key to ≤8 rows per map task BEFORE the exchange — no
+    * straggler can form; bit-identical by SkewSpec pin. */
   val ewma = Query(
     "q_ewma",
     """WITH u AS (
@@ -1012,12 +1015,14 @@ object Extras {
       |SELECT event_type, user_id, n_events,
       |  round(CAST(numer AS DOUBLE) / denom / 10000, 6) AS ewma
       |FROM f ORDER BY event_type, user_id""".stripMargin) { (s, d) =>
-    ewmaOf(tbl(s, d, "events"))
+    ewmaLastK(tbl(s, d, "events"))
   }
 
-  /** The EWMA core over an `(event_type, user_id, ts, event_id, value)`
-    * frame — factored out so OperatorSpec can check the fixed-point
-    * weighted sum against hand arithmetic on a literal series. */
+  /** The full-series sliding-window EWMA formula — the SkewSpec
+    * reference [[ewmaLastK]] must reproduce bit-exactly, and the
+    * OperatorSpec anchor for the fixed-point weighted sum against hand
+    * arithmetic. NOT the shipped plan since r19 (indivisible hot-key
+    * partition, see [[ewma]]). */
   private[graft] def ewmaOf(raw: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val byKey = Window.partitionBy("event_type", "user_id")
@@ -1042,7 +1047,8 @@ object Extras {
   }
 
   /** SKEW-IMMUNE EWMA — the last-K rewrite of [[ewmaOf]] for hot keys
-    * (SCALE.md r18b): the output only depends on each series' LAST 8
+    * (SCALE.md r18b), and since r19 the plan [[ewma]] ships: the
+    * output only depends on each series' LAST 8
     * values (the bounded frame) plus its row count, so the sliding
     * window over the full series is unnecessary work AND an indivisible
     * hot partition. Rewritten as:

@@ -396,7 +396,16 @@ object Pipeline {
 
   /** C7 — sessionization (gaps-and-islands): new session when the gap to
     * the previous event exceeds 30 minutes; per-user session count and
-    * max session size. Microsecond-exact gap math on both engines. */
+    * max session size. Microsecond-exact gap math on both engines.
+    *
+    * SHIPS the segmented-scan plan ([[sessionizeSegmented]], r19): the
+    * naive `PARTITION BY user_id` window ([[sessionizePlain]], kept as
+    * the SkewSpec reference) serializes each user into one indivisible
+    * task — a 10%-hot user of a 100 TB stream is a 10 TB task
+    * (SKEW_AUDIT_r18_century: 2.8× straggler at 10M events). The
+    * segmented rewrite is bit-identical (SkewSpec pins equality,
+    * SkewCentury checksum-compares at 10M) with no indivisible
+    * partition. */
   val sessionize = Query(
     "q_sessionize",
     """SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
@@ -415,10 +424,17 @@ object Pipeline {
       |      GROUP BY user_id, session_id)
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin) { (s, d) =>
+    sessionizeSegmented(tbl(s, d, "events"))
+  }
+
+  /** The naive single-window sessionize formula — the SkewSpec reference
+    * [[sessionizeSegmented]] must reproduce bit-exactly. NOT the shipped
+    * plan (indivisible hot-key partition, see [[sessionize]]). */
+  private[graft] def sessionizePlain(raw: DataFrame): DataFrame = {
     val byU = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val run = byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prevTs = lag(col("ts"), 1).over(byU)
-    tbl(s, d, "events")
+    raw
       .withColumn("new_s",
         when(prevTs.isNull || unix_micros(col("ts")) - unix_micros(prevTs) > 1800000000L, 1)
           .otherwise(0))
@@ -432,7 +448,8 @@ object Pipeline {
   }
 
   /** SKEW-IMMUNE sessionization — the segmented-scan rewrite of
-    * [[sessionize]] for hot keys (SCALE.md r18b): a `PARTITION BY
+    * [[sessionizePlain]] for hot keys (SCALE.md r18b), and since r19 the
+    * plan [[sessionize]] ships: a `PARTITION BY
     * user_id` window partition is indivisible, so a user owning 10% of
     * a 100 TB stream is a 10 TB single task under the plain plan. This
     * decomposition has no indivisible partition:
@@ -452,7 +469,7 @@ object Pipeline {
     *      partial aggregation makes the count skew-immune even when one
     *      merged session is enormous.
     *
-    * Output identical to [[sessionize]] (SkewSpec pins equality; the
+    * Output identical to [[sessionizePlain]] (SkewSpec pins equality; the
     * SkewCentury probe checksum-compares at 10M events with a 10%-hot
     * user, where max task drops ~10×). Exact by construction — integer
     * session arithmetic, microsecond gap math, no reordering. */

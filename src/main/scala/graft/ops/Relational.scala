@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -355,7 +356,15 @@ object Relational {
       .orderBy("o_orderpriority", "rnk", "o_orderkey")
   }
 
-  /** B11: per-user running sum of event value in time order. */
+  /** B11: per-user running sum of event value in time order.
+    *
+    * SHIPS the two-stage prefix-sum plan ([[runningTwoStage]], r19): the
+    * naive `PARTITION BY user_id` window ([[runningPlain]], kept as the
+    * SkewSpec reference) serializes each user into one indivisible task
+    * (SKEW_AUDIT_r18_century: 12.9× worse max-task under a 10%-hot
+    * user). Exact decimal addition is associative, so chunk-local sums
+    * plus per-chunk offsets reassemble the global prefix sum to the bit
+    * — SkewSpec pins equality, SkewCentury checksum-compares at 10M. */
   val windowRunning = Query(
     "q_window_running",
     """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -365,13 +374,48 @@ object Relational {
       |FROM events
       |ORDER BY user_id, ts, event_id
       |LIMIT 3000""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tbl(s, d, "events")
-      .select(col("user_id"), col("event_id"), col("ts"),
-        sum(dec("value")).over(w).cast(DoubleType).as("running_value"))
+    runningTwoStage(tbl(s, d, "events"))
       .orderBy("user_id", "ts", "event_id")
       .limit(3000)
+  }
+
+  /** The naive single-window running sum — the SkewSpec reference
+    * [[runningTwoStage]] must reproduce bit-exactly. NOT the shipped
+    * plan (indivisible hot-key partition, see [[windowRunning]]). */
+  private[graft] def runningPlain(raw: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    raw.select(col("user_id"), col("event_id"), col("ts"),
+      sum(dec("value")).over(w).cast(DoubleType).as("running_value"))
+  }
+
+  /** SKEW-IMMUNE running sum — the prefix-sum decomposition of
+    * [[runningPlain]] (SCALE.md r18b), and since r19 the plan
+    * [[windowRunning]] ships. No indivisible hot partition: stage 1
+    * computes running sums within (user_id, day) chunks — a hot user
+    * spreads over its active days; stage 2 windows over the per-(user,
+    * day) TOTALS (at most one row per user per day — metadata scale) to
+    * get each chunk's starting offset; the join back is on (user_id,
+    * day). Identical by exact-decimal associativity: local_sum + offset
+    * = the global prefix sum, then ONE cast to double in both plans. */
+  private[graft] def runningTwoStage(raw: DataFrame): DataFrame = {
+    val ev = raw
+      .select(col("user_id"), col("event_id"), col("ts"), dec("value").as("v"))
+      .withColumn("day", to_date(col("ts")))
+    val wLocal = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ev.withColumn("local_sum", sum(col("v")).over(wLocal))
+    val wChunks = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ev.groupBy(col("user_id"), col("day"))
+      .agg(sum(col("v")).as("day_sum"))
+      .select(col("user_id"), col("day"),
+        coalesce(sum(col("day_sum")).over(wChunks), lit(0).cast("decimal(28,4)"))
+          .as("offset"))
+    local.join(offsets, Seq("user_id", "day"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("local_sum") + col("offset")).cast(DoubleType).as("running_value"))
   }
 
   /** B12: 4-row moving average of order totals per customer (explicit
