@@ -58,11 +58,70 @@ private[sources] class StoreTable(path: String, tschema: StructType)
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new StoreWriteBuilder(path, info.schema(), info.queryId())
+    new StoreWriteBuilder(path, info.schema(), info.queryId(),
+      AutoCompactPolicy.from(info.options()))
+}
+
+/** The self-enforcing minor-compaction cadence (r19, from the measured
+  * r18 LSM economics, STORE_ECONOMICS.json): read cost is proportional
+  * to live GENERATION COUNT (saturating ≤20 generations), so
+  * OVERLAPPING ingest wants `compactMinor(keep=4)` every 16–64 epochs —
+  * while append-only DISJOINT ingest must never compact (manifest key
+  * pruning keeps reads flat at 400 generations; compaction there is
+  * pure 13× write amplification). Encoded: the streaming commit counts
+  * live generations from the manifest it already owns and triggers a
+  * minor compaction past `threshold` — UNLESS every live (minKey,
+  * maxKey) range is pairwise disjoint, the detected append-only case.
+  *
+  * `threshold` = 64 (top of the measured cadence band: lowest write
+  * amplification, read curve already flat there), `keep` = 4 (the r18
+  * policy). Tunable per write via `.option("autocompact", bool) /
+  * ("autocompact.threshold", n) / ("autocompact.keep", n)`. Batch
+  * writes never auto-compact — bulk load is the caller-owns-maintenance
+  * path (and StoreEconomics measures manual cadences through it). */
+private[graft] case class AutoCompactPolicy(
+    enabled: Boolean, threshold: Int, keep: Int) {
+  require(threshold >= 2 && keep >= 1,
+    s"bad autocompact policy: threshold=$threshold keep=$keep")
+
+  /** True iff the committed manifest warrants a minor compaction now:
+    * at/over the generation budget AND not append-only-disjoint. */
+  def shouldCompact(entries: Seq[ManifestEntry]): Boolean =
+    enabled && entries.size >= threshold && AutoCompactPolicy.overlapping(entries)
+}
+
+private[graft] object AutoCompactPolicy {
+  val DefaultThreshold = 64
+  val DefaultKeep = 4
+
+  /** For hand-driven test harnesses that construct the streaming write
+    * directly and count generations themselves. */
+  val Disabled: AutoCompactPolicy =
+    AutoCompactPolicy(enabled = false, DefaultThreshold, DefaultKeep)
+
+  def from(options: CaseInsensitiveStringMap): AutoCompactPolicy =
+    AutoCompactPolicy(
+      enabled = options.getBoolean("autocompact", true),
+      threshold = options.getInt("autocompact.threshold", DefaultThreshold),
+      keep = options.getInt("autocompact.keep", DefaultKeep))
+
+  /** Any two live key ranges intersect? Interval sweep over entries
+    * sorted by minKey — O(n log n) on the ≤threshold-sized manifest. */
+  def overlapping(entries: Seq[ManifestEntry]): Boolean = {
+    val sorted = entries.sortBy(e => (e.minKey, e.maxKey))
+    var runMax = Long.MinValue
+    var overlap = false
+    for (e <- sorted) {
+      if (runMax != Long.MinValue && e.minKey <= runMax) overlap = true
+      runMax = math.max(runMax, e.maxKey)
+    }
+    overlap
+  }
 }
 
 private[sources] class StoreWriteBuilder(path: String, schema: StructType,
-    queryId: String) extends WriteBuilder with SupportsTruncate {
+    queryId: String, autoCompact: AutoCompactPolicy) extends WriteBuilder
+    with SupportsTruncate {
   private var truncating = false
   override def truncate(): WriteBuilder = { truncating = true; this }
   override def build(): Write = {
@@ -80,7 +139,7 @@ private[sources] class StoreWriteBuilder(path: String, schema: StructType,
         * accumulate). Epoch re-commits are idempotent — the manifest
         * keeps one record set per epoch. */
       override def toStreaming: StreamingWrite =
-        new StoreStreamingWrite(path, schema, queryId)
+        new StoreStreamingWrite(path, schema, queryId, autoCompact)
     }
   }
 }
@@ -675,7 +734,8 @@ private[sources] final class SampleExtent {
   * exactly its own generation's manifest records, so the store is
   * exactly-once downstream of Spark's epoch tracking. */
 private[sources] class StoreStreamingWrite(path: String, schema: StructType,
-    queryId: String) extends StreamingWrite {
+    queryId: String, autoCompact: AutoCompactPolicy = AutoCompactPolicy.Disabled)
+    extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
@@ -685,6 +745,7 @@ private[sources] class StoreStreamingWrite(path: String, schema: StructType,
     val dir = java.nio.file.Paths.get(path)
     java.nio.file.Files.createDirectories(dir)
     val commits = messages.collect { case m: StoreCommit if m.rows > 0 => m }
+    var wantCompact = false
     // generation names are scoped by the writing query's tag: epoch
     // numbering restarts at 0 for a fresh query (new checkpoint), and an
     // UNscoped prefix replace would silently drop a previous query's
@@ -718,7 +779,24 @@ private[sources] class StoreStreamingWrite(path: String, schema: StructType,
         // of rows the manifest doesn't carry. A DIFFERENT queryId (fresh
         // query, epoch numbering restarted) simply takes over the mark.
         if (!marked) StoreManifest.writeEpochHwm(dir, queryId, epochId)
+        wantCompact = autoCompact.shouldCompact(
+          (existing ++ added).map(StoreManifest.parse))
       }
+    }
+    // Auto-compaction (see [[AutoCompactPolicy]]) runs OUTSIDE the
+    // manifest lock — compactMinor serializes its own splice under the
+    // same lock — and synchronously in the epoch commit: the streaming
+    // query is the single compactor the store contract expects, and the
+    // next epoch starting before the fold finishes would race it.
+    // Crash-safe at any point: this epoch's manifest lines and
+    // high-water mark are already durable above, and a died compaction
+    // leaves only a staged orphan generation for the vacuum rent sweep.
+    if (wantCompact) {
+      import org.apache.spark.sql.SparkSession
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        .foreach(spark =>
+          VariantStore.compactMinor(spark, path, schema.toDDL,
+            keepGenerations = autoCompact.keep))
     }
   }
 

@@ -69,9 +69,14 @@ class StreamSoakSpec extends graft.SparkSpec {
     val chk = s"$root/chk"
     val rnd = new scala.util.Random(seed)
     val input = MemoryStream[(Long, Long, String)]
+    // autocompact off: invariant 1 diffs the manifest around ONE epoch
+    // commit, which an auto-fold inside the commit would reorganize —
+    // this soak owns its maintenance schedule (verb 0 IS compactMinor);
+    // the automatic cadence has its own soak in AutoCompactSpec.
     def start() = input.toDF().toDF("key", "ver", "payload")
       .writeStream.format("graft.sources.VariantStoreSink")
       .option("path", dir).option("checkpointLocation", chk)
+      .option("autocompact", "false")
       .outputMode("append").start()
     var q = start()
 
