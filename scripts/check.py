@@ -88,7 +88,11 @@ def oracle_result(con, cache_dir, fp, name, sql, stats):
     """The oracle's arrow result, through the cache when enabled."""
     if not cache_dir:
         return con.execute(sql).arrow()
-    key = hashlib.md5(f"{name}\n{fp}\n{sql}".encode()).hexdigest()
+    # engine versions are part of the key: a duckdb/pyarrow upgrade that
+    # changes an oracle result (or the arrow->parquet round-trip's type
+    # normalization) must miss, never serve a stale expectation
+    vers = f"duckdb={duckdb.__version__} pyarrow={pa.__version__}"
+    key = hashlib.md5(f"{name}\n{fp}\n{sql}\n{vers}".encode()).hexdigest()
     path = os.path.join(cache_dir, f"{name}_{key}.parquet")
     if os.path.exists(path):
         stats["hit"] += 1

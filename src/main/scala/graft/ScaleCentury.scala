@@ -194,6 +194,161 @@ object AutoCombineProbe {
   }
 }
 
+/** r19 evidence main: drive [[graft.ops.Gvcf.exportAuto]] at the 334×
+  * corpus (cohort width 1,002,000 > [[graft.ops.Gvcf.MaxDenseWidth]] →
+  * the CHUNKED route) and prove the export handoff end to end:
+  *   (1) admission from metadata before execution (format == "chunked",
+  *       decided on the lazy plan);
+  *   (2) full-width execution completes — every row O(chunkSamples),
+  *       where the dense exportLines would build ~8 MB strings per site;
+  *   (3) the rendered parts are correct by the synthetic cohort's
+  *       formulas: per site, exactly ceil(width/chunkSamples) cell
+  *       chunks whose cell total is the width; hom-ref cells equal the
+  *       arithmetic block count; ≤ 5 distinct genotypes; and the prefix
+  *       row pins NS=width (full coverage) and the GT:GQ FORMAT tail.
+  * Byte-equality of the stitched lines against exportLines is GvcfSpec's
+  * stitch pin — here width makes the dense render infeasible by design.
+  *
+  *   sbt "runMain graft.AutoExportProbe /tmp/graft_c334 AUTO_EXPORT_334x.json"
+  */
+object AutoExportProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/graft_c334")
+    val out = if (args.length > 1) args(1) else "AUTO_EXPORT_PROBE.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.ops.Gvcf
+    val chunkSamples = 10000
+    val n = Gvcf.wideN(spark, sfDir)
+    val auto = Gvcf.exportAuto(Gvcf.syntheticVariantsWide(spark, n),
+      chunkSamples = chunkSamples)
+    // (1) admission from metadata: nothing has executed yet
+    require(auto.width == n, s"declared width ${auto.width} != cohort $n")
+    val expectFormat = if (n > Gvcf.MaxDenseWidth) "chunked" else "dense"
+    require(auto.format == expectFormat,
+      s"admission mis-route: width $n -> ${auto.format}, expected $expectFormat")
+    require(auto.format == "chunked",
+      s"this probe's corpus must exceed MaxDenseWidth (width $n)")
+    val expChunks = (n + chunkSamples - 1) / chunkSamples
+    // (2)+(3) full-width execution, timed, validated by formula
+    val t0 = System.nanoTime()
+    val cellAgg = auto.df.filter(col("chunk_idx") > 0)
+      .withColumn("cells", expr("split(part, '\t')"))
+      .groupBy("contig", "pos")
+      .agg(count(lit(1)).as("chunks"),
+        max(col("chunk_idx")).as("maxc"),
+        sum(size(col("cells"))).cast("long").as("cells"),
+        sum(expr("size(filter(cells, c -> c like '0/0:%'))"))
+          .cast("long").as("homref"),
+        expr("size(array_distinct(flatten(collect_set(" +
+          "array_distinct(transform(cells, c -> split(c, ':')[0]))))))")
+          .cast("long").as("ngt"))
+      .collect()
+    val prefixes = auto.df.filter(col("chunk_idx") === 0)
+      .select(col("pos"), col("part")).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // #k in [0, n) with k ≡ r (mod 3): floor((n - 1 - r) / 3) + 1
+    def blocksAt(j: Long): Long = {
+      val r = ((2 - j) % 3 + 3) % 3
+      if (r >= n) 0L else (n - 1 - r) / 3 + 1
+    }
+    require(cellAgg.length == 120, s"sites ${cellAgg.length} != 120")
+    require(prefixes.length == 120, s"prefix rows ${prefixes.length} != 120")
+    val badCells = cellAgg.flatMap { row =>
+      val (pos, chunks, maxc, cells, homref, ngt) =
+        (row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4),
+          row.getLong(5), row.getLong(6))
+      val exp = blocksAt((pos - 1) / 10)
+      if (chunks != expChunks) Some(s"pos $pos chunks $chunks != $expChunks")
+      else if (maxc != expChunks) Some(s"pos $pos maxc $maxc != $expChunks")
+      else if (cells != n) Some(s"pos $pos cells $cells != width $n")
+      else if (homref != exp) Some(s"pos $pos homref $homref != $exp")
+      else if (ngt > 5) Some(s"pos $pos ngt $ngt > 5")
+      else None
+    }
+    require(badCells.isEmpty,
+      s"cell invariant failures: ${badCells.take(5).mkString("; ")}")
+    val badPrefix = prefixes.flatMap { row =>
+      val (pos, part) = (row.getLong(0), row.getString(1))
+      if (!part.contains(s"\tNS=$n\t")) Some(s"pos $pos prefix NS != $n")
+      else if (!part.endsWith("\tGT:GQ")) Some(s"pos $pos prefix FORMAT tail")
+      else None
+    }
+    require(badPrefix.isEmpty,
+      s"prefix invariant failures: ${badPrefix.take(5).mkString("; ")}")
+    val totalRows = cellAgg.map(_.getLong(2)).sum + prefixes.length
+    val json = s"""{"sf":"$sfDir","cpus":$cpus,"width":$n,""" +
+      s""""format":"${auto.format}","chunk_samples":$chunkSamples,""" +
+      s""""secs":${"%.1f".formatLocal(java.util.Locale.ROOT, secs)},""" +
+      s""""sites":120,"chunk_rows":$totalRows,"cells":${cellAgg.map(_.getLong(4)).sum},""" +
+      s""""invariants":"pass"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}
+
+/** r19 evidence main: the heap-derived dense admission bound
+  * ([[graft.ops.Gvcf.derivedMaxDenseWidth]]) tracks the r17e measured
+  * floor. Run this under TWO heap sizes (the r17e bracket endpoints):
+  *
+  *   java -Xmx4800m ... graft.WidthFloorProbe FLOOR_AUDIT_r19_width_4800.json
+  *   java -Xmx9600m ... graft.WidthFloorProbe FLOOR_AUDIT_r19_width_9600.json
+  *
+  * Each run derives THIS JVM's bound, builds a synthetic cohort at
+  * exactly that width, and executes the dense combine full-width — green
+  * completion means every admitted width fits its heap. The refusal side
+  * is r17e's measurement itself: 300k OOMs at 4.8 GB, and the 4.8 GB
+  * derivation (153,600) refuses it; the 9.6 GB derivation admits the
+  * full cap — the boundary sits between the measured OOM and green
+  * heaps. The audit's starved `spark.memory.fraction = 0.15` is pinned
+  * here too, so the floor being exercised is r17e's, not a roomier
+  * default-fraction one. */
+object WidthFloorProbe {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("WIDTH_FLOOR_PROBE.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.memory.fraction", "0.15")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.ops.Gvcf
+    val heap = Runtime.getRuntime.maxMemory
+    val slots = spark.sparkContext.defaultParallelism
+    val derived = Gvcf.defaultMaxDenseWidth(spark)
+    require(derived == Gvcf.derivedMaxDenseWidth(heap, slots))
+    val auto = Gvcf.combineAuto(Gvcf.syntheticVariantsWide(spark, derived))
+    require(auto.format == "dense" && auto.width == derived,
+      s"the derived bound must admit exactly itself: $auto")
+    val t0 = System.nanoTime()
+    val agg = auto.df
+      .select(col("pos"), col("n_samples"), size(col("calls")).as("nc"))
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    require(agg.length == 120, s"sites ${agg.length} != 120")
+    require(agg.forall(r => r.getLong(1) == derived && r.getInt(2) == derived),
+      "dense combine at the derived width lost samples")
+    val json = s"""{"heap_bytes":$heap,"slots":$slots,""" +
+      s""""derived_width":$derived,"cap":${Gvcf.MaxDenseWidth},""" +
+      s""""bytes_per_sample_slot":${Gvcf.BytesPerSampleSlot},""" +
+      s""""secs":${"%.1f".formatLocal(java.util.Locale.ROOT, secs)},""" +
+      s""""sites":120,"result":"green"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}
+
 /** Times the heavy-mover queries at a given sfDir with full-width
   * execution (`queryExecution.toRdd.count()` — Bench's `df.count()`
   * prunes output columns, which hid the r16 wide-cohort quadratics).

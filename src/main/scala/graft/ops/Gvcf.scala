@@ -243,11 +243,50 @@ object Gvcf {
     * the 100 TB planner's "table metadata" in local form. */
   val CohortWidthKey = "graft.cohortWidth"
 
-  /** The measured dense-combine admission bound (SCALE.md r17g): dense
+  /** The measured dense-combine admission CAP (SCALE.md r17g): dense
     * is linear and spill-safe to ~300k samples; past it, per-site rows
     * reach 20–30 MB and wall time goes GC-bound (~1.4 width exponent at
-    * 1M samples). */
+    * 1M samples) — no amount of heap buys the cap back. The effective
+    * bound on a given JVM is [[derivedMaxDenseWidth]], which can only
+    * be SMALLER. */
   val MaxDenseWidth = 300000L
+
+  /** Measured per-sample heap coefficient of the dense combine, per
+    * concurrent slot (SCALE.md r17e): at 300k samples the combine OOMs
+    * in a 4.8 GB heap and runs green in 9.6 GB on 32 slots —
+    * 9.6 GB / 32 / 300k ≈ 1 KiB per sample per slot, measured under
+    * the audit's starved `spark.memory.fraction = 0.15`, so a default-
+    * fraction JVM keeps ≥ 4× execution-memory headroom on top. */
+  val BytesPerSampleSlot = 1024L
+
+  /** Sentinel default for the `maxDenseWidth` parameters: derive the
+    * bound from the running JVM via [[defaultMaxDenseWidth]]. */
+  val DeriveFromHeap = -1L
+
+  /** The heap-aware dense admission bound (r19, verdict item 5): the
+    * r18 constant encoded "~9.6 GB floor at local[32]" — on a smaller
+    * executor the safe dense width is proportionally smaller, and a
+    * constant rule silently mis-admits. `heap / slots /
+    * [[BytesPerSampleSlot]]` gives every admitted cohort at least the
+    * measured-green per-sample budget whatever the JVM, capped at
+    * [[MaxDenseWidth]] (the GC-bound wall-time law is heap-independent).
+    * The r17e brackets anchor it: the 4.8 GB OOM heap derives 153,600
+    * (refuses the 300k cohort that OOM'd there), the 9.6 GB green heap
+    * derives the full 300,000 (admits exactly the measured green
+    * point). */
+  def derivedMaxDenseWidth(heapBytes: Long, slots: Int): Long = {
+    require(heapBytes > 0 && slots >= 1,
+      s"bad derivation inputs: heap=$heapBytes slots=$slots")
+    math.min(MaxDenseWidth, heapBytes / slots / BytesPerSampleSlot)
+  }
+
+  /** [[derivedMaxDenseWidth]] for THIS JVM: driver heap over the
+    * session's concurrent slot count (local mode runs every task inside
+    * this heap; a cluster submitter should size from executor memory —
+    * same formula, the executor's numbers). */
+  def defaultMaxDenseWidth(spark: SparkSession): Long =
+    derivedMaxDenseWidth(Runtime.getRuntime.maxMemory,
+      spark.sparkContext.defaultParallelism)
 
   /** Declare the cohort width on `sample`'s column metadata (writers
     * that know their cohort call this; [[syntheticVariantsWide]] does).
@@ -267,7 +306,12 @@ object Gvcf {
     * Filters keep the stale larger bound — conservative, same
     * direction. */
   def annotateWidth(variants: DataFrame, width: Long): DataFrame = {
-    val md = new MetadataBuilder().putLong(CohortWidthKey, width).build()
+    // preserve any pre-existing column metadata (e.g. round-tripped from
+    // a parquet/store read) — only the width key is (re)declared
+    val existing = variants.schema.find(_.name == "sample")
+      .map(_.metadata).getOrElse(Metadata.empty)
+    val md = new MetadataBuilder().withMetadata(existing)
+      .putLong(CohortWidthKey, width).build()
     variants.withColumn("sample", col("sample").as("sample", md))
   }
 
@@ -289,8 +333,54 @@ object Gvcf {
   def cohortWidth(variants: DataFrame): Long =
     variants.schema.find(_.name == "sample")
       .filter(_.metadata.contains(CohortWidthKey))
-      .map(_.metadata.getLong(CohortWidthKey))
+      .map { f =>
+        val schemaDecl = f.metadata.getLong(CohortWidthKey)
+        // bare-union defense (r18 review): a plain unionByName of two
+        // annotated cohorts inherits the FIRST side's declaration —
+        // under-declaring the union and admitting a too-wide cohort to
+        // the dense path. Walk the analyzed plan: Union nodes SUM their
+        // children's declared bounds (exactly what the blessed
+        // mergeCohorts declares) unless a re-annotation above them
+        // overrides; the larger of the walk and the schema declaration
+        // keeps the upper-bound contract whichever path built the plan.
+        planDeclaredWidth(variants.queryExecution.analyzed)
+          .map(math.max(schemaDecl, _)).getOrElse(schemaDecl)
+      }
       .getOrElse(variants.select("sample").distinct().count())
+
+  /** The declared cohort width of a logical subtree, union-aware: a
+    * Project that explicitly re-annotates `sample` (the
+    * [[annotateWidth]] shape) is authoritative for everything beneath
+    * it; a Union sums its children's bounds (over-declaring on
+    * overlap — the safe direction); other multi-child nodes (joins)
+    * take the max sample-bearing child (rows combine, cohorts don't);
+    * a leaf reads its output attribute's metadata. None = some branch
+    * carries no declaration — the caller falls back to its schema
+    * declaration / measured width. */
+  private def planDeclaredWidth(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, Union}
+    plan match {
+      case p: Project =>
+        val reDecl = p.projectList.collectFirst {
+          case a: Alias if a.name == "sample" &&
+              a.explicitMetadata.exists(_.contains(CohortWidthKey)) =>
+            a.explicitMetadata.get.getLong(CohortWidthKey)
+        }
+        reDecl.orElse(p.children.headOption.flatMap(planDeclaredWidth))
+      case u: Union =>
+        val ws = u.children.map(planDeclaredWidth)
+        if (ws.nonEmpty && ws.forall(_.isDefined)) Some(ws.flatten.sum) else None
+      case leaf if leaf.children.isEmpty =>
+        leaf.output.find(_.name == "sample")
+          .filter(_.metadata.contains(CohortWidthKey))
+          .map(_.metadata.getLong(CohortWidthKey))
+      case other =>
+        val ws = other.children.flatMap(planDeclaredWidth)
+        if (ws.isEmpty) None else Some(ws.max)
+    }
+  }
 
   /** [[combineAuto]]'s decision record: which format was admitted, the
     * width that decided it, and the (lazy) result plan. The format is
@@ -338,13 +428,21 @@ object Gvcf {
     * the returned plan is lazy — so a 100 TB planner can assert the
     * admission rule without touching the record corpus. */
   def combineAuto(variants: DataFrame, bucketWidth: Long = 64,
-      maxDenseWidth: Long = MaxDenseWidth): AutoCombine = {
+      maxDenseWidth: Long = DeriveFromHeap): AutoCombine = {
+    val bound = resolveBound(variants, maxDenseWidth)
     val width = cohortWidth(variants)
-    if (width <= maxDenseWidth)
+    if (width <= bound)
       AutoCombine("dense", width, combineSites(variants, bucketWidth))
     else
       AutoCombine("long", width, combineLong(variants, bucketWidth))
   }
+
+  /** An explicit `maxDenseWidth` wins; the [[DeriveFromHeap]] default
+    * resolves against the running JVM ([[defaultMaxDenseWidth]]). */
+  private def resolveBound(variants: DataFrame, maxDenseWidth: Long): Long =
+    if (maxDenseWidth == DeriveFromHeap)
+      defaultMaxDenseWidth(variants.sparkSession)
+    else maxDenseWidth
 
   /** The GenotypeGVCFs step — the computation the reference's store
     * exists to enable (`VariantCombiner.java:~8 (unverified)`, per
@@ -470,9 +568,10 @@ object Gvcf {
     * per-site rows up to [[MaxDenseWidth]] samples, the long format
     * beyond, decided from table metadata on the lazy plan. */
   def genotypeAuto(variants: DataFrame, bucketWidth: Long = 64,
-      maxDenseWidth: Long = MaxDenseWidth): AutoCombine = {
+      maxDenseWidth: Long = DeriveFromHeap): AutoCombine = {
+    val bound = resolveBound(variants, maxDenseWidth)
     val width = cohortWidth(variants)
-    if (width <= maxDenseWidth)
+    if (width <= bound)
       AutoCombine("dense", width, genotypeGvcf(variants, bucketWidth))
     else
       AutoCombine("long", width, genotypeLong(variants, bucketWidth))
@@ -1121,6 +1220,150 @@ object Gvcf {
       .orderBy("contig", "pos")
   }
 
+  // --------------------------------------------------------------------
+  // Dense → chunked EXPORT handoff (r19, the r18-verdict ask): a rendered
+  // gVCF line carries one GT:GQ cell per cohort sample, so at the 1M-
+  // sample width [[exportLines]] builds an ~8 MB string inside ONE row —
+  // the same width-scaling the dense combine's admission rule routes
+  // around. The chunked form shards each line into fixed-width cell runs
+  // (one row per (site, sample-chunk) plus one prefix row), every row
+  // O(chunkSamples) regardless of cohort width; a text writer stitches
+  // parts in (site, chunk_idx) order without ever materializing a line.
+  // --------------------------------------------------------------------
+
+  /** Sharded gVCF export: rows `(contig, pos, chunk_idx, part)` where
+    * chunk_idx 0 is the line prefix (`CHROM POS ID REF ALT QUAL FILTER
+    * INFO FORMAT`) and chunk k ≥ 1 is the tab-joined `GT:GQ` cells of
+    * cohort samples `[(k−1)·chunkSamples, k·chunkSamples)` in
+    * [[sampleNameIndex]] order — uncovered samples render `./.:.`
+    * exactly as [[exportLines]] does. Joining a site's parts in
+    * chunk_idx order with tabs reproduces the dense line byte-exactly
+    * ([[linesFromChunks]] is the witness; GvcfSpec pins equality,
+    * including on partial-coverage and duplicate-record fixtures).
+    *
+    * Scale shape: the exchanges key on (site, chunk) — site×chunk rows,
+    * each bounded by chunkSamples cells — and the per-chunk sample lists
+    * broadcast once (cohort-metadata scale, the same list the dense path
+    * broadcasts whole). No row anywhere is O(cohort width). */
+  def exportChunks(variants: DataFrame, bucketWidth: Long = 64,
+      chunkSamples: Int = 10000): DataFrame = {
+    require(chunkSamples >= 1, s"chunkSamples must be >= 1: $chunkSamples")
+    val chunkOf = expr(s"sample_idx DIV $chunkSamples + 1")
+    val chunkLists = sampleNameIndex(variants)
+      .withColumn("chunk_idx", chunkOf)
+      .groupBy("chunk_idx")
+      .agg(sort_array(collect_list(col("sample"))).as("csamples"))
+    // per-(site, chunk) covered entries with the exportLines dedup: a
+    // sample's duplicate records share its sample_idx, hence its chunk,
+    // so the max-(gq, call) adjacent-dedup is chunk-local by construction
+    val cellEntries = combinedCalls(variants, bucketWidth)
+      .withColumn("chunk_idx", chunkOf)
+      .groupBy("contig", "pos", "chunk_idx")
+      .agg(max(col("ref")).as("ref"),
+        array_join(max(col("alts")), ",").as("alt"),
+        sort_array(collect_list(struct(col("sample").as("k"),
+          coalesce(col("gq"), lit(Int.MinValue)).as("g"),
+          concat(coalesce(col("gtm"), lit("./.")), lit(":"),
+            coalesce(col("gq").cast(StringType), lit("."))).as("call")))).as("es"))
+      .withColumn("esd", expr(
+        "filter(es, (x, i) -> i = size(es) - 1 OR es[i + 1].k != x.k)"))
+      .select("contig", "pos", "chunk_idx", "ref", "alt", "esd")
+    // site header facts ride the chunk rows (ref/alt are site-constant;
+    // NS sums the deduped coverage across chunks) — chunk-count scale
+    val perSite = cellEntries.groupBy("contig", "pos")
+      .agg(max(col("ref")).as("ref"), max(col("alt")).as("alt"),
+        sum(size(col("esd"))).as("ns"))
+    val prefix = perSite.select(col("contig"), col("pos"),
+      lit(0L).as("chunk_idx"),
+      concat_ws("\t",
+        col("contig"), col("pos").cast(StringType), lit("."), col("ref"),
+        col("alt"), lit("."), lit("PASS"),
+        concat(lit("NS="), col("ns").cast(StringType)), lit("GT:GQ")).as("part"))
+    // every site renders EVERY chunk — a chunk with no covered sample at
+    // a site (partial-coverage input) is all './.:.'  defaults
+    val cells = perSite.select("contig", "pos")
+      .crossJoin(broadcast(chunkLists))
+      .join(cellEntries.drop("ref", "alt"), Seq("contig", "pos", "chunk_idx"), "left")
+      .select(col("contig"), col("pos"), col("chunk_idx"),
+        when(col("esd").isNull,
+          array_join(expr("transform(csamples, n -> './.:.')"), "\t"))
+          .otherwise(array_join(expr(
+            """transform(sort_array(concat(
+              |  transform(esd, x -> struct(x.k AS k, x.call AS v)),
+              |  transform(array_except(csamples, transform(esd, x -> x.k)),
+              |    n -> struct(n AS k, './.:.' AS v)))), x -> x.v)""".stripMargin),
+            "\t")).as("part"))
+    prefix.unionByName(cells)
+  }
+
+  /** Stitch [[exportChunks]] rows back into whole lines — the equality
+    * witness against [[exportLines]] (and the explicit opt-in for a
+    * consumer that wants dense lines above the handoff, paying the
+    * width-sized row knowingly; a file writer should instead write
+    * parts sorted by (contig, pos, chunk_idx) and never materialize
+    * them). Tab-joining in chunk_idx order is byte-exact because the
+    * prefix ends at FORMAT and every cell run is already tab-joined. */
+  def linesFromChunks(chunks: DataFrame): DataFrame =
+    chunks.groupBy("contig", "pos")
+      .agg(array_join(expr(
+        "transform(sort_array(collect_list(struct(chunk_idx AS i, part AS p))), x -> x.p)"),
+        "\t").as("line"))
+
+  /** Width-dispatching export — the [[combineAuto]] admission rule
+    * applied to the render path: dense whole lines ([[exportLines]]) up
+    * to `maxDenseWidth` declared samples, the sharded chunk form
+    * ([[exportChunks]]) above it. The decision reads table metadata on
+    * the LAZY plan ([[cohortWidth]]), before any execution. */
+  def exportAuto(variants: DataFrame, bucketWidth: Long = 64,
+      maxDenseWidth: Long = DeriveFromHeap,
+      chunkSamples: Int = 10000): AutoCombine = {
+    val bound = resolveBound(variants, maxDenseWidth)
+    val width = cohortWidth(variants)
+    if (width <= bound)
+      AutoCombine("dense", width, exportLines(variants, bucketWidth))
+    else
+      AutoCombine("chunked", width,
+        exportChunks(variants, bucketWidth, chunkSamples))
+  }
+
+  /** The export handoff ENFORCED under the driver's gate (the
+    * q_combine_auto pattern): [[exportAuto]] over the wide cohort emits
+    * the admitted format as a result column; at every driver scale the
+    * width is under [[MaxDenseWidth]], so the oracle pins
+    * `format = 'dense'` and the [[exportWide]] line digests. The chunked
+    * branch is exercised by graft.AutoExportProbe at the 334× corpus
+    * (width 1,002,000 → chunked, formula-validated) and by GvcfSpec's
+    * stitch-equality pins. */
+  val exportAutoQuery = Query(
+    "q_export_auto",
+    s"""WITH $duckWideV,
+       |$duckCombineChain
+       |SELECT 'dense' AS format, r.contig, r.pos,
+       |  md5(r.contig || chr(9) || CAST(r.pos AS VARCHAR) || chr(9) || '.' || chr(9) ||
+       |  m.mref || chr(9) || array_to_string(m.calts, ',') || ',<NON_REF>' || chr(9) ||
+       |  '.' || chr(9) || 'PASS' || chr(9) ||
+       |  'NS=' || CAST(count(*) AS VARCHAR) || chr(9) || 'GT:GQ' || chr(9) ||
+       |  array_to_string(list(r.gtm || ':' || CAST(r.gq AS VARCHAR) ORDER BY r.sample), chr(9))) AS line_md5
+       |FROM remap r JOIN merged m ON r.contig = m.contig AND r.pos = m.pos
+       |GROUP BY r.contig, r.pos, m.mref, m.calts
+       |ORDER BY r.contig, r.pos""".stripMargin) { (s, d) =>
+    val auto = exportAuto(syntheticVariantsWide(s, wideN(s, d)))
+    auto.format match {
+      case "dense" => auto.df
+        .withColumn("line_md5", md5(col("line").cast(BinaryType)))
+        .drop("line")
+        .select(lit("dense").as("format"), col("*"))
+        .orderBy("contig", "pos")
+      // width-free chunk rows — reached only above MaxDenseWidth, where
+      // no oracle runs (the probe corpus); kept schema-stable per route
+      case _ => auto.df
+        .withColumn("part_md5", md5(col("part").cast(BinaryType)))
+        .drop("part")
+        .select(lit("chunked").as("format"), col("*"))
+        .orderBy("contig", "pos", "chunk_idx")
+    }
+  }
+
   /** The gVCF HEADER for [[exportLines]] — the piece that makes the
     * export a LOADABLE file (`##contig` extents and `##FORMAT`
     * declarations; the reference carries this context in its encoder,
@@ -1764,5 +2007,5 @@ object Gvcf {
       coverageHist, tiTv, breadth, mendel, concordance, covGaps,
       intervalOverlap, genotypeGvcfQuery, gvcfHeader, rebandMergedQuery,
       combineIncremental, combineWide, genotypeWide, exportWide,
-      combineAutoQuery)
+      combineAutoQuery, exportAutoQuery)
 }

@@ -262,6 +262,19 @@ class GvcfSpec extends SparkSpec {
     assert(merged.format == "long" &&
       merged.width == 2 * (Gvcf.MaxDenseWidth / 2 + 1),
       "mergeCohorts must sum the declared bounds (fail-safe dispatch)")
+    // the r18-review defense: a BARE unionByName inherits only the
+    // first side's declaration in its schema — cohortWidth must detect
+    // the Union in the plan and sum the branch bounds anyway, so the
+    // un-blessed path cannot sneak a too-wide cohort into dense
+    val bare = Gvcf.combineAuto(half.unionByName(half))
+    assert(bare.format == "long" &&
+      bare.width == 2 * (Gvcf.MaxDenseWidth / 2 + 1),
+      s"bare union must not under-declare: $bare")
+    // ...and a re-annotation ABOVE a union stays authoritative (the
+    // blessed override), so mergeCohorts followed by a filter is stable
+    val filtered = Gvcf.combineAuto(Gvcf.mergeCohorts(half, half)
+      .filter(org.apache.spark.sql.functions.col("contig").isNotNull))
+    assert(filtered.width == 2 * (Gvcf.MaxDenseWidth / 2 + 1))
     // (a) the two formats are ONE logical result: reassembling the
     // long rows yields the dense output value-for-value (site digests
     // compare the ~30k-entry calls arrays without shipping them)
@@ -292,6 +305,79 @@ class GvcfSpec extends SparkSpec {
     val viaLong = digests(Gvcf.genotypeFromLong(Gvcf.genotypeLong(v)))
     assert(dense.size == 120 && dense == viaLong,
       "long-format genotyping must reassemble to the dense bytes")
+  }
+
+  test("exportAuto: chunked export stitches to the dense lines byte-exactly " +
+      "and the admission rule dispatches from metadata") {
+    def stitched(df: DataFrame, chunkSamples: Int): Seq[String] =
+      Gvcf.linesFromChunks(Gvcf.exportChunks(df, chunkSamples = chunkSamples))
+        .orderBy("contig", "pos").select("line").as[String].collect().toSeq
+    def dense(df: DataFrame): Seq[String] =
+      Gvcf.exportLines(df).orderBy("contig", "pos")
+        .select("line").as[String].collect().toSeq
+    // (a) multi-chunk wide cohort, last chunk partial (50 = 7×7 + 1)
+    val wide = Gvcf.syntheticVariantsWide(spark, 50L, nPositions = 24L)
+    assert(stitched(wide, 7) == dense(wide),
+      "chunked export must stitch to the dense bytes at width")
+    // (b) the uncovered-sample default branch: sample c covers NOTHING
+    // at either site — at chunkSamples = 1 its chunk row has no covered
+    // entries (the left-join NULL arm) and must still render './.:.'
+    val withC = fixture.union(Seq(
+      ("c", "chr1", 20L, 30L, "block", Seq("REF"), 33)).toDF(fixture.columns: _*))
+    assert(stitched(withC, 1) == dense(withC),
+      "all-default chunks must match the dense missing cells")
+    // (c) the duplicate-record dedup branch stays chunk-local
+    val dup = fixture.union(Seq(
+      ("a", "chr1", 5L, 12L, "block", Seq("REF"), 77)).toDF(fixture.columns: _*))
+    for (cs <- Seq(1, 2, 10))
+      assert(stitched(dup, cs) == dense(dup),
+        s"dedup diverged from dense at chunkSamples=$cs")
+    // (d) row shape: one prefix + ceil(width/chunk) cell rows per site
+    val chunks = Gvcf.exportChunks(wide, chunkSamples = 7)
+    val perSite = chunks.groupBy("contig", "pos")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.max("chunk_idx").as("maxc"))
+      .select("n", "maxc").as[(Long, Long)].collect().toSeq
+    assert(perSite.nonEmpty && perSite.forall(_ == ((9L, 8L))),
+      s"expected 1 prefix + 8 chunks per site: ${perSite.distinct}")
+    // (e) admission from metadata on the LAZY plan, both directions
+    val auto = Gvcf.exportAuto(wide)
+    assert(auto.format == "dense" && auto.width == 50L)
+    val wideDecl = Gvcf.exportAuto(Gvcf.annotateWidth(wide, Gvcf.MaxDenseWidth + 1))
+    assert(wideDecl.format == "chunked" &&
+      wideDecl.width == Gvcf.MaxDenseWidth + 1)
+    assert(wideDecl.df.columns.toSeq == Seq("contig", "pos", "chunk_idx", "part"))
+  }
+
+  test("the dense admission bound derives from the heap and caps at 300k " +
+      "(r17e coefficient)") {
+    val mb = 1024L * 1024
+    // the r17e bracket endpoints at 32 slots: the 4.8 GB heap that
+    // OOM'd the 300k combine must NOT admit it; the 9.6 GB green heap
+    // admits exactly the measured green width (cap binds just above)
+    assert(Gvcf.derivedMaxDenseWidth(4800 * mb, 32) == 153600L)
+    assert(Gvcf.derivedMaxDenseWidth(9600 * mb, 32) == 300000L)
+    // monotone in heap, anti-monotone in slots, capped
+    assert(Gvcf.derivedMaxDenseWidth(24L * 1024 * mb, 32) == Gvcf.MaxDenseWidth)
+    assert(Gvcf.derivedMaxDenseWidth(4800 * mb, 64) == 76800L)
+    assert(Gvcf.derivedMaxDenseWidth(2400 * mb, 32) == 76800L)
+    // an admitted width always gets at least the measured-green
+    // per-sample budget, whatever the inputs
+    for (heap <- Seq(1L, 4L, 16L, 64L).map(_ * 1024 * mb); slots <- Seq(1, 8, 32)) {
+      val w = Gvcf.derivedMaxDenseWidth(heap, slots)
+      assert(w <= Gvcf.MaxDenseWidth &&
+        (w == Gvcf.MaxDenseWidth || w * slots * Gvcf.BytesPerSampleSlot <= heap))
+    }
+    // the autos resolve the sentinel default against THIS JVM: widths
+    // at the derived bound route dense, one past it route long/chunked
+    val bound = Gvcf.defaultMaxDenseWidth(spark)
+    assert(bound > 0 && bound <= Gvcf.MaxDenseWidth)
+    val v = Gvcf.syntheticVariantsWide(spark, 50L, nPositions = 24L)
+    assert(Gvcf.combineAuto(Gvcf.annotateWidth(v, bound)).format == "dense")
+    assert(Gvcf.combineAuto(Gvcf.annotateWidth(v, bound + 1)).format == "long")
+    assert(Gvcf.exportAuto(Gvcf.annotateWidth(v, bound + 1)).format == "chunked")
+    assert(Gvcf.genotypeAuto(Gvcf.annotateWidth(
+      Gvcf.syntheticVariantsWidePl(spark, 50L), bound + 1)).format == "long")
   }
 
   test("coverageHistogram: sweep-line depths match hand-counted bases") {

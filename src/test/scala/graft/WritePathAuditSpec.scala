@@ -93,11 +93,20 @@ class WritePathAuditSpec extends SparkSpec {
       // them — but the tree must not accumulate across runs.
       System.setProperty("java.io.tmpdir", prevTmp)
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(fresh).iterator().asScala.toSeq.reverse
-          .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch {
-            case _: java.io.IOException => ()
-          })
+        // the tree may already be gone at JVM exit (another run's hook,
+        // external cleanup): guard + swallow, and close the walk stream
+        // — a hook thread must never die on a noisy stack trace
+        try {
+          if (java.nio.file.Files.exists(fresh)) {
+            import scala.jdk.CollectionConverters._
+            scala.util.Using.resource(java.nio.file.Files.walk(fresh)) { s =>
+              s.iterator().asScala.toSeq.reverse
+                .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch {
+                  case _: java.io.IOException => ()
+                })
+            }
+          }
+        } catch { case _: Throwable => () }
       }))
     }
   }
