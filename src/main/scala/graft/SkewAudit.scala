@@ -533,3 +533,99 @@ object SkewCentury {
     spark.stop()
   }
 }
+
+/** Evidence tool (r19, verdict item 4): skew on the gVCF axis. The
+  * combine family's exchanges key on (contig, pos-bucket) and — in the
+  * LONG format — every site multiplies into one row per covered sample,
+  * so the realistic genomics skew is a hot CONTIG: one contig owning
+  * half the cohort's sites (a dense region / chr1-style length skew).
+  * SkewCentury's user-key audit cannot see this axis; this probe plants
+  * it directly in the cohort generator.
+  *
+  * Corpus: the [[graft.ops.Gvcf.syntheticVariantsWide]] scheme with the
+  * contig assignment generalized — `hotTenths`/10 of all positions land
+  * on `chr00`, the rest round-robin over `nContigs` cold contigs. At
+  * the probe's 50% heat and 20 contigs, a hot-contig (contig, bucket)
+  * key carries ~10× a cold one's rows. The UNIFORM control is the same
+  * corpus at hotTenths = 0 — same total rows, flat contigs — so a
+  * straggler ratio that holds between the two runs is the bucketing
+  * absorbing the heat, not fixture luck.
+  *
+  * Probes [[graft.ops.Gvcf.combineLong]] and
+  * [[graft.ops.Gvcf.genotypeLong]] (the formats unbounded cohorts
+  * actually take — the dense path is width-capped by admission): if the
+  * (contig, pos-bucket) exchanges absorb a hot contig (every bucket is
+  * its own key, and a window partition is one SITE's rows — cohort
+  * width, not contig share), stragglers stay flat; a >2× ratio means
+  * the bucket scheme needs a rewrite.
+  *
+  *   sbt "runMain graft.GvcfSkew SKEW_AUDIT_r19_gvcf.json"
+  */
+object GvcfSkew {
+  import graft.ops.Gvcf
+
+  /** Wide-cohort generator with a contig-skew dial (hotTenths in
+    * [0, 10]: that share of positions on chr00, the rest round-robin
+    * over `nContigs` cold contigs). hotTenths = 0 is the uniform
+    * control; the per-sample record scheme (site/block mix, alleles,
+    * gq, gt) is [[graft.ops.Gvcf.syntheticVariantsWide]]'s verbatim so
+    * the two corpora differ ONLY in contig assignment. */
+  def skewCohort(s: SparkSession, nSamples: Long, nPositions: Long,
+      nContigs: Int, hotTenths: Int): DataFrame =
+    Gvcf.annotateWidth(
+      s.range(0, nSamples, 1, 32)
+        .selectExpr("id AS k")
+        .crossJoin(s.range(0, nPositions, 1, 1).selectExpr("id AS j"))
+        .selectExpr(
+          "format_string('s%05d', k) AS sample",
+          s"CASE WHEN j % 10 < $hotTenths THEN 'chr00' " +
+            s"ELSE concat('chr', 1 + j % $nContigs) END AS contig",
+          "j * 10 + 1 AS start",
+          "CASE WHEN (j + k) % 3 < 2 THEN j * 10 + 1 ELSE j * 10 + 10 END AS end",
+          "CASE WHEN (j + k) % 3 < 2 THEN 'site' ELSE 'block' END AS kind",
+          "CASE WHEN (j + k) % 3 < 2 " +
+            "THEN array(substr('ACGT', CAST(j % 4 AS INT) + 1, 1), " +
+            "           substr('ACGT', CAST((j + 1 + k % 3) % 4 AS INT) + 1, 1)) " +
+            "ELSE array(substr('ACGT', CAST(j % 4 AS INT) + 1, 1)) END AS alleles",
+          "CAST((j * 7 + k * 13) % 90 + 10 AS INT) AS gq",
+          "CASE WHEN (j + k) % 3 >= 2 THEN '0/0' " +
+            "WHEN (j + k) % 2 = 0 THEN '0/1' ELSE '1/1' END AS gt"),
+      nSamples)
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("SKEW_AUDIT_GVCF.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (nSamples, nPositions, nContigs) = (3000L, 12000L, 20)
+    val listener = new SkewAudit.TaskDurationListener
+    spark.sparkContext.addSparkListener(listener)
+    def run(name: String, plan: (SparkSession, String) => DataFrame): (Long, String) =
+      SkewHarness.run(spark, "", listener)(name, Map.empty, plan)
+    def cohort(hotTenths: Int) =
+      skewCohort(spark, nSamples, nPositions, nContigs, hotTenths)
+    // sanity: the hot corpus really concentrates half the sites
+    val hotShare = cohort(5).filter(col("kind") === "site")
+      .select("contig", "start").distinct()
+      .groupBy("contig").count().orderBy(col("count").desc).head
+    println(s"hot contig ${hotShare.getString(0)} owns ${hotShare.getLong(1)} " +
+      s"of ~${nPositions * 2 / 3} sites")
+    val results = Seq(
+      ("combine", run("combine_long_uniform", (s, _) => Gvcf.combineLong(cohort(0)))),
+      ("combine", run("combine_long_hot", (s, _) => Gvcf.combineLong(cohort(5)))),
+      ("genotype", run("genotype_long_uniform",
+        (s, _) => Gvcf.genotypeLong(Gvcf.withPl(cohort(0))))),
+      ("genotype", run("genotype_long_hot",
+        (s, _) => Gvcf.genotypeLong(Gvcf.withPl(cohort(5))))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (s"""{"samples":$nSamples,"positions":$nPositions,"contigs":$nContigs,""" +
+        s""""hot_contig_sites":${hotShare.getLong(1)},"runs":[\n""" +
+        results.map(_._2._2).mkString(",\n") + "\n]}\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}

@@ -615,7 +615,7 @@ object Gvcf {
   /** Add the likelihood fields (dp, pl) to any cohort shaped like
     * [[syntheticVariants]] — shared by the 3-sample and WIDE cohorts so
     * the PL arithmetic cannot drift between them. */
-  private def withPl(cohort: DataFrame): DataFrame =
+  private[graft] def withPl(cohort: DataFrame): DataFrame =
     cohort
       .withColumn("dp", (col("gq") % 30 + 10).cast(IntegerType))
       .withColumn("pl", expr(

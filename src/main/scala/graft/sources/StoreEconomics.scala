@@ -1,7 +1,11 @@
 package graft.sources
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.WriterCommitMessage
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Evidence tool (r18, verdict item 6): the streaming store's
   * read-amplification curve as generations accumulate, at several
@@ -55,7 +59,14 @@ object StoreEconomics {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val cadences = Seq(("never", 0), ("every64", 64), ("every16", 16), ("every4", 4))
+    // "auto" (r19): the SINK's own AutoCompactPolicy drives the cadence —
+    // epochs go through the streaming commit (hand-driven memstore
+    // writers, the StoreScaleSpec pattern) with the default policy, and
+    // nothing here ever calls compactMinor. The sampled curve is the
+    // direct measurement of the self-enforcing policy: bounded gens +
+    // flat reads on overlapping upserts, zero folds on disjoint ingest.
+    val cadences = Seq(("never", 0), ("auto", -1),
+      ("every64", 64), ("every16", 16), ("every4", 4))
     val samples = (1 to epochs).filter(e => e % (epochs / 16).max(1) == 0 || e == 1)
 
     val lines = cadences.flatMap { case (name, every) =>
@@ -70,13 +81,29 @@ object StoreEconomics {
           .filter(_.getName.endsWith(".parquet"))
           .foreach(f => seen.getOrElseUpdate(f.getName, f.length()))
       val rows = Seq.newBuilder[String]
+      val schema = StructType.fromDDL(Ddl)
+      val autoWrite = new StoreStreamingWrite(dir, schema, "econ-auto",
+        AutoCompactPolicy(enabled = true, AutoCompactPolicy.DefaultThreshold,
+          AutoCompactPolicy.DefaultKeep))
       for (e <- 1 to epochs) {
         val base = if (disjoint) (e - 1).toLong * rowsPerEpoch else 0L
-        (base until base + rowsPerEpoch).map(k => (k, e.toLong, s"v$e-$k"))
-          .toDF("key", "ver", "payload")
-          .repartitionByRange(1, col("key")).sortWithinPartitions("key")
-          .write.format("graft.sources.VariantStoreSink")
-          .option("path", dir).mode("append").save()
+        val epochRows = (base until base + rowsPerEpoch)
+          .map(k => (k, e.toLong, s"v$e-$k"))
+        if (every < 0) {
+          // streaming-commit path: the sink's policy owns compaction
+          val w = StoreMemstoreFactory(dir, schema,
+            StoreManifest.queryTag("econ-auto")).createWriter(0, 0L, e)
+          epochRows.foreach { case (k, v, p) =>
+            w.write(InternalRow(k, v, UTF8String.fromString(p)))
+          }
+          autoWrite.commit(e, Array[WriterCommitMessage](w.commit()))
+        } else {
+          epochRows
+            .toDF("key", "ver", "payload")
+            .repartitionByRange(1, col("key")).sortWithinPartitions("key")
+            .write.format("graft.sources.VariantStoreSink")
+            .option("path", dir).mode("append").save()
+        }
         trackWrites()
         if (every > 0 && e % every == 0) {
           VariantStore.compactMinor(spark, dir, Ddl, keepGenerations = 4)
