@@ -298,8 +298,11 @@ object AutoExportProbe {
   * ([[graft.ops.Gvcf.derivedMaxDenseWidth]]) tracks the r17e measured
   * floor. Run this under TWO heap sizes (the r17e bracket endpoints):
   *
-  *   java -Xmx4800m ... graft.WidthFloorProbe FLOOR_AUDIT_r19_width_4800.json
-  *   java -Xmx9600m ... graft.WidthFloorProbe FLOOR_AUDIT_r19_width_9600.json
+  *   java -Xmx4800m ... graft.WidthFloorProbe FLOOR_AUDIT_r19_width_4800.json 153600
+  *   java -Xmx9600m ... graft.WidthFloorProbe FLOOR_AUDIT_r19_width_9600.json 300000
+  *
+  * The optional second arg is the EXPECTED derived bound for that heap —
+  * an independent pin that fails if the derivation ever drifts.
   *
   * Each run derives THIS JVM's bound, builds a synthetic cohort at
   * exactly that width, and executes the dense combine full-width — green
@@ -326,7 +329,13 @@ object WidthFloorProbe {
     val heap = Runtime.getRuntime.maxMemory
     val slots = spark.sparkContext.defaultParallelism
     val derived = Gvcf.defaultMaxDenseWidth(spark)
-    require(derived == Gvcf.derivedMaxDenseWidth(heap, slots))
+    // pin the derivation against an INDEPENDENT expectation when the
+    // caller supplies one (args(1), the value the invocation was sized
+    // for) — re-deriving from the same formula here would be tautological
+    args.drop(1).headOption.map(_.toLong).foreach(expected =>
+      require(derived == expected,
+        s"derived bound $derived != invocation's expected $expected " +
+          s"(heap=$heap slots=$slots) — the derivation drifted"))
     val auto = Gvcf.combineAuto(Gvcf.syntheticVariantsWide(spark, derived))
     require(auto.format == "dense" && auto.width == derived,
       s"the derived bound must admit exactly itself: $auto")

@@ -578,8 +578,13 @@ object GvcfSkew {
         .crossJoin(s.range(0, nPositions, 1, 1).selectExpr("id AS j"))
         .selectExpr(
           "format_string('s%05d', k) AS sample",
+          // cold contig from a DENSE cold-position ordinal, not raw j:
+          // j % nContigs over the surviving (j % 10 >= hotTenths)
+          // positions would visit only nContigs/2 contigs at
+          // hotTenths=5 and silently halve the probed hot:cold ratio
           s"CASE WHEN j % 10 < $hotTenths THEN 'chr00' " +
-            s"ELSE concat('chr', 1 + j % $nContigs) END AS contig",
+            s"ELSE concat('chr', 1 + (j DIV 10 * (10 - $hotTenths) " +
+            s"+ j % 10 - $hotTenths) % $nContigs) END AS contig",
           "j * 10 + 1 AS start",
           "CASE WHEN (j + k) % 3 < 2 THEN j * 10 + 1 ELSE j * 10 + 10 END AS end",
           "CASE WHEN (j + k) % 3 < 2 THEN 'site' ELSE 'block' END AS kind",
@@ -613,8 +618,10 @@ object GvcfSkew {
     val hotShare = cohort(5).filter(col("kind") === "site")
       .select("contig", "start").distinct()
       .groupBy("contig").count().orderBy(col("count").desc).head
+    // denominator: every position carries a site-kind record for ~2/3 of
+    // samples, so distinct site POSITIONS ≈ all nPositions — not 2/3
     println(s"hot contig ${hotShare.getString(0)} owns ${hotShare.getLong(1)} " +
-      s"of ~${nPositions * 2 / 3} sites")
+      s"of $nPositions site positions")
     val results = Seq(
       ("combine", run("combine_long_uniform", (s, _) => Gvcf.combineLong(cohort(0)))),
       ("combine", run("combine_long_hot", (s, _) => Gvcf.combineLong(cohort(5)))),

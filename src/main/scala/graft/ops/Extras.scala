@@ -1084,8 +1084,14 @@ object Extras {
       .withColumn("denom", expr("shiftleft(1L, size(tail)) - 1"))
     val counts = raw.groupBy("event_type", "user_id")
       .agg(count(lit(1)).cast(LongType).as("n_events"))
-    lastK.join(counts, Seq("event_type", "user_id"))
-      .select(col("event_type"), col("user_id"), col("n_events"),
+    // null-safe keys: both sides groupBy the same keys (NULLs form
+    // groups on each), so the join back must match NULL groups too —
+    // exactly what the plain window plan's partitioning does
+    lastK.as("l").join(counts.as("c"),
+        col("l.event_type") <=> col("c.event_type") &&
+          col("l.user_id") <=> col("c.user_id"))
+      .select(col("l.event_type").as("event_type"),
+        col("l.user_id").as("user_id"), col("c.n_events").as("n_events"),
         round(col("numer").cast(DoubleType) / col("denom") / 10000, 6).as("ewma"))
       .orderBy("event_type", "user_id")
   }

@@ -852,7 +852,14 @@ object Gvcf {
       |FROM remap r JOIN merged m ON r.contig = m.contig AND r.pos = m.pos
       |GROUP BY r.contig, r.pos, m.mref, m.calts
       |ORDER BY r.contig, r.pos""".stripMargin) { (s, d) =>
-    val auto = combineAuto(syntheticVariantsWide(s, wideN(s, d)))
+    // the gate pins the dispatch MECHANISM, so it passes the fixed cap:
+    // the heap-derived default would make the admitted format (hence the
+    // result schema) depend on the gate runner's JVM — a small-heap
+    // driver at a wide-enough sf would flip to 'long' against a 'dense'
+    // oracle. The derived path is covered where the heap IS the variable
+    // under test: WidthFloorProbe brackets it, GvcfSpec pins the formula.
+    val auto = combineAuto(syntheticVariantsWide(s, wideN(s, d)),
+      maxDenseWidth = MaxDenseWidth)
     auto.format match {
       case "dense" => auto.df
         .withColumn("calls_md5", md5(array_join(col("calls"), ";").cast(BinaryType)))
@@ -1347,7 +1354,10 @@ object Gvcf {
        |FROM remap r JOIN merged m ON r.contig = m.contig AND r.pos = m.pos
        |GROUP BY r.contig, r.pos, m.mref, m.calts
        |ORDER BY r.contig, r.pos""".stripMargin) { (s, d) =>
-    val auto = exportAuto(syntheticVariantsWide(s, wideN(s, d)))
+    // fixed cap for the same reason as q_combine_auto: the gate's
+    // format/schema must not depend on the gate runner's heap
+    val auto = exportAuto(syntheticVariantsWide(s, wideN(s, d)),
+      maxDenseWidth = MaxDenseWidth)
     auto.format match {
       case "dense" => auto.df
         .withColumn("line_md5", md5(col("line").cast(BinaryType)))

@@ -500,7 +500,11 @@ object Pipeline {
           sum(col("merge")).over(
             byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("user_id"), col("chunk"), col("offset"))
-    local.join(offsets, Seq("user_id", "chunk"))
+    // null-safe keys: the plain window keeps NULL-user_id / NULL-ts rows
+    // (they form their own window partitions); the join back must too
+    local.as("l").join(offsets.as("o"),
+        col("l.user_id") <=> col("o.user_id") && col("l.chunk") <=> col("o.chunk"))
+      .select(col("l.user_id").as("user_id"), col("l.lsid"), col("o.offset"))
       .withColumn("session_id", col("offset") + col("lsid"))
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("sess_n"))

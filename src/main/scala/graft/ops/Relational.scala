@@ -413,9 +413,15 @@ object Relational {
       .select(col("user_id"), col("day"),
         coalesce(sum(col("day_sum")).over(wChunks), lit(0).cast("decimal(28,4)"))
           .as("offset"))
-    local.join(offsets, Seq("user_id", "day"))
-      .select(col("user_id"), col("event_id"), col("ts"),
-        (col("local_sum") + col("offset")).cast(DoubleType).as("running_value"))
+    // null-safe join keys: a window PARTITION BY groups NULL keys into a
+    // partition (and groupBy groups them the same way), so the join back
+    // must match them too — a plain equi-join would silently drop every
+    // NULL-user_id / NULL-ts row the plain window plan keeps
+    local.as("l").join(offsets.as("o"),
+        col("l.user_id") <=> col("o.user_id") && col("l.day") <=> col("o.day"))
+      .select(col("l.user_id").as("user_id"), col("l.event_id").as("event_id"),
+        col("l.ts").as("ts"),
+        (col("l.local_sum") + col("o.offset")).cast(DoubleType).as("running_value"))
   }
 
   /** B12: 4-row moving average of order totals per customer (explicit

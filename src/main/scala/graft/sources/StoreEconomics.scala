@@ -82,7 +82,9 @@ object StoreEconomics {
           .foreach(f => seen.getOrElseUpdate(f.getName, f.length()))
       val rows = Seq.newBuilder[String]
       val schema = StructType.fromDDL(Ddl)
-      val autoWrite = new StoreStreamingWrite(dir, schema, "econ-auto",
+      // lazy: only the 'auto' cadence ever constructs (or touches) the
+      // streaming write — the manual cadences must stay pure batch paths
+      lazy val autoWrite = new StoreStreamingWrite(dir, schema, "econ-auto",
         AutoCompactPolicy(enabled = true, AutoCompactPolicy.DefaultThreshold,
           AutoCompactPolicy.DefaultKeep))
       for (e <- 1 to epochs) {

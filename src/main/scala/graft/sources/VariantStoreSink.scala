@@ -70,8 +70,12 @@ private[sources] class StoreTable(path: String, tschema: StructType)
   * pruning keeps reads flat at 400 generations; compaction there is
   * pure 13× write amplification). Encoded: the streaming commit counts
   * live generations from the manifest it already owns and triggers a
-  * minor compaction past `threshold` — UNLESS every live (minKey,
-  * maxKey) range is pairwise disjoint, the detected append-only case.
+  * minor compaction past `threshold` — UNLESS every live GENERATION's
+  * aggregate (minKey, maxKey) range is pairwise disjoint, the detected
+  * append-only case. Per-GENERATION, not per-file: one streaming epoch
+  * commits many hash-partitioned task files whose key ranges interleave
+  * by construction, so per-file overlap says nothing about the
+  * workload — the upsert-vs-append distinction lives BETWEEN epochs.
   *
   * `threshold` = 64 (top of the measured cadence band: lowest write
   * amplification, read curve already flat there), `keep` = 4 (the r18
@@ -85,9 +89,12 @@ private[graft] case class AutoCompactPolicy(
     s"bad autocompact policy: threshold=$threshold keep=$keep")
 
   /** True iff the committed manifest warrants a minor compaction now:
-    * at/over the generation budget AND not append-only-disjoint. */
-  def shouldCompact(entries: Seq[ManifestEntry]): Boolean =
-    enabled && entries.size >= threshold && AutoCompactPolicy.overlapping(entries)
+    * at/over the generation budget AND not append-only-disjoint —
+    * both judged on per-generation aggregate ranges. */
+  def shouldCompact(entries: Seq[ManifestEntry]): Boolean = {
+    lazy val gens = AutoCompactPolicy.generationRanges(entries)
+    enabled && gens.size >= threshold && AutoCompactPolicy.overlapping(gens)
+  }
 }
 
 private[graft] object AutoCompactPolicy {
@@ -105,15 +112,30 @@ private[graft] object AutoCompactPolicy {
       threshold = options.getInt("autocompact.threshold", DefaultThreshold),
       keep = options.getInt("autocompact.keep", DefaultKeep))
 
-  /** Any two live key ranges intersect? Interval sweep over entries
-    * sorted by minKey — O(n log n) on the ≤threshold-sized manifest. */
-  def overlapping(entries: Seq[ManifestEntry]): Boolean = {
-    val sorted = entries.sortBy(e => (e.minKey, e.maxKey))
+  /** Collapse per-file manifest entries into per-GENERATION aggregate
+    * (minKey, maxKey) ranges: a query-scoped stream generation's task
+    * files (same `(queryTag, epoch)`) fold into one range, because a
+    * multi-partition epoch's files interleave by hash construction and
+    * must not read as workload overlap. Files that are NOT query-scoped
+    * stream generations (batch loads, legacy names, fold outputs) each
+    * stay their own group — the conservative direction: cross-range
+    * overlap among them still classifies as upsert. */
+  def generationRanges(entries: Seq[ManifestEntry]): Seq[(Long, Long)] =
+    entries
+      .groupBy(e => StoreManifest.streamEpochOf(e.file).toRight(e.file))
+      .values
+      .map(g => (g.map(_.minKey).min, g.map(_.maxKey).max))
+      .toSeq
+
+  /** Any two generation key ranges intersect? Interval sweep over
+    * ranges sorted by min — O(n log n) on the ≤threshold-sized list. */
+  def overlapping(ranges: Seq[(Long, Long)]): Boolean = {
+    val sorted = ranges.sorted
     var runMax = Long.MinValue
     var overlap = false
-    for (e <- sorted) {
-      if (runMax != Long.MinValue && e.minKey <= runMax) overlap = true
-      runMax = math.max(runMax, e.maxKey)
+    for ((mn, mx) <- sorted) {
+      if (runMax != Long.MinValue && mn <= runMax) overlap = true
+      runMax = math.max(runMax, mx)
     }
     overlap
   }
@@ -793,10 +815,17 @@ private[sources] class StoreStreamingWrite(path: String, schema: StructType,
     // leaves only a staged orphan generation for the vacuum rent sweep.
     if (wantCompact) {
       import org.apache.spark.sql.SparkSession
-      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-        .foreach(spark =>
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+        case Some(spark) =>
           VariantStore.compactMinor(spark, path, schema.toDDL,
-            keepGenerations = autoCompact.keep))
+            keepGenerations = autoCompact.keep)
+        case None =>
+          // no session from this commit thread — the budget is NOT being
+          // enforced this epoch; say so instead of silently skipping
+          System.err.println(s"[graft] autocompact: generation budget " +
+            s"(${autoCompact.threshold}) exceeded at $path but no active/" +
+            "default SparkSession on the commit thread; fold skipped")
+      }
     }
   }
 

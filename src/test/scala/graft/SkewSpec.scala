@@ -101,6 +101,39 @@ class SkewSpec extends SparkSpec {
       rows(ops.Extras.ewmaOf(api.tbl(spark, d, "events"))))
   }
 
+  test("the rewrites keep NULL-key rows exactly as the plain windows do") {
+    // a window PARTITION BY groups NULL keys into a partition of their
+    // own; the rewrites' join-back must match those groups too (r19
+    // review: a plain equi-join would silently DROP every NULL-user_id /
+    // NULL-ts row). Null-safe join keys pin the equality on a fixture
+    // that has them — the synthetic corpora don't, so only this does.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rowsIn = Seq(
+      Row(1L, t("2026-01-01 10:00:00"), 7L, "click", 1.5),
+      Row(2L, t("2026-01-01 10:10:00"), 7L, "click", 2.5),
+      Row(3L, t("2026-01-02 09:00:00"), 7L, "view", 4.0),
+      Row(4L, t("2026-01-01 11:00:00"), null, "click", 8.0), // NULL user
+      Row(5L, t("2026-01-02 11:00:00"), null, "click", 16.0), // NULL user
+      Row(6L, null, 7L, "click", 32.0), // NULL ts
+      Row(7L, null, null, "view", 64.0)) // NULL both
+    val ev = spark.createDataFrame(
+      spark.sparkContext.parallelize(rowsIn, 2), schema)
+    assert(rows(ops.Relational.runningTwoStage(ev)) ==
+      rows(ops.Relational.runningPlain(ev)))
+    assert(rows(ops.Pipeline.sessionizeSegmented(ev)) ==
+      rows(ops.Pipeline.sessionizePlain(ev)))
+    assert(rows(ops.Extras.ewmaLastK(ev)) == rows(ops.Extras.ewmaOf(ev)))
+    // and the NULL rows genuinely survive: 2 NULL-user running rows etc.
+    assert(ops.Relational.runningTwoStage(ev).count() == 7,
+      "the two-stage running sum lost rows on NULL keys")
+  }
+
   test("skew corpus plants a dominant hot key with FK-clean orders") {
     val o = api.tbl(spark, dir, "orders")
     val total = o.count()

@@ -152,15 +152,15 @@ class AutoCompactSpec extends graft.SparkSpec {
   test("overlap sweep: touching, nested, and disjoint manifests classify correctly") {
     def e(f: String, mn: Long, mx: Long) =
       ManifestEntry(f, 1L, mn, mx, Long.MinValue, Long.MaxValue)
+    def ov(es: ManifestEntry*): Boolean =
+      AutoCompactPolicy.overlapping(AutoCompactPolicy.generationRanges(es))
     // inclusive key ranges: sharing exactly one key IS an overlap
-    assert(AutoCompactPolicy.overlapping(Seq(e("a", 0, 10), e("b", 10, 20))))
-    assert(AutoCompactPolicy.overlapping(Seq(e("a", 0, 100), e("b", 40, 60))))
-    assert(AutoCompactPolicy.overlapping(
-      Seq(e("a", 0, 5), e("b", 20, 30), e("c", 25, 40))))
-    assert(!AutoCompactPolicy.overlapping(Seq(e("a", 0, 10), e("b", 11, 20))))
-    assert(!AutoCompactPolicy.overlapping(
-      Seq(e("c", 200, 300), e("a", 0, 10), e("b", 11, 20))))
-    assert(!AutoCompactPolicy.overlapping(Seq(e("a", 0, 10))))
+    assert(ov(e("a", 0, 10), e("b", 10, 20)))
+    assert(ov(e("a", 0, 100), e("b", 40, 60)))
+    assert(ov(e("a", 0, 5), e("b", 20, 30), e("c", 25, 40)))
+    assert(!ov(e("a", 0, 10), e("b", 11, 20)))
+    assert(!ov(e("c", 200, 300), e("a", 0, 10), e("b", 11, 20)))
+    assert(!ov(e("a", 0, 10)))
     assert(!AutoCompactPolicy.overlapping(Seq.empty))
     // the policy gate composes count AND overlap
     val p = AutoCompactPolicy(enabled = true, threshold = 2, keep = 1)
@@ -169,5 +169,74 @@ class AutoCompactSpec extends graft.SparkSpec {
     assert(!p.shouldCompact(Seq(e("a", 0, 10))))
     assert(!AutoCompactPolicy.Disabled.shouldCompact(
       Seq.tabulate(100)(i => e(s"g$i", 0, 10))))
+  }
+
+  test("per-GENERATION grouping: one epoch's hash-interleaved task files " +
+      "are not workload overlap") {
+    def e(f: String, mn: Long, mx: Long) =
+      ManifestEntry(f, 1L, mn, mx, Long.MinValue, Long.MaxValue)
+    // epoch e of a strictly append-only ingest, written by TWO writer
+    // tasks whose hash-partitioned key subsets interleave: per-FILE the
+    // ranges overlap, per-EPOCH they are disjoint slices
+    def epochFiles(ep: Int): Seq[ManifestEntry] = Seq(
+      e(f"gen-q-$ep%09d-part-00000-1-aaaaaaaa.parquet", ep * 100L, ep * 100L + 98),
+      e(f"gen-q-$ep%09d-part-00001-2-bbbbbbbb.parquet", ep * 100L + 1, ep * 100L + 99))
+    val entries = (1 to 10).flatMap(epochFiles)
+    val gens = AutoCompactPolicy.generationRanges(entries)
+    assert(gens.size == 10, s"20 task files must fold to 10 generations: $gens")
+    assert(!AutoCompactPolicy.overlapping(gens),
+      "disjoint epoch slices misclassified as overlapping")
+    val p = AutoCompactPolicy(enabled = true, threshold = 8, keep = 4)
+    assert(!p.shouldCompact(entries),
+      "append-only multi-partition ingest must never auto-compact")
+    // the threshold also counts GENERATIONS, not files: 10 overlapping
+    // single-file generations at threshold 12 stay under budget even
+    // though the file count (with a second task file each) is 20
+    val upsert = (1 to 10).flatMap(ep => Seq(
+      e(f"gen-q-$ep%09d-part-00000-1-cccccccc.parquet", 0L, 50L),
+      e(f"gen-q-$ep%09d-part-00001-2-dddddddd.parquet", 51L, 99L)))
+    assert(!AutoCompactPolicy(enabled = true, threshold = 12, keep = 4)
+      .shouldCompact(upsert), "threshold must count generations, not files")
+    assert(AutoCompactPolicy(enabled = true, threshold = 10, keep = 4)
+      .shouldCompact(upsert), "10 overlapping generations at threshold 10 must fold")
+    // non-stream names (batch loads, folds) each stay their own group —
+    // conservative: overlap among them still reads as upsert
+    val mixed = Seq(e("part-00000-7-ee.parquet", 0, 10), e("part-00001-8-ff.parquet", 5, 20))
+    assert(AutoCompactPolicy.overlapping(AutoCompactPolicy.generationRanges(mixed)))
+  }
+
+  test("disjoint exemption holds END TO END with multi-partition epochs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_autompart").toString
+    val dir = s"$root/store"
+    val input = MemoryStream[(Long, Long, String)]
+    // repartition(2, key): each epoch lands as TWO hash-interleaved task
+    // files — the per-file overlap that must NOT defeat the exemption
+    val q = input.toDF().toDF("key", "ver", "payload")
+      .repartition(2, col("key"))
+      .writeStream.format("graft.sources.VariantStoreSink")
+      .option("path", dir).option("checkpointLocation", s"$root/chk")
+      .option("autocompact.threshold", "8")
+      .outputMode("append").start()
+    var seen = Set.empty[String]
+    var log = Vector.empty[(Long, Long, String)]
+    try {
+      for (epoch <- 1 to 20) {
+        val rows = (0 until 6).map(i =>
+          (epoch * 100L + i, epoch * 10L + i, s"m$epoch-$i"))
+        input.addData(rows: _*)
+        q.processAllAvailable()
+        log = log ++ rows
+        val files = manifestFiles(dir)
+        assert(seen.subsetOf(files),
+          s"epoch $epoch: a generation disappeared — a fold ran on " +
+            "multi-partition disjoint ingest")
+        seen = files
+      }
+    } finally q.stop()
+    assert(seen.size >= 20, s"expected ≥20 files across epochs, got ${seen.size}")
+    assert(rawRows(dir) == log.sorted, "multi-partition disjoint soak multiset diverged")
   }
 }
