@@ -475,6 +475,12 @@ private[graft] object CommitSeams {
   @volatile var appendPrePublish: () => Unit = () => ()
   @volatile var truncatePrePublish: () => Unit = () => ()
   @volatile var truncatePostRetire: () => Unit = () => ()
+  /** Fires inside an AUTO-triggered minor compaction (streaming epoch
+    * commit), after the fold's merged generation is staged but before
+    * the manifest splice — the window where the epoch that triggered
+    * the fold is already durable (manifest + high-water mark) and the
+    * fold's death must lose nothing (KillDurabilitySpec `auto_pre`). */
+  @volatile var autoFoldPreSplice: () => Unit = () => ()
 }
 
 private[sources] class StoreBatchWrite(
@@ -817,8 +823,9 @@ private[sources] class StoreStreamingWrite(path: String, schema: StructType,
       import org.apache.spark.sql.SparkSession
       SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
         case Some(spark) =>
-          VariantStore.compactMinor(spark, path, schema.toDDL,
-            keepGenerations = autoCompact.keep)
+          VariantStore.compactMinorImpl(spark, path, schema.toDDL,
+            keepGenerations = autoCompact.keep, numRanges = 1,
+            beforeSplice = CommitSeams.autoFoldPreSplice)
         case None =>
           // no session from this commit thread — the budget is NOT being
           // enforced this epoch; say so instead of silently skipping

@@ -68,6 +68,25 @@ object KillDriver {
           () => (), hook)
       case "minor_pre" =>
         VariantStore.compactMinorImpl(spark, storeDir, Ddl, 1, 1, hook)
+      case "auto_pre" =>
+        // the r19 self-enforcing cadence: four hand-driven streaming
+        // epochs of OVERLAPPING keys at threshold 4 — epoch 4's commit
+        // triggers the auto-fold, whose pre-splice seam publishes and
+        // blocks. The kill lands with epoch 4 already durable (manifest
+        // lines + high-water mark precede the fold by construction).
+        CommitSeams.autoFoldPreSplice = hook
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(Ddl)
+        val write = new StoreStreamingWrite(storeDir, schema, "killauto",
+          AutoCompactPolicy(enabled = true, threshold = 4, keep = 2))
+        for (e <- 1 to 4) {
+          val w = StoreMemstoreFactory(storeDir, schema,
+            StoreManifest.queryTag("killauto")).createWriter(0, 0L, e)
+          (0L until 20L).foreach(k => w.write(
+            org.apache.spark.sql.catalyst.InternalRow(k, e.toLong,
+              org.apache.spark.unsafe.types.UTF8String.fromString(s"auto-$e-$k"))))
+          write.commit(e,
+            Array[org.apache.spark.sql.connector.write.WriterCommitMessage](w.commit()))
+        }
       case other => sys.error(s"unknown op: $other")
     }
     // unreachable while the seam blocks; a clean exit means the seam

@@ -172,4 +172,22 @@ class KillDurabilitySpec extends graft.SparkSpec {
     assert(manifestFiles(dir).size == 2, "pre-splice manifest must be intact")
     assertDurable(dir, "minor_pre", preState)
   }
+
+  test("SIGKILL mid AUTO-fold inside a streaming epoch commit (r19 cadence)") {
+    // the self-enforcing compaction runs INSIDE the epoch commit, after
+    // that epoch's manifest lines and high-water mark are durable — so
+    // killing the process mid-fold must lose NOTHING: all four epochs
+    // serve, the staged merge generation is a sweepable orphan, and the
+    // mark proves the triggering epoch needs no replay
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_killdur_auto_pre_").toString
+    driveAndKill(dir, "auto_pre")
+    assert(manifestFiles(dir).size == 4,
+      "all four epoch generations must be live (the splice never landed)")
+    assert(StoreManifest.readEpochHwms(java.nio.file.Paths.get(dir))
+      .get("killauto").contains(4L),
+      "the triggering epoch's high-water mark must precede the fold")
+    val expect = (0L until 20L).map(k => (k, 4L, s"auto-4-$k")).toSet
+    assertDurable(dir, "auto_pre", expect)
+  }
 }
