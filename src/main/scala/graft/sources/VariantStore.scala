@@ -311,12 +311,26 @@ object VariantStore {
     val (entries, hwms) = StoreManifest.withManifestLock(dirPath) {
       (manifest(path), StoreManifest.readEpochHwms(dirPath))
     }
-    if (entries.size <= keepGenerations) return
-    val smallestFirst = entries.filter(foldEligible(hwms))
-      .sortBy(e => (e.rows, e.file))
-    val fold = smallestFirst.take(
-      math.min(smallestFirst.size, entries.size - keepGenerations + 1))
-    if (fold.size < 2) return // nothing worth merging among the eligible
+    // GENERATION-ATOMIC selection (r19 review): a multi-partition
+    // streaming epoch is one generation spread over several task files,
+    // and folding a SUBSET of them is a correctness bug, not a tuning
+    // choice — the leftover files keep the epoch's manifest prefix
+    // alive, so a later replay of that epoch takes the replace branch
+    // and re-appends the WHOLE generation while the folded rows persist
+    // inside the merge: silent duplication. Group files by generation,
+    // size-tier the GROUPS, fold whole groups only. (Batch files group
+    // singly — they have no replay protocol, so per-file folding of a
+    // batch append was always safe; this preserves that.)
+    val groups = entries.groupBy(e => StoreManifest.generationKey(e.file))
+      .values.toSeq
+    if (groups.size <= keepGenerations) return
+    val smallestFirst = groups
+      .filter(_.forall(foldEligible(hwms))) // uniform per generation
+      .sortBy(g => (g.map(_.rows).sum, g.map(_.file).min))
+    val foldGroups = smallestFirst.take(
+      math.min(smallestFirst.size, groups.size - keepGenerations + 1))
+    if (foldGroups.size < 2) return // nothing worth merging among the eligible
+    val fold = foldGroups.flatten
     spliceCompacted(path, fold,
       spark.read.schema(schema).parquet(fold.map(e => s"$path/${e.file}"): _*),
       colNames(schema)(0), numRanges, beforeSplice, afterSplice)
@@ -343,6 +357,7 @@ object VariantStore {
   private def spliceCompacted(path: String, fold: Seq[ManifestEntry],
       merged: DataFrame, keyCol: String, numRanges: Int,
       beforeSplice: () => Unit, afterSplice: () => Unit = () => ()): Unit = {
+    val t0 = System.currentTimeMillis() // the merge job erodes the sweep floor
     val dir = java.nio.file.Paths.get(path)
     val foldSet = fold.map(_.file).toSet
     val tmpDir = java.nio.file.Files.createTempDirectory("graft_compact_")
@@ -387,8 +402,11 @@ object VariantStore {
     // (since the splice rework the sink's truncate-commit sweep no
     // longer runs against the REAL store dir); the shared reap policy
     // lives in [[StoreManifest.sweepAgedOrphans]]; piggy-backed sweeps
-    // carry the concurrent-writer floor ([[StoreManifest.sweepOpportunistic]]).
-    StoreManifest.sweepOpportunistic(dir)
+    // carry the concurrent-writer floor ([[StoreManifest.sweepOpportunistic]])
+    // plus this pass's own duration (the batch commit's elapsedMs
+    // convention) so the merge job's wall time doesn't erode the floor.
+    StoreManifest.sweepOpportunistic(dir,
+      elapsedMs = System.currentTimeMillis() - t0)
   }
 
   /** Snapshot/clone — the HBase table-snapshot analog: copy the CURRENT
@@ -444,10 +462,14 @@ object VariantStore {
     * every reader (single-process temp stores, test fixtures); the
     * default one hour is the non-blocking-read contract
     * ([[StoreManifest.retire]]). The policy governs RETIRED-file rent
-    * only: opportunistic commit/compaction sweeps keep a fixed
+    * only: opportunistic commit/compaction sweeps keep a
     * concurrent-writer floor regardless of the configured grace
-    * ([[StoreManifest.sweepOpportunistic]]), so zero grace does not
-    * expose a neighbor writer's in-flight task files. */
+    * ([[StoreManifest.sweepOpportunistic]]: 60 s plus the sweeping
+    * pass's own elapsed time), which shields a neighbor writer whose
+    * WRITE PHASE fits that floor. A concurrent batch write expected to
+    * run longer than the floor needs a real grace window (>= its write
+    * duration) — zero grace asserts single-writer as well as
+    * single-reader for such workloads. */
   def setGrace(path: String, ms: Long): Unit =
     StoreManifest.setGrace(java.nio.file.Paths.get(path), ms)
 
@@ -555,8 +577,16 @@ object VariantStore {
     if (fold.isEmpty) return
     val raw = spark.read.schema(schema)
       .parquet(fold.map(e => s"$path/${e.file}"): _*)
+    // The horizon purge may only run when the fold sees the WHOLE store
+    // (r19 review): purging decides per key from the fold's history, so
+    // an EXCLUDED generation (an unconfirmed crash-window epoch) holding
+    // an older version of a tombstoned key would outlive the purged
+    // tombstone and resurrect a deleted row at readAsOf(>= horizon).
+    // With exclusions the pass degrades to a pure merge — the purge
+    // happens on a later pass, once the epoch confirms and folds.
+    val purgeSafe = fold.size == all.size
     val kept =
-      if (!isVersioned(cols) || horizon == Long.MinValue) raw
+      if (!isVersioned(cols) || horizon == Long.MinValue || !purgeSafe) raw
       else raw.filter(col("ver") > horizon).unionByName(
         dropTombstones(latestPerKey(raw.filter(col("ver") <= horizon), cols), cols))
     spliceCompacted(path, fold, kept, cols(0), numRanges, beforeSplice, afterSplice)

@@ -122,20 +122,25 @@ private[graft] object AutoCompactPolicy {
     * overlap among them still classifies as upsert. */
   def generationRanges(entries: Seq[ManifestEntry]): Seq[(Long, Long)] =
     entries
-      .groupBy(e => StoreManifest.streamEpochOf(e.file).toRight(e.file))
+      .groupBy(e => StoreManifest.generationKey(e.file))
       .values
       .map(g => (g.map(_.minKey).min, g.map(_.maxKey).max))
       .toSeq
 
   /** Any two generation key ranges intersect? Interval sweep over
-    * ranges sorted by min — O(n log n) on the ≤threshold-sized list. */
+    * ranges sorted by min — O(n log n) on the ≤threshold-sized list.
+    * A `first` flag, not a sentinel: Long.MinValue is a legal maxKey
+    * (a generation holding key Long.MinValue), and a sentinel collision
+    * would skip the overlap check against the next range. */
   def overlapping(ranges: Seq[(Long, Long)]): Boolean = {
     val sorted = ranges.sorted
-    var runMax = Long.MinValue
+    var runMax = 0L
+    var first = true
     var overlap = false
     for ((mn, mx) <- sorted) {
-      if (runMax != Long.MinValue && mn <= runMax) overlap = true
-      runMax = math.max(runMax, mx)
+      if (!first && mn <= runMax) overlap = true
+      runMax = if (first) mx else math.max(runMax, mx)
+      first = false
     }
     overlap
   }
@@ -317,17 +322,23 @@ private[sources] object StoreManifest {
   /** Atomically replace the whole mark file with `marks` — the
     * snapshot/clone path writes a map CAPTURED under the same manifest
     * lock as the cloned line list, never a re-read of the live file. */
-  def writeEpochHwms(dir: java.nio.file.Path, marks: Map[String, Long]): Unit = {
-    val tmp = java.nio.file.Files.createTempFile(dir, EpochHwmFile, ".tmp")
-    java.nio.file.Files.write(tmp,
-      marks.toSeq.sorted.map { case (q, e) => s"$q|$e" }
-        .mkString("\n").getBytes("UTF-8"))
-    try java.nio.file.Files.move(tmp, dir.resolve(EpochHwmFile),
+  def writeEpochHwms(dir: java.nio.file.Path, marks: Map[String, Long]): Unit =
+    atomicWrite(dir, EpochHwmFile,
+      marks.toSeq.sorted.map { case (q, e) => s"$q|$e" }.mkString("\n"))
+
+  /** The one atomic-publish idiom (temp file + ATOMIC_MOVE with the
+    * no-support fallback) — shared by the manifest and the mark file so
+    * a durability fix to one can never silently miss the other. */
+  private def atomicWrite(dir: java.nio.file.Path, name: String,
+      content: String): Unit = {
+    val tmp = java.nio.file.Files.createTempFile(dir, name, ".tmp")
+    java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+    try java.nio.file.Files.move(tmp, dir.resolve(name),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch {
       case _: java.nio.file.AtomicMoveNotSupportedException =>
-        java.nio.file.Files.move(tmp, dir.resolve(EpochHwmFile),
+        java.nio.file.Files.move(tmp, dir.resolve(name),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
   }
@@ -343,7 +354,10 @@ private[sources] object StoreManifest {
     if (t.isEmpty) "q" else t
   }
 
-  private val StreamGenName = "gen-(.+?)-([0-9]{9})-part-.*".r
+  // {9,} not {9}: %09d WIDENS past 999,999,999 — a fixed-width match
+  // would let the non-greedy tag group absorb leading epoch digits and
+  // misparse (wrong tag => the generation never fold-eligible again)
+  private val StreamGenName = "gen-(.+?)-([0-9]{9,})-part-.*".r
 
   /** `(queryTag, epoch)` of a query-scoped streaming generation file
     * name; None for batch generations and legacy (pre-query-scoped)
@@ -353,6 +367,17 @@ private[sources] object StoreManifest {
     case StreamGenName(qtag, ep) => Some((qtag, ep.toLong))
     case _ => None
   }
+
+  /** The GENERATION identity of a manifest file: a query-scoped stream
+    * file groups with its epoch-mates (one streaming commit = one
+    * generation spread over task files); anything else (batch loads,
+    * legacy names, fold outputs) is its own group. Shared by the
+    * auto-compact workload classifier and the minor compactor's fold
+    * selection — a generation must be treated ATOMICALLY everywhere
+    * (folding a subset of a replayable epoch's files would let a later
+    * replay re-append rows the fold already merged). */
+  def generationKey(file: String): Either[String, (String, Long)] =
+    streamEpochOf(file).toRight(file)
 
   /** Per-store retired-file retention (ms), the Delta
     * `deletedFileRetentionDuration` analog: how long a DE-MANIFESTED
@@ -451,16 +476,7 @@ private[sources] object StoreManifest {
 
   def writeLines(dir: java.nio.file.Path, lines: Seq[String]): Unit = {
     graft.ScratchObserver.touch()
-    val tmp = java.nio.file.Files.createTempFile(dir, FileName, ".tmp")
-    java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
-    try java.nio.file.Files.move(tmp, dir.resolve(FileName),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case _: java.nio.file.AtomicMoveNotSupportedException =>
-        java.nio.file.Files.move(tmp, dir.resolve(FileName),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    atomicWrite(dir, FileName, lines.mkString("\n"))
   }
 }
 
@@ -784,9 +800,12 @@ private[sources] class StoreStreamingWrite(path: String, schema: StructType,
     // Locked: this is a read-modify-write against manifests a batch
     // appender may be updating concurrently.
     StoreManifest.withManifestLock(dir) {
-      val lines = StoreManifest.readLines(dir)
-      val hasOwn = lines.exists(l => StoreManifest.parse(l).file.startsWith(prefix))
-      def marked: Boolean =
+      // parse each line ONCE — this whole block holds the cross-process
+      // manifest lock every writer contends on
+      val parsed = StoreManifest.readLines(dir)
+        .map(l => (l, StoreManifest.parse(l)))
+      val hasOwn = parsed.exists(_._2.file.startsWith(prefix))
+      val marked =
         StoreManifest.readEpochHwms(dir).get(queryId).exists(_ >= epochId)
       if (!hasOwn && marked) {
         // Replay of an epoch whose generation COMPACTION already folded
@@ -799,16 +818,23 @@ private[sources] class StoreStreamingWrite(path: String, schema: StructType,
         commits.foreach(m =>
           java.nio.file.Files.deleteIfExists(dir.resolve(m.file)))
       } else {
-        val existing = lines.filterNot(l => StoreManifest.parse(l).file.startsWith(prefix))
+        val (replaced, existing) = parsed.partition(_._2.file.startsWith(prefix))
         val added = commits.map(StoreManifest.render)
-        StoreManifest.writeLines(dir, (existing ++ added).sorted)
+        StoreManifest.writeLines(dir, (existing.map(_._1) ++ added).sorted)
         // manifest FIRST, then the mark: a crash in between replays as
         // the lines-present case (replace, idempotent), never as a skip
         // of rows the manifest doesn't carry. A DIFFERENT queryId (fresh
         // query, epoch numbering restarted) simply takes over the mark.
         if (!marked) StoreManifest.writeEpochHwm(dir, queryId, epochId)
+        // a replay's OLD generation files just left the manifest: RETIRE
+        // them (grace clock restarts at de-manifesting) so a reader that
+        // resolved the pre-replay manifest gets the same one-grace-window
+        // protection every other de-manifesting path grants; on
+        // zero-grace stores retire degenerates to immediate delete
+        replaced.foreach(p => StoreManifest.retire(dir, p._2.file))
         wantCompact = autoCompact.shouldCompact(
-          (existing ++ added).map(StoreManifest.parse))
+          existing.map(_._2) ++ commits.map(c =>
+            StoreManifest.parse(StoreManifest.render(c))))
       }
     }
     // Auto-compaction (see [[AutoCompactPolicy]]) runs OUTSIDE the
@@ -823,9 +849,16 @@ private[sources] class StoreStreamingWrite(path: String, schema: StructType,
       import org.apache.spark.sql.SparkSession
       SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
         case Some(spark) =>
-          VariantStore.compactMinorImpl(spark, path, schema.toDDL,
+          // maintenance must not kill ingest: the epoch is already
+          // durable, a failed fold loses nothing and retries next epoch
+          try VariantStore.compactMinorImpl(spark, path, schema.toDDL,
             keepGenerations = autoCompact.keep, numRanges = 1,
             beforeSplice = CommitSeams.autoFoldPreSplice)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[graft] autocompact: fold failed at " +
+                s"$path (epoch already durable; will retry next epoch): $e")
+          }
         case None =>
           // no session from this commit thread — the budget is NOT being
           // enforced this epoch; say so instead of silently skipping

@@ -203,6 +203,15 @@ class AutoCompactSpec extends graft.SparkSpec {
     // conservative: overlap among them still reads as upsert
     val mixed = Seq(e("part-00000-7-ee.parquet", 0, 10), e("part-00001-8-ff.parquet", 5, 20))
     assert(AutoCompactPolicy.overlapping(AutoCompactPolicy.generationRanges(mixed)))
+    // Long.MinValue is a LEGAL maxKey, not a sentinel: two generations
+    // both holding key MinValue genuinely overlap (r19 review)
+    assert(AutoCompactPolicy.overlapping(
+      Seq((Long.MinValue, Long.MinValue), (Long.MinValue, 100L))))
+    assert(!AutoCompactPolicy.overlapping(
+      Seq((Long.MinValue, Long.MinValue), (Long.MinValue + 1, 100L))))
+    // epoch numbering past 9 digits still parses (%09d widens)
+    assert(StoreManifest.streamEpochOf(
+      "gen-q-1000000005-part-00000-1-aa.parquet").contains(("q", 1000000005L)))
   }
 
   test("disjoint exemption holds END TO END with multi-partition epochs") {

@@ -111,6 +111,45 @@ class StoreEpochSpec extends graft.SparkSpec {
       "in-place epoch re-commit must stay idempotent")
   }
 
+  test("minor compaction folds a multi-file epoch ATOMICALLY — no replay " +
+      "duplication via a half-folded generation (r19 review)") {
+    // A multi-partition epoch is ONE generation spread over task files.
+    // Per-FILE size-tiered selection would fold the epoch's small shard
+    // away from its big epoch-mate; the leftover keeps the epoch's
+    // manifest prefix alive, so a driver-failover replay takes the
+    // replace branch and re-appends the WHOLE epoch while the folded
+    // shard's rows persist inside the merge — silent duplication.
+    val dir = java.nio.file.Files.createTempDirectory("graft_epoch_atomic").toString
+    VariantStore.setGrace(dir, 0L)
+    val write = new StoreStreamingWrite(dir, schema, "test-query")
+    def writer(pid: Int, epoch: Long, rows: Seq[(Long, Long, String)]) = {
+      val w = StoreMemstoreFactory(dir, schema, StoreManifest.queryTag("test-query"))
+        .createWriter(pid, pid.toLong, epoch)
+      rows.foreach { case (k, v, p) =>
+        w.write(InternalRow(k, v, UTF8String.fromString(p)))
+      }
+      w.commit()
+    }
+    val small = Seq((1L, 1L, "s1"))
+    val big = (100L until 200L).map(k => (k, 1L, s"b$k"))
+    write.commit(1L, Array(writer(0, 1L, small), writer(1, 1L, big)))
+    write.commit(2L, Array(writer(0, 2L, Seq((1L, 2L, "e2"), (2L, 2L, "x2")))))
+    write.commit(3L, Array(writer(0, 3L, Seq((1L, 3L, "e3"), (3L, 3L, "x3")))))
+    val before = rawRows(dir)
+    VariantStore.compactMinor(spark, dir, ddl, keepGenerations = 2)
+    assert(rawRows(dir) == before, "minor fold must preserve every version")
+    // no generation may be split: epoch 1 keeps BOTH files or neither
+    val gen1 = genFiles(dir, "test-query", 1L)
+    assert(gen1.isEmpty || gen1.size == 2,
+      s"the fold split epoch 1's generation: $gen1")
+    // driver-failover replay of the multi-file epoch: still exactly-once
+    write.commit(1L, Array(writer(0, 1L, small), writer(1, 1L, big)))
+    val after = rawRows(dir)
+    assert(after == before,
+      s"replay after the fold duplicated rows (${after.size} vs ${before.size})")
+    assert(after.count(_._1 == 1L) == 3, "key 1 must appear once per epoch")
+  }
+
   test("a fresh query's restarted epoch numbering is never skipped by an old mark") {
     // Epoch ids restart at 0 for a new query (fresh checkpoint), so the
     // high-water mark is scoped by queryId (the Delta txn-appId model):
