@@ -185,8 +185,10 @@ case class MinHashSignature(
         // floorMod, not %: a negative input (full-range 64-bit hash
         // rather than the callers' 48-bit non-negative values) would
         // otherwise land lane values in (-p, 0) that dominate every
-        // minimum. Identical to % for the in-contract domain
-        // (x < 2^48, coefficients 15-bit ⇒ x*a+b < 2^63, no wrap).
+        // minimum. Identical to % for the in-contract domain: the no-
+        // wrap bound comes from the A coefficients (a ≤ 12351 < 2^14 ⇒
+        // x*a < 2^62); the B coefficients are up to 19 bits (b(31) =
+        // 309170), far inside the remaining headroom.
         val h = java.lang.Math.floorMod(x * as(i) + bs(i), p)
         if (h < buf(i)) buf(i) = h
         i += 1

@@ -110,7 +110,13 @@ object Streaming {
           // in a fixed total order so the carried state is bit-identical
           // across partitionings and re-runs (the project's determinism
           // doctrine; carryForwardFill sorts for the same reason)
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type, e.value))
+          // null-tolerant sort key: ts/event_type are reference-typed, a
+          // poison record with a NULL there must not NPE the sort — a
+          // crashed task replays the same micro-batch from the
+          // checkpoint and wedges the query forever on one bad record
+          batch.toSeq.sortBy(e =>
+              (if (e.ts == null) Long.MinValue else e.ts.getTime,
+                if (e.event_type == null) "" else e.event_type, e.value))
             .foreach { e => n += 1; total += e.value }
           val next = UserTotals(uid, n, total)
           state.update(next)

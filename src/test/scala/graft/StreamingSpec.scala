@@ -58,12 +58,17 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       input.addData(StreamEvent(ts("2024-01-01 10:10:00"), 1, "purchase", 10.0))
       q.processAllAvailable()
+      // poison record: NULL ts / NULL event_type must not NPE the
+      // determinism sort — a crashed task replays the same micro-batch
+      // forever (r19 review); the value still accumulates
+      input.addData(StreamEvent(null, 2, null, 7.0))
+      q.processAllAvailable()
       // latest state per user: user 1 accumulated across both batches
       val out = spark.table("totals_out")
         .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("t"))
         .orderBy("user_id")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-      assert(out == Seq((1L, 3L, 15.0), (2L, 1L, 5.0)))
+      assert(out == Seq((1L, 3L, 15.0), (2L, 2L, 12.0)))
     } finally q.stop()
   }
 
