@@ -87,6 +87,16 @@ object Dedup {
   val NumPerms = 32 // MinHash signature length
   val BandRows = 2  // rows per LSH band → 16 bands
 
+  /** The LSH banding expression — per band, the ':'-joined stringified
+    * signature rows — shared by both banding consumers (q_dedup_near's
+    * signature-carrying explode and q_dedup_ngram's id-only explode) so
+    * the bucketing rule cannot drift between them while each still
+    * hash-matches its own oracle (r19 review). */
+  private def bandExpr(nBands: Int): Column =
+    expr(s"transform(sequence(0, ${nBands - 1}), " +
+      s"b -> array_join(transform(sequence(1, $BandRows), " +
+      s"r -> cast(element_at(sig, b * $BandRows + r) as string)), ':'))")
+
   /** THE oracle-side signature pipeline, shared verbatim by the
     * q_dedup_near and q_dedup_ngram oracles: corpus → word-3-gram
     * shingles → 48-bit md5 hash values (`vals.v`, the same leaf the
@@ -203,10 +213,7 @@ object Dedup {
     // equality, and the exchange halves.
     val bands = sigs.select(col("doc_id"),
       col("sig").cast("array<int>").as("sig"),
-      posexplode(expr(s"transform(sequence(0, ${nBands - 1}), " +
-        s"b -> array_join(transform(sequence(1, $BandRows), " +
-        s"r -> cast(element_at(sig, b * $BandRows + r) as string)), ':'))"))
-        .as(Seq("band", "bh")))
+      posexplode(bandExpr(nBands)).as(Seq("band", "bh")))
     // signatures computed ONCE, pairs expanded per bucket, per-row state
     // O(bucket width) — see bucketPairs for the full scale contract
     // No global pair-dedup exchange at all: a pair appears at most once
@@ -429,10 +436,7 @@ object Dedup {
     // zero-byte-class placeholder sig (sort_array still orders by
     // doc_id first, so the cap keeps the same lowest ids).
     val bands = sigs.select(col("doc_id"), lit(0).as("sig"),
-      posexplode(expr(s"transform(sequence(0, ${nBands - 1}), " +
-        s"b -> array_join(transform(sequence(1, $BandRows), " +
-        s"r -> cast(element_at(sig, b * $BandRows + r) as string)), ':'))"))
-        .as(Seq("band", "bh")))
+      posexplode(bandExpr(nBands)).as(Seq("band", "bh")))
     // id-only projection BEFORE the distinct: this consumer never reads
     // the signatures, so the pair-dedup exchange ships 16 B/pair
     // (bucketPairs). The distinct is REQUIRED here — multi-band
@@ -560,7 +564,10 @@ object Dedup {
       val next = j1
         .join(j1.select(col("doc_id").as("rep"), col("rep").as("rep2")), "rep")
         .select(col("doc_id"), col("rep2").as("rep"))
-      val s = next.agg(sum("rep")).head.getLong(0)
+      // sum over ZERO rows is SQL NULL — getLong would NPE on an empty
+      // node set (r19 review); 0 is a fine fixed-point witness there
+      val row = next.agg(sum("rep")).head
+      val s = if (row.isNullAt(0)) 0L else row.getLong(0)
       converged = prevSum.contains(s)
       prevSum = Some(s)
       lab = next
@@ -668,16 +675,21 @@ object Dedup {
     })()
   }
 
-  /** Duplicate-cluster assignment — the step after candidate generation
-    * in every production dedup pipeline: candidate pairs → connected
-    * components → one canonical representative (min doc_id) per cluster.
-    * Emits the non-singleton clusters with their sorted member list. */
-  val dedupCluster = Query(
-    "q_dedup_cluster",
-    """WITH RECURSIVE s AS (
+  /** The shared recursive-CTE prefix of the three cluster oracles
+    * (q_dedup_cluster / q_corpus_clean / q_cluster_rep): the shingle
+    * rule — INCLUDING [[shinglesOf]]'s <3-token whole-text branch,
+    * which the three inline copies had dropped while [[duckSigCtes]]
+    * kept it (r19 review: a 1–2-token duplicate pair clustered in the
+    * engine but not in the oracle) — plus blocked candidate edges and
+    * min-label connected components. One definition, so the rule
+    * cannot drift between the engine and any of the three oracles. */
+  private def duckClusterCtes: String =
+    """s AS (
       |  SELECT doc_id, lang, source,
-      |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-      |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
+      |    list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+      |      THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |        i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+      |      ELSE [array_to_string(string_split(text, ' '), ' ')] END) AS sh
       |  FROM documents),
       |e0 AS (
       |  SELECT a.doc_id AS da, b.doc_id AS db
@@ -690,7 +702,15 @@ object Dedup {
       |  SELECT doc_id, doc_id FROM s
       |  UNION
       |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
-      |lab AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id)
+      |lab AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id)""".stripMargin
+
+  /** Duplicate-cluster assignment — the step after candidate generation
+    * in every production dedup pipeline: candidate pairs → connected
+    * components → one canonical representative (min doc_id) per cluster.
+    * Emits the non-singleton clusters with their sorted member list. */
+  val dedupCluster = Query(
+    "q_dedup_cluster",
+    s"""WITH RECURSIVE $duckClusterCtes
       |SELECT rep, count(*) AS n_docs,
       |  array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',') AS members
       |FROM lab GROUP BY rep HAVING count(*) > 1
@@ -713,30 +733,14 @@ object Dedup {
     * stage including the recursive component computation. */
   val corpusClean = Query(
     "q_corpus_clean",
-    """WITH RECURSIVE base AS (
+    s"""WITH RECURSIVE base AS (
       |  SELECT doc_id, lang, source, text,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
       |    CAST(len(list_filter(string_split(text, ' '),
       |                         t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop,
       |    lower(trim(text)) AS norm
       |  FROM documents),
-      |s AS (
-      |  SELECT doc_id, lang, source,
-      |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-      |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
-      |  FROM documents),
-      |e0 AS (
-      |  SELECT a.doc_id AS da, b.doc_id AS db
-      |  FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source
-      |                   AND a.doc_id < b.doc_id
-      |  WHERE len(list_intersect(a.sh, b.sh)) >= 1),
-      |edges AS (SELECT da AS a, db AS b FROM e0
-      |          UNION ALL SELECT db, da FROM e0),
-      |reach(id, r) AS (
-      |  SELECT doc_id, doc_id FROM s
-      |  UNION
-      |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
-      |lab AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
+      |$duckClusterCtes,
       |ex AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY norm) AS mdoc FROM base),
       |r AS (
       |  SELECT b.lang, b.n_tokens,
@@ -796,23 +800,7 @@ object Dedup {
     * composite key `n_chars·10⁹ − doc_id` makes the argmax total. */
   val clusterRep = Query(
     "q_cluster_rep",
-    """WITH RECURSIVE s AS (
-      |  SELECT doc_id, lang, source,
-      |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-      |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))) AS sh
-      |  FROM documents),
-      |e0 AS (
-      |  SELECT a.doc_id AS da, b.doc_id AS db
-      |  FROM s a JOIN s b ON a.lang = b.lang AND a.source = b.source
-      |                   AND a.doc_id < b.doc_id
-      |  WHERE len(list_intersect(a.sh, b.sh)) >= 1),
-      |edges AS (SELECT da AS a, db AS b FROM e0
-      |          UNION ALL SELECT db, da FROM e0),
-      |reach(id, r) AS (
-      |  SELECT doc_id, doc_id FROM s
-      |  UNION
-      |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b),
-      |lab AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id),
+    s"""WITH RECURSIVE $duckClusterCtes,
       |q AS (
       |  SELECT lab.rep, lab.doc_id, d.n_chars,
       |    d.n_chars * 1000000000 - lab.doc_id AS key

@@ -652,9 +652,16 @@ object Similarity {
       .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 6).as("sim"))
       .collect()
     val sim = simRows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // DESC-with-NaN-first ordering, matching Spark's desc() and DuckDB's
+    // ORDER BY ... DESC (both sort NaN as the largest double): negating
+    // the value would send NaN LAST under Scala's default double
+    // ordering and diverge from the oracle on a zero-norm embedding
+    // (r19 review). TotalOrdering ranks NaN above +Inf, like both engines.
+    val descNanFirst = Ordering.Double.TotalOrdering.reverse
     val pool = cands.select(col("vec_id"), col("rel")).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
-      .sortBy { case (id, rel) => (-rel, id) }
+      .sortBy { case (id, rel) => (rel, id) }(
+        Ordering.Tuple2(descNanFirst, Ordering.Long))
     // Guarded for degenerate pools (< 5 candidates, or none at all): the
     // greedy emits min(5, |pool|) rows, matching the declarative shape's
     // graceful degradation on tiny fixtures.
@@ -667,7 +674,8 @@ object Similarity {
         .map { case (id, rel) =>
           (id, rel, 0.7 * rel - 0.3 * selIds.iterator.map(sid => sim((id, sid))).max)
         }
-        .minBy { case (id, _, mmr) => (-mmr, id) }
+        .minBy { case (id, _, mmr) => (mmr, id) }(
+          Ordering.Tuple2(descNanFirst, Ordering.Long))
       picked += ((k, id, rel, mmr))
     }
     import s.implicits._
