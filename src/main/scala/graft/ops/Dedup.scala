@@ -255,18 +255,45 @@ object Dedup {
   def simhashSignatures(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
-        transform(split(col("text"), " "), t => xxhash64(t)).as("hs"))
+        // ENFORCED lane bound (r20): the packed 16-bit lanes in
+        // simhashExpr wrap past 65,535 tokens, so the token stream is
+        // clamped to its first [[SimhashMaxTokens]] hashes BEFORE the
+        // fold (and size(hs) below is the clamped count, keeping the
+        // majority rule exact over the kept prefix). For a longer doc
+        // the signature is the simhash of its 65,535-token prefix —
+        // a documented, deterministic recall trade (prefix ≈ doc for
+        // near-dup purposes) instead of the silent lane wrap that
+        // previously corrupted the whole signature (e.g. one token
+        // repeated 70k times drove its lane counts to 70000 mod 2^16
+        // = 4464 < n/2, flipping every majority bit).
+        slice(transform(split(col("text"), " "), t => xxhash64(t)),
+          1, SimhashMaxTokens).as("hs"))
       // exchange barrier: hs must be a materialized attribute, else
       // CollapseProject inlines split+xxhash into all 64 folds below
       // (the r2 shingle lesson — see shinglesOf).
       .repartition(col("doc_id"))
       .select(col("doc_id"), expr(simhashExpr).as("simhash"))
 
+  /** Carry-safe token bound for [[simhashSignatures]]'s packed 16-bit
+    * lanes: documents longer than this are clamped to their first
+    * 65,535 tokens (prefix simhash). [[simhashHexSignatures]] does NOT
+    * clamp — its native aggregate counts in 64-bit lanes. */
+  val SimhashMaxTokens = 65535
+
   /** Packed-lane bit counting: word j (j = 0..15) accumulates
     * `(h >> j) & 0x0001000100010001` over all token hashes, so its four
     * 16-bit lanes count bits j, j+16, j+32, j+48 — 16 folds of 2 integer
     * ops per token instead of 64 folds (or a 64-column aggregate). Lanes
-    * are carry-safe up to 65,535 tokens/doc. Sign-extension from the
+    * are carry-safe up to 65,535 tokens/doc — ENFORCED by the
+    * [[SimhashMaxTokens]] clamp in [[simhashSignatures]] (the expression
+    * itself must only ever see a clamped `hs`). The fold accumulator
+    * starts at −2⁶³, not 0: the four maxed lanes sum to exactly 2⁶⁴−1,
+    * which overflows SIGNED 64-bit once the top lane (bits 48–63)
+    * exceeds 32,767 — under ANSI mode the unbiased r19 fold CRASHED
+    * there (found while enforcing the clamp; the documented 65,535
+    * bound was wrong for the top lane). Biased, the monotone sum spans
+    * [−2⁶³, 2⁶³−1] exactly; the bias only flips bit 63, undone by one
+    * `^ 32768` when extracting the top lane. Sign-extension from the
     * arithmetic shift only touches bits ≥ 64-j ≥ 49 > 48 = the highest
     * mask bit, so negative hashes are safe. Bit k of the signature is
     * set iff 2*count_k > n_tokens (≡ the ±1 sum being > 0). The
@@ -277,10 +304,14 @@ object Dedup {
   private val simhashExpr =
     """element_at(transform(array(
       |    transform(sequence(0, 15), j ->
-      |      aggregate(hs, 0L, (acc, h) -> acc + (shiftright(h, j) & 281479271743489L)))),
+      |      aggregate(hs, shiftleft(CAST(1 AS BIGINT), 63),
+      |        (acc, h) -> acc + (shiftright(h, j) & 281479271743489L)))),
       |  ws -> aggregate(
       |    transform(sequence(0, 63), k ->
-      |      IF(2 * (shiftright(element_at(ws, (k % 16) + 1), 16 * (k div 16)) & 65535) > size(hs),
+      |      IF(2 * (CASE WHEN k div 16 = 3
+      |              THEN (shiftright(element_at(ws, (k % 16) + 1), 48) & 65535) ^ 32768
+      |              ELSE shiftright(element_at(ws, (k % 16) + 1), 16 * (k div 16)) & 65535
+      |              END) > size(hs),
       |         shiftleft(CAST(1 AS BIGINT), k), 0L)),
       |    0L, (acc, x) -> acc | x)), 1)""".stripMargin
 
@@ -796,14 +827,26 @@ object Dedup {
     * "keep min doc_id": within each duplicate cluster keep the LONGEST
     * member (ties → lowest doc_id), the heuristic real pipelines use
     * (the longer copy is usually the less-truncated one). One argmax
-    * aggregate over the cluster labels joined to doc lengths; the
-    * composite key `n_chars·10⁹ − doc_id` makes the argmax total. */
+    * aggregate over the cluster labels joined to doc lengths.
+    *
+    * The argmax key (r20 rewrite): the pre-r20 scalar `n_chars·10⁹ −
+    * doc_id` stopped encoding (longest, then lowest id) once doc_id ≥
+    * 10⁹ — exactly the regime a 100 TB corpus lives in — and, worse,
+    * engine and oracle shared the formula so the correctness gate could
+    * never see the drift. Now the two sides encode the SAME total order
+    * (n_chars DESC, doc_id ASC) through two INDEPENDENT mechanisms:
+    * Spark uses `max_by` over a (n_chars, −doc_id) struct (lexicographic
+    * struct ordering, collision-free for all BIGINTs), DuckDB uses
+    * `arg_max` over the 128-bit HUGEINT `n_chars·2⁶³ − doc_id` (exact —
+    * doc_id < 2⁶³ by type, so distinct (n_chars, doc_id) never collide).
+    * A shared-formula bug can no longer hide: either side drifting
+    * hash-mismatches the gate. */
   val clusterRep = Query(
     "q_cluster_rep",
     s"""WITH RECURSIVE $duckClusterCtes,
       |q AS (
       |  SELECT lab.rep, lab.doc_id, d.n_chars,
-      |    d.n_chars * 1000000000 - lab.doc_id AS key
+      |    d.n_chars::HUGEINT * 9223372036854775808::HUGEINT - lab.doc_id AS key
       |  FROM lab JOIN documents d USING (doc_id))
       |SELECT rep, CAST(count(*) AS BIGINT) AS n_docs,
       |  arg_max(doc_id, key) AS keep_doc,
@@ -813,10 +856,10 @@ object Dedup {
     val docs = tbl(s, d, "documents").select(col("doc_id"), col("n_chars"))
     clusterLabels(s, d)
       .join(docs, "doc_id")
-      .withColumn("key", col("n_chars") * 1000000000L - col("doc_id"))
       .groupBy("rep")
       .agg(count(lit(1)).as("n_docs"),
-        max_by(col("doc_id"), col("key")).as("keep_doc"),
+        max_by(col("doc_id"),
+          struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("keep_doc"),
         max(col("n_chars")).as("keep_chars"))
       .filter(col("n_docs") > 1)
       .orderBy("rep")

@@ -88,6 +88,73 @@ class DedupSpec extends SparkSpec {
     assert(pairs(13) == p, "cap not deterministic across partitioning")
   }
 
+  test("simhash clamps at SimhashMaxTokens: no packed-lane wrap past 65,535 tokens") {
+    // A doc of ONE token repeated 70,000 times is the minimal lane-wrap
+    // trigger: every set bit of that token's hash counts 70,000, which
+    // wraps a 16-bit lane to 70000 - 65536 = 4464 < n/2 — the UNclamped
+    // r19 expression flipped every majority bit and returned signature 0
+    // for this doc. With the clamp the kept stream is 65,535 copies:
+    // unanimous majority on every hash bit, so the signature IS the
+    // token's xxhash64 — and emphatically not 0.
+    val tok = "boilerplate"
+    val big = Seq((7L, (tok + " ") * 70000)).toDF("doc_id", "text")
+    val sig = Dedup.simhashSignatures(big).collect().head.getAs[Long]("simhash")
+    val expected = Seq(tok).toDF("t")
+      .select(xxhash64(col("t"))).collect().head.getLong(0)
+    assert(sig == expected,
+      f"clamped signature $sig%016x must equal the token hash $expected%016x")
+    assert(sig != 0L, "lane-wrap signature (the r19 defect) resurfaced")
+  }
+
+  test("simhash of a >65,535-token doc is the exact prefix simhash (JVM reference)") {
+    // Mixed-content doc: 70,000 tokens cycling 50 distinct words, so the
+    // clamp boundary cuts mid-cycle and the kept counts are NOT uniform.
+    // The trusted reference recomputes the per-bit majority in the JVM
+    // over the first SimhashMaxTokens xxhash64 values (hashes collected
+    // from Spark so the hash leaf is identical); the shipped packed-lane
+    // expression must match bit-for-bit — proving both the clamp
+    // semantics (prefix, not wrap) and the lane arithmetic at the bound.
+    val words = (0 until 70000).map(i => s"w${i % 50}")
+    val doc = Seq((9L, words.mkString(" "))).toDF("doc_id", "text")
+    val sig = Dedup.simhashSignatures(doc).collect().head.getAs[Long]("simhash")
+    val hashes = words.distinct.toDF("t")
+      .select(col("t"), xxhash64(col("t")).as("h")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = words.take(Dedup.SimhashMaxTokens).map(hashes)
+    val ref = (0 until 64).foldLeft(0L) { (acc, k) =>
+      val cnt = kept.count(h => ((h >> k) & 1L) == 1L)
+      if (2L * cnt > kept.length) acc | (1L << k) else acc
+    }
+    assert(sig == ref, f"shipped simhash $sig%016x != prefix reference $ref%016x")
+  }
+
+  test("cluster representative survives doc_ids past 1e9 (r19 deferred defect)") {
+    // A cluster of three identical texts with doc_ids straddling 10⁹:
+    // "keep the LONGEST member, ties → lowest doc_id" must pick doc
+    // 2,000,000,000 (n_chars 10). The retired scalar key
+    // n_chars·10⁹ − doc_id picked doc 3 — a SHORTER doc — because a
+    // >10⁹ doc_id subtraction crosses length buckets; pinned below as
+    // the negative control so this test keeps exercising the regime.
+    val text = (1 to 10).map(i => s"shared$i").mkString(" ")
+    val planted = Seq(
+      (2000000000L, text, "en", "web", 10L),
+      (5000000000L, text, "en", "web", 10L),
+      (3L, text, "en", "web", 9L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cluster_rep_").toString
+    planted.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    GraftExtensions.register(spark)
+    val out = SparkEntry.queries("q_cluster_rep")(spark, dir).collect()
+    assert(out.length == 1, s"expected one cluster, got ${out.toSeq}")
+    val r = out.head
+    assert(r.getAs[Long]("rep") == 3L && r.getAs[Long]("n_docs") == 3L &&
+      r.getAs[Long]("keep_doc") == 2000000000L && r.getAs[Long]("keep_chars") == 10L,
+      s"wrong representative row: $r")
+    val oldPick = planted.map(p => (p._1, p._5))
+      .maxBy { case (id, n) => n * 1000000000L - id }._1
+    assert(oldPick == 3L, "the planted regime no longer exercises the r19 defect")
+  }
+
   test("connected components: chain merges transitively, islands stay apart") {
     val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
     // 1-2, 2-3 chain (3 reaches 1 only transitively); 10-11 pair; 20 alone.
