@@ -331,11 +331,24 @@ object WidthFloorProbe {
     val derived = Gvcf.defaultMaxDenseWidth(spark)
     // pin the derivation against an INDEPENDENT expectation when the
     // caller supplies one (args(1), the value the invocation was sized
-    // for) — re-deriving from the same formula here would be tautological
-    args.drop(1).headOption.map(_.toLong).foreach(expected =>
-      require(derived == expected,
-        s"derived bound $derived != invocation's expected $expected " +
-          s"(heap=$heap slots=$slots) — the derivation drifted"))
+    // for). A bare invocation must not validate against NOTHING (r20
+    // advice item): fall back to the plumbing pin — defaultMaxDenseWidth
+    // must equal derivedMaxDenseWidth over the locally-read heap/slots.
+    // Weaker than a caller expectation (it cannot catch a drifted
+    // FORMULA, only drifted plumbing between the two entry points), so
+    // say which pin ran.
+    args.drop(1).headOption.map(_.toLong) match {
+      case Some(expected) =>
+        require(derived == expected,
+          s"derived bound $derived != invocation's expected $expected " +
+            s"(heap=$heap slots=$slots) — the derivation drifted")
+      case None =>
+        require(derived == Gvcf.derivedMaxDenseWidth(heap, slots),
+          s"defaultMaxDenseWidth($derived) != derivedMaxDenseWidth(heap=$heap, " +
+            s"slots=$slots) — the two derivation entry points drifted")
+        println(s"WidthFloorProbe: no expected-bound arg; plumbing pin only " +
+          s"(derived=$derived)")
+    }
     val auto = Gvcf.combineAuto(Gvcf.syntheticVariantsWide(spark, derived))
     require(auto.format == "dense" && auto.width == derived,
       s"the derived bound must admit exactly itself: $auto")

@@ -113,10 +113,18 @@ object Streaming {
           // null-tolerant sort key: ts/event_type are reference-typed, a
           // poison record with a NULL there must not NPE the sort — a
           // crashed task replays the same micro-batch from the
-          // checkpoint and wedges the query forever on one bad record
+          // checkpoint and wedges the query forever on one bad record.
+          // NULLs sort on an explicit null-flag component (strictly
+          // after all real values), NOT a sentinel: Long.MinValue / ""
+          // are legitimate field values, and aliasing them would quietly
+          // turn the key back into a partial order (r20 advice item —
+          // the fold only stayed deterministic because count/sum is
+          // order-insensitive across equal keys)
           batch.toSeq.sortBy(e =>
-              (if (e.ts == null) Long.MinValue else e.ts.getTime,
-                if (e.event_type == null) "" else e.event_type, e.value))
+              ((e.ts == null, if (e.ts == null) 0L else e.ts.getTime),
+                (e.event_type == null,
+                  if (e.event_type == null) "" else e.event_type),
+                e.value))
             .foreach { e => n += 1; total += e.value }
           val next = UserTotals(uid, n, total)
           state.update(next)

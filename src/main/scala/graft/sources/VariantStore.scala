@@ -329,7 +329,14 @@ object VariantStore {
       .sortBy(g => (g.map(_.rows).sum, g.map(_.file).min))
     val foldGroups = smallestFirst.take(
       math.min(smallestFirst.size, groups.size - keepGenerations + 1))
-    if (foldGroups.size < 2) return // nothing worth merging among the eligible
+    // "worth merging" counts FILES, not groups (r20 advice item): a
+    // single eligible generation spread over many hash-partitioned task
+    // files is exactly the fragmentation a fold exists to consolidate,
+    // and folding it WHOLE is replay-safe — all-or-nothing selection
+    // plus the epoch high-water mark's replace branch already cover the
+    // fully-folded-epoch case. Only a fold set of one file is a no-op
+    // rewrite.
+    if (foldGroups.iterator.map(_.size).sum < 2) return
     val fold = foldGroups.flatten
     spliceCompacted(path, fold,
       spark.read.schema(schema).parquet(fold.map(e => s"$path/${e.file}"): _*),

@@ -241,6 +241,51 @@ class StoreEpochSpec extends graft.SparkSpec {
     assert(rawRows(dir) == before, "final fold changed the row multiset")
   }
 
+  test("minor compaction consolidates a SINGLE eligible multi-file generation") {
+    // r20 advice item: a streaming epoch committed as several
+    // hash-partitioned task files is ONE generation; when it is the
+    // only fold-eligible group (here: the other generation sits in the
+    // crash window, mark < epoch), the pre-r20 `foldGroups.size < 2`
+    // guard could never consolidate it — file-count growth inside one
+    // epoch was un-compactable. Folding the group WHOLE is replay-safe:
+    // the epoch high-water mark's replace branch turns a later replay
+    // of the fully-folded epoch into a discard, proven at the end.
+    val dir = java.nio.file.Files.createTempDirectory("graft_epoch_singlegrp").toString
+    val write = new StoreStreamingWrite(dir, schema, "test-query")
+    // epoch 5: THREE task files (partitions 0..2), one committed generation
+    val msgs = (0 to 2).map { p =>
+      val w = StoreMemstoreFactory(dir, schema, StoreManifest.queryTag("test-query"))
+        .createWriter(p, p.toLong, 5L)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(
+        (p + 1).toLong, 5L, UTF8String.fromString(s"p$p")))
+      w.commit()
+    }
+    write.commit(5L, msgs.toArray)
+    // epoch 6: lines present, mark still 5 → ineligible second group
+    crashWindowState(dir, 6L, Seq((9L, 6L, "c6")))
+    assert(manifestFiles(dir).size == 4, s"setup: ${manifestFiles(dir)}")
+    val before = rawRows(dir)
+    VariantStore.compactMinor(spark, dir, ddl, keepGenerations = 1)
+    val after = manifestFiles(dir)
+    assert(genFiles(dir, "test-query", 5L).isEmpty,
+      s"the eligible multi-file generation was not folded: $after")
+    assert(genFiles(dir, "test-query", 6L).size == 1,
+      s"the crash-window generation must survive the fold: $after")
+    assert(after.size == 2, s"expected merged + unconfirmed, got $after")
+    assert(rawRows(dir) == before, "single-group fold changed the row multiset")
+    // replay of the fully-folded epoch 5: no lines to replace, mark at
+    // 5 ≥ 5 → the replace branch DISCARDS the replay instead of
+    // appending a duplicate generation
+    write.commit(5L, Array(epochFiles(dir, 5L, Seq((1L, 5L, "p0")))))
+    assert(rawRows(dir) == before, "replay after the single-group fold duplicated rows")
+    assert(manifestFiles(dir).toSeq == after.toSeq,
+      "replay after the single-group fold touched the manifest")
+    // a one-file fold set stays a no-op (no pointless rewrite)
+    VariantStore.compactMinor(spark, dir, ddl, keepGenerations = 1)
+    assert(manifestFiles(dir).toSeq == after.toSeq,
+      "a single-file eligible group must not be rewritten")
+  }
+
   test("a fresh query's epoch 0 never replaces a previous query's epoch-0 generation") {
     // Epoch numbering restarts at 0 for a new query, so generation
     // names are scoped by the query tag: an unscoped `gen-000000000-`
