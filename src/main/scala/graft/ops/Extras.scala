@@ -1185,30 +1185,109 @@ object Extras {
       |  FROM events)
       |SELECT event_id, event_type, round(value, 6) AS value, med50
       |FROM w WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin) { (s, d) =>
-    // Declarative frame: 50 lag() offsets -> array_sort -> interpolate.
-    // The obvious `percentile(value, 0.5).over(rowsBetween(-49, 0))` is
-    // an imperative aggregate inside a sliding frame — Spark rebuilds
-    // the typed buffer per row as the frame slides (no retraction), so
-    // every row pays 50 buffer inserts plus an interpreted evaluate.
-    // Measured at the sf1-equivalent decade corpus (1M events): 3.4 s
-    // vs 0.3 s warm for this formulation. lag() is an
-    // OffsetWindowFunction — O(1)/row, constant state, one pass over
-    // the SAME (event_type, ts, event_id) sort — and the median math is
-    // codegen'd array arithmetic. Interpolation mirrors Spark's
-    // Percentile (lo + (hi-lo)*0.5) = DuckDB quantile_cont, bit-for-bit
-    // on the hash-green corpora.
-    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
-    val frame = array((0 until 50).map(i => lag(col("value"), i).over(w)): _*)
-    tbl(s, d, "events")
-      .withColumn("win", array_sort(filter(frame, x => x.isNotNull)))
-      .withColumn("med50", round(expr(
-        "element_at(win, int((size(win) + 1) div 2)) + " +
-          "(element_at(win, int(size(win) div 2 + 1)) - " +
-          "element_at(win, int((size(win) + 1) div 2))) * 0.5"), 6))
+    // SHIPS the segmented frame plan ([[rollingMedianSegmented]], r20):
+    // event_type has cardinality ~5, so the naive PARTITION BY
+    // event_type window ([[rollingMedianPlain]], kept as the SkewSpec
+    // reference) serializes the whole corpus into ~5 indivisible tasks —
+    // the 22.2 s / straggler-1.08 century profile (SKEW_AUDIT_r19) was
+    // uniform compute on 5 of 32 cores, not skew. Segmenting by global
+    // row rank restores full parallelism with identical frame contents.
+    rollingMedianSegmented(tbl(s, d, "events"))
       .filter(col("event_id") % 100 === 0)
       .select(col("event_id"), col("event_type"),
         round(col("value"), 6).as("value"), col("med50"))
       .orderBy("event_id")
+  }
+
+  /** The naive one-window rolling median — the SkewSpec reference
+    * [[rollingMedianSegmented]] must reproduce bit-exactly. NOT the
+    * shipped plan (one indivisible task per event_type value — ~5 in
+    * the corpus; see [[rollingMedian]]).
+    *
+    * Frame math (both shapes): 50 lag() offsets → array_sort →
+    * interpolate. The obvious `percentile(value, 0.5).over(
+    * rowsBetween(-49, 0))` is an imperative aggregate inside a sliding
+    * frame — Spark rebuilds the typed buffer per row as the frame
+    * slides (no retraction), so every row pays 50 buffer inserts plus
+    * an interpreted evaluate; measured 3.4 s vs 0.3 s warm at 1M
+    * events. lag() is an OffsetWindowFunction — O(1)/row, constant
+    * state, one pass over the same sort — and the median math is
+    * codegen'd array arithmetic. Interpolation mirrors Spark's
+    * Percentile (lo + (hi-lo)*0.5) = DuckDB quantile_cont, bit-for-bit
+    * on the hash-green corpora. */
+  private[graft] def rollingMedianPlain(raw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    medianOverFrame(raw.select(col("event_id"), col("event_type"),
+      col("ts"), col("value")), w)
+  }
+
+  /** SKEW-IMMUNE rolling median — the boundary-row decomposition the
+    * r19 Scaladoc promised ("range-partition on (event_type,
+    * time-bucket) and carry 49 boundary rows per bucket"), now the
+    * shipped plan. Stage 1 ranks rows per (event_type, day) locally and
+    * prefix-sums the per-day counts over the (event_type, day) SUMMARY
+    * rows (metadata scale — the [[Relational.runningTwoStage]] pattern),
+    * giving each row its global rank `rn` within event_type without any
+    * bare event_type window. Rows then land in uniform `segSize`-row
+    * segments; each segment's last 49 rows are DUPLICATED into the next
+    * segment as phantoms (`is_real = false`, one explode — the upstream
+    * is computed once, not once per union branch), so a ROWS 49
+    * PRECEDING frame inside (event_type, seg) sees exactly the rows the
+    * plain event_type-wide frame sees: every segment but the last is
+    * full, hence the previous segment always holds rank rn−49..rn−1.
+    * Phantom rows compute a throwaway median (49/segSize ≈ 0.6%
+    * overhead) and are dropped. Identical output by construction —
+    * SkewSpec pins bit-equality against [[rollingMedianPlain]],
+    * including NULL ts/event_type rows (null-safe join keys; null days
+    * order first in the summary window exactly as null ts orders first
+    * in the plain sort). */
+  private[graft] def rollingMedianSegmented(raw: org.apache.spark.sql.DataFrame,
+      segSize: Int = 8192): org.apache.spark.sql.DataFrame = {
+    require(segSize > 49, s"segment must exceed the frame: $segSize")
+    val ev = raw.select(col("event_id"), col("event_type"), col("ts"),
+      col("value"), to_date(col("ts")).as("day"))
+    val wLocal = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    val local = ev.withColumn("lrn", row_number().over(wLocal))
+    val wDays = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("day_n"))
+      .select(col("event_type"), col("day"),
+        coalesce(sum(col("day_n")).over(wDays), lit(0L)).as("rank_off"))
+    val ranked = local.as("l")
+      .join(broadcast(offsets.as("o")),
+        col("l.event_type") <=> col("o.event_type") && col("l.day") <=> col("o.day"))
+      .select(col("l.event_id").as("event_id"), col("l.event_type").as("event_type"),
+        col("l.ts").as("ts"), col("l.value").as("value"),
+        (col("l.lrn") + col("o.rank_off")).as("rn"))
+      .withColumn("seg", expr(s"(rn - 1) div ${segSize}L"))
+    val fanned = ranked
+      .withColumn("t", explode(
+        when((col("rn") - 1) % segSize >= segSize - 49,
+          array(struct(lit(true).as("is_real"), col("seg").as("seg")),
+            struct(lit(false).as("is_real"), (col("seg") + 1).as("seg"))))
+          .otherwise(array(struct(lit(true).as("is_real"), col("seg").as("seg"))))))
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"),
+        col("rn"), col("t.is_real").as("is_real"), col("t.seg").as("seg"))
+    val wSeg = Window.partitionBy(col("event_type"), col("seg")).orderBy(col("rn"))
+    medianOverFrame(fanned, wSeg)
+      .filter(col("is_real"))
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"), col("med50"))
+  }
+
+  /** The shared 50-row trailing-median frame math (see
+    * [[rollingMedianPlain]] for why lag(), not a sliding aggregate). */
+  private def medianOverFrame(df: org.apache.spark.sql.DataFrame,
+      w: org.apache.spark.sql.expressions.WindowSpec)
+      : org.apache.spark.sql.DataFrame = {
+    val frame = array((0 until 50).map(i => lag(col("value"), i).over(w)): _*)
+    df.withColumn("win", array_sort(filter(frame, x => x.isNotNull)))
+      .withColumn("med50", round(expr(
+        "element_at(win, int((size(win) + 1) div 2)) + " +
+          "(element_at(win, int(size(win) div 2 + 1)) - " +
+          "element_at(win, int((size(win) + 1) div 2))) * 0.5"), 6))
   }
 
   val queries: Seq[Query] = Seq(

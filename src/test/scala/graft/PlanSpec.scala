@@ -458,14 +458,30 @@ class PlanSpec extends SparkSpec {
       s"KS cumsum windows must share one exchange on the constant key:\n${p.take(2500)}")
   }
 
-  test("q_rolling_median computes the frame on one event_type exchange") {
-    // a partitioned ROWS-frame window: exactly one hash exchange (the
-    // event_type partitioning); a second would mean the filter/report
-    // stage re-shuffled the stream the window just ordered.
+  test("q_rolling_median frame window keys on segments, never bare event_type") {
+    // the r20 skew-immune shape: the frame window must partition on
+    // (event_type, seg) — uniform segSize-row segments — with the only
+    // other hash exchanges being the metadata-scale rank plumbing
+    // ((event_type, day) local ranks + per-day count summaries). A
+    // window partitioned on event_type ALONE with row-level input would
+    // resurrect the ~5-indivisible-task plan (22.2 s at the 10M century
+    // probe on 5 of 32 cores).
     val p = plan(Extras.rollingMedian)
     assert(p.contains("Window"), "rolling median lost its window")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
-      s"rolling window should shuffle once, on event_type:\n${p.take(2000)}")
+    assert(p.contains("seg"), "rolling median lost the segment key")
+    val windowLines = p.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("event_type")).toSeq
+    assert(windowLines.forall(l => l.contains("seg") || l.contains("day")),
+      s"a window still partitions on bare event_type:\n${windowLines.mkString("\n")}")
+    // four hash exchanges by design: two row-level DIVISIBLE ones (the
+    // (event_type, day) rank window; the (event_type, seg) frame
+    // window) and two metadata-scale ones (day-count partial agg; the
+    // per-day summary prefix window on bare event_type — ≤ days rows
+    // per type). The offsets join back must be a broadcast.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4,
+      s"rolling median grew extra shuffles:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "the rank-offset join back lost its broadcast")
   }
 
   test("q_corr_stats is one map-side-combined single-row aggregate") {

@@ -90,6 +90,51 @@ class SkewSpec extends SparkSpec {
       rows(SkewCentury.runningPlain(spark, d)))
   }
 
+  test("segmented rolling median equals the plain window median under a hot key") {
+    // the r20 boundary-row decomposition: uniform rank segments with 49
+    // phantom rows carried from the previous segment must reproduce the
+    // plain event_type-wide 50-row frame bit-exactly. segSize = 64
+    // forces MANY segment crossings on the test corpus (the default
+    // 8192 would leave one segment per type here and never exercise the
+    // phantom path).
+    val d = "/tmp/graft_skewc_test__sf0001"
+    SkewCentury.buildSkewCentury(spark, "/root/testdata/sf0.001", d, copies = 3)
+    val ev = api.tbl(spark, d, "events")
+    def proj(df: DataFrame): Seq[String] =
+      rows(df.select("event_id", "event_type", "value", "med50"))
+    assert(proj(ops.Extras.rollingMedianSegmented(ev, segSize = 64)) ==
+      proj(ops.Extras.rollingMedianPlain(ev)))
+    // and at the shipped segment size (exercises the single/partial
+    // segment branch on this corpus)
+    assert(proj(ops.Extras.rollingMedianSegmented(ev)) ==
+      proj(ops.Extras.rollingMedianPlain(ev)))
+  }
+
+  test("segmented rolling median carries the frame across a segment boundary (hand fixture)") {
+    // 52 rows of value = rank, segSize 50 (the smallest the exactness
+    // precondition admits): ranks 51 and 52 land in segment 1, and their
+    // 50-row trailing frames are served by the phantom copies of ranks
+    // 2..50 — the last 49 of the full segment 0. Day flips every 10
+    // rows so the rank plumbing crosses day chunks too. Expected
+    // medians hand-computed: rank r > 49 sees values (r-49)..r, median
+    // = r - 24.5; early ranks see 1..r.
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val ev = (1 to 52).map { r =>
+      (r * 100L, "c",
+        new java.sql.Timestamp(base + (r / 10) * 86400000L + r * 60000L),
+        r.toDouble)
+    }.toDF("event_id", "event_type", "ts", "value")
+    val out = ops.Extras.rollingMedianSegmented(ev, segSize = 50)
+      .select("event_id", "med50")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size == 52, s"row count wrong: ${out.size}")
+    assert(out(100L) == 1.0 && out(200L) == 1.5 && out(5000L) == 25.5,
+      s"in-segment frames wrong: $out")
+    assert(out(5100L) == 26.5 && out(5200L) == 27.5,
+      s"cross-boundary frames wrong: ${out(5100L)}, ${out(5200L)}")
+  }
+
   test("last-K EWMA equals the sliding-window EWMA under a hot user") {
     // the output depends only on each series' last 8 values + count,
     // so the top-k rewrite (map-side WindowGroupLimit pre-cut) must be
@@ -129,6 +174,11 @@ class SkewSpec extends SparkSpec {
     assert(rows(ops.Pipeline.sessionizeSegmented(ev)) ==
       rows(ops.Pipeline.sessionizePlain(ev)))
     assert(rows(ops.Extras.ewmaLastK(ev)) == rows(ops.Extras.ewmaOf(ev)))
+    def med(df: DataFrame): Seq[String] =
+      rows(df.select("event_id", "event_type", "value", "med50"))
+    assert(med(ops.Extras.rollingMedianSegmented(ev, segSize = 50)) ==
+      med(ops.Extras.rollingMedianPlain(ev)),
+      "segmented rolling median diverged on NULL keys")
     // and the NULL rows genuinely survive: 2 NULL-user running rows etc.
     assert(ops.Relational.runningTwoStage(ev).count() == 7,
       "the two-stage running sum lost rows on NULL keys")
