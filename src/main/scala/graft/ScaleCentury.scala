@@ -294,6 +294,133 @@ object AutoExportProbe {
   }
 }
 
+/** r20 evidence main: the chunked export written through a REAL
+  * partitioned text sink — the step AUTO_EXPORT_334x validated only in
+  * memory. The writer contract under test is [[graft.ops.Gvcf
+  * .exportChunks]]'s Scaladoc: "a text writer stitches parts sorted by
+  * (contig, pos, chunk_idx) and never materializes a line". The probe
+  *   (1) repartitions the chunk rows by site and sorts each partition
+  *       by (contig, pos, chunk_idx) — all of a site's chunks land
+  *       consecutively in ONE part file; no task ever holds more than
+  *       one O(chunkSamples) row (the recorded max_chunk_row_bytes,
+  *       ~90 KB, vs the ~9 MB full-width line);
+  *   (2) writes them with a text sink (one chunk row per text line,
+  *       U+0001-delimited header fields — parts contain tabs, never
+  *       control chars);
+  *   (3) streams every part file back CHUNK AT A TIME, asserting the
+  *       in-file order is exactly (site, 0..maxChunk) with no site
+  *       straddling files, and folds each site's bytes (tab-joined in
+  *       stream order) into an incremental MD5;
+  *   (4) compares all site digests AND line lengths against
+  *       [[graft.ops.Gvcf.linesFromChunks]] — the in-memory stitch
+  *       witness GvcfSpec pins against the dense exportLines.
+  * Byte-identical digests prove a plain sorted text write IS a valid
+  * full-width gVCF export at width 1,002,000 — the file content equals
+  * the dense render that cannot be materialized per-row at this width.
+  *
+  *   sbt "runMain graft.AutoExportSinkProbe /tmp/graft_c334 AUTO_EXPORT_334x_sink.json"
+  */
+object AutoExportSinkProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/graft_c334")
+    val out = if (args.length > 1) args(1) else "AUTO_EXPORT_SINK_PROBE.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.ops.Gvcf
+    val chunkSamples = 10000
+    val n = Gvcf.wideN(spark, sfDir)
+    val auto = Gvcf.exportAuto(Gvcf.syntheticVariantsWide(spark, n),
+      chunkSamples = chunkSamples)
+    require(auto.format == "chunked",
+      s"this probe's corpus must exceed MaxDenseWidth (width $n)")
+    val sinkDir = s"${System.getProperty("java.io.tmpdir")}/graft_export_sink_334x"
+    val t0 = System.nanoTime()
+    auto.df
+      .repartition(cpus.toInt, col("contig"), col("pos"))
+      .sortWithinPartitions("contig", "pos", "chunk_idx")
+      .select(concat_ws("\u0001", col("contig"), col("pos").cast("string"),
+        col("chunk_idx").cast("string"), col("part")).as("value"))
+      .write.mode("overwrite").text(sinkDir)
+    val writeSecs = (System.nanoTime() - t0) / 1e9
+    // ---- stream the sink back, one chunk row at a time ----
+    val t1 = System.nanoTime()
+    val files = new java.io.File(sinkDir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    val digests = scala.collection.mutable.Map[(String, Long), (String, Long)]()
+    var maxRowBytes = 0L
+    var bytesOnDisk = 0L
+    for (f <- files) {
+      bytesOnDisk += f.length()
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        new java.io.FileInputStream(f), java.nio.charset.StandardCharsets.UTF_8),
+        1 << 20)
+      var site: (String, Long) = null
+      var nextChunk = 0L
+      var lineBytes = 0L
+      var md: java.security.MessageDigest = null
+      def finish(): Unit = if (site != null) {
+        require(!digests.contains(site), s"site $site straddled part files")
+        digests(site) = (md.digest().map("%02x".format(_)).mkString, lineBytes)
+      }
+      var row = in.readLine()
+      while (row != null) {
+        maxRowBytes = math.max(maxRowBytes, row.length.toLong)
+        val fields = row.split("\u0001", 4)
+        require(fields.length == 4, s"malformed sink row in ${f.getName}")
+        val s = (fields(0), fields(1).toLong)
+        if (s != site) {
+          finish()
+          site = s; nextChunk = 0L; lineBytes = 0L
+          md = java.security.MessageDigest.getInstance("MD5")
+        }
+        require(fields(2).toLong == nextChunk,
+          s"out-of-order chunk at $site: ${fields(2)} != $nextChunk")
+        val bytes = fields(3).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (nextChunk > 0L) { md.update('\t'.toByte); lineBytes += 1 }
+        md.update(bytes); lineBytes += bytes.length
+        nextChunk += 1
+        row = in.readLine()
+      }
+      finish()
+      in.close()
+    }
+    val stitchSecs = (System.nanoTime() - t1) / 1e9
+    // ---- the in-memory stitch witness ----
+    val expected = Gvcf.linesFromChunks(auto.df)
+      .select(col("contig"), col("pos"),
+        md5(col("line").cast("binary")).as("m"), length(col("line")).as("len"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getString(2), r.getInt(3).toLong))
+      .toMap
+    require(expected.size == 120, s"witness sites ${expected.size} != 120")
+    require(digests.size == 120, s"sink sites ${digests.size} != 120")
+    val bad = expected.flatMap { case (s, (m, len)) =>
+      if (!digests.contains(s)) Some(s"site $s missing from sink")
+      else if (digests(s) != ((m, len)))
+        Some(s"site $s sink ${digests(s)} != witness ($m, $len)")
+      else None
+    }
+    require(bad.isEmpty, s"stitch mismatches: ${bad.take(5).mkString("; ")}")
+    val json = s"""{"sf":"$sfDir","cpus":$cpus,"width":$n,""" +
+      s""""chunk_samples":$chunkSamples,"sites":120,"sink_files":${files.length},""" +
+      s""""bytes_on_disk":$bytesOnDisk,"max_chunk_row_bytes":$maxRowBytes,""" +
+      s""""full_line_bytes":${expected.values.map(_._2).max},""" +
+      s""""write_secs":${"%.1f".formatLocal(java.util.Locale.ROOT, writeSecs)},""" +
+      s""""stitch_secs":${"%.1f".formatLocal(java.util.Locale.ROOT, stitchSecs)},""" +
+      s""""digests_match":true}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), (json + "\n").getBytes("UTF-8"))
+    println(json)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sinkDir))
+    spark.stop()
+  }
+}
+
 /** r19 evidence main: the heap-derived dense admission bound
   * ([[graft.ops.Gvcf.derivedMaxDenseWidth]]) tracks the r17e measured
   * floor. Run this under TWO heap sizes (the r17e bracket endpoints):

@@ -39,7 +39,7 @@ object StoreEconomics {
 
   private val Ddl = "key LONG, ver LONG, payload STRING"
 
-  private def f1(v: Double): String =
+  private[sources] def f1(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
@@ -144,6 +144,144 @@ object StoreEconomics {
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes("UTF-8"))
     println(json)
+    spark.stop()
+  }
+}
+
+/** r20 evidence main (verdict item 6): the AUTO compaction policy at a
+  * GB-scale store — StoreEconomics measures the policy curve at ~7 MB
+  * live; this drives the REAL 334× documents corpus (~1.7M rows, ~0.6 GB
+  * raw text) through the streaming sink as a few hundred multi-file
+  * epochs and confirms, 2+ orders up:
+  *   - the generation BOUND holds (gens never exceed threshold + the
+  *     epoch in flight; every breach is folded back inside the same
+  *     commit);
+  *   - fold wall-time stays OFF the ingest critical path in aggregate
+  *     (total fold-epoch overhead vs total ingest wall — the policy's
+  *     O(n log n) overlap sweep runs per commit and must stay invisible
+  *     at manifest sizes this large);
+  *   - narrow resolved reads stay flat as the store grows.
+  * Epochs are written through FOUR memstore writers each (a real
+  * multi-partition streaming epoch — also the regime of the r20
+  * single-group fold fix), with full key overlap across epochs (key =
+  * doc_id mod keySpace) so manifest pruning cannot mask generation
+  * growth. Grace 0, as in StoreEconomics.
+  *
+  *   sbt "runMain graft.sources.StoreEconomics334 /tmp/graft_c334 STORE_ECONOMICS_334x.json 334"
+  */
+object StoreEconomics334 {
+
+  private val Ddl = "key LONG, ver LONG, payload STRING"
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/graft_c334")
+    val out = if (args.length > 1) args(1) else "STORE_ECONOMICS_334x.json"
+    val epochs = if (args.length > 2) args(2).toInt else 334
+    val keySpace = 50000L
+    val writers = 4
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val schema = StructType.fromDDL(Ddl)
+
+    // one-pass epoch slicing: partition the corpus by doc_id mod epochs
+    // so each epoch's feed is one pruned directory read, not a rescan
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_econ334_staging_").toString
+    graft.api.tbl(spark, sfDir, "documents")
+      .selectExpr(s"cast(pmod(doc_id, $epochs) as int) as e",
+        s"pmod(doc_id, $keySpace) as key", "doc_id", "text")
+      .write.partitionBy("e").mode("overwrite").parquet(staging)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_econ334_").toString
+    VariantStore.setGrace(dir, 0L)
+    val write = new StoreStreamingWrite(dir, schema, "econ334",
+      AutoCompactPolicy(enabled = true, AutoCompactPolicy.DefaultThreshold,
+        AutoCompactPolicy.DefaultKeep))
+    def gens(): Int = {
+      val entries = StoreManifest.readLines(java.nio.file.Paths.get(dir))
+        .map(StoreManifest.parse)
+      entries.groupBy(e => StoreManifest.generationKey(e.file)).size
+    }
+    var totalRows = 0L
+    var rawBytes = 0L
+    var ingestNanos = 0L
+    var foldEpochNanos = 0L
+    var foldEvents = 0
+    var maxGens = 0
+    var maxFoldMs = 0.0
+    val samples = Seq.newBuilder[String]
+    var baselineMs = Double.NaN // median-ish ingest cost of non-fold epochs
+    val nonFoldMs = scala.collection.mutable.ArrayBuffer[Double]()
+    for (e <- 1 to epochs) {
+      val slice = spark.read.parquet(s"$staging/e=${e - 1}")
+        .select("key", "doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .groupBy(_._1).map { case (k, docs) => // one row per (key, epoch)
+          val d = docs.minBy(_._2)
+          (k, e.toLong, d._3)
+        }.toSeq
+      val gensBefore = gens()
+      val t0 = System.nanoTime()
+      val msgs = (0 until writers).map { p =>
+        val w = StoreMemstoreFactory(dir, schema, StoreManifest.queryTag("econ334"))
+          .createWriter(p, p.toLong, e)
+        slice.filter(_._1 % writers == p).foreach { case (k, v, txt) =>
+          w.write(InternalRow(k, v, UTF8String.fromString(txt)))
+        }
+        w.commit(): WriterCommitMessage
+      }
+      write.commit(e, msgs.toArray)
+      val epochNanos = System.nanoTime() - t0
+      ingestNanos += epochNanos
+      val gensAfter = gens()
+      maxGens = math.max(maxGens, math.max(gensBefore + 1, gensAfter))
+      val folded = gensAfter < gensBefore + 1
+      if (folded) {
+        foldEvents += 1
+        foldEpochNanos += epochNanos
+        maxFoldMs = math.max(maxFoldMs, epochNanos / 1e6)
+      } else nonFoldMs += epochNanos / 1e6
+      totalRows += slice.size
+      rawBytes += slice.iterator.map(_._3.length.toLong).sum
+      if (e % 20 == 0 || e == 1 || e == epochs) {
+        val t1 = System.nanoTime()
+        val n = VariantStore.readRange(spark, dir, Ddl, 1000L, 1099L).count()
+        val readMs = (System.nanoTime() - t1) / 1e6
+        val live = StoreManifest.readLines(java.nio.file.Paths.get(dir))
+          .map(StoreManifest.parse(_).file)
+          .map(f => new java.io.File(dir, f).length()).sum
+        samples += s"""{"epoch":$e,"gens":$gensAfter,"folded":$folded,""" +
+          s""""ingest_ms":${StoreEconomics.f1(epochNanos / 1e6)},""" +
+          s""""read_ms":${StoreEconomics.f1(readMs)},"read_rows":$n,""" +
+          s""""live_mb":${StoreEconomics.f1(live / 1e6)}}"""
+        System.err.println(samples.result().last)
+      }
+    }
+    baselineMs = nonFoldMs.sorted.apply(nonFoldMs.size / 2)
+    val boundHeld = maxGens <= AutoCompactPolicy.DefaultThreshold + 1
+    require(boundHeld, s"generation bound broken: max $maxGens")
+    val json = s"""{"sf":"$sfDir","epochs":$epochs,"writers_per_epoch":$writers,""" +
+      s""""key_space":$keySpace,"total_rows":$totalRows,""" +
+      s""""raw_text_mb":${StoreEconomics.f1(rawBytes / 1e6)},""" +
+      s""""threshold":${AutoCompactPolicy.DefaultThreshold},""" +
+      s""""keep":${AutoCompactPolicy.DefaultKeep},""" +
+      s""""max_gens":$maxGens,"bound_held":$boundHeld,""" +
+      s""""fold_events":$foldEvents,""" +
+      s""""ingest_total_s":${StoreEconomics.f1(ingestNanos / 1e9)},""" +
+      s""""fold_epoch_total_s":${StoreEconomics.f1(foldEpochNanos / 1e9)},""" +
+      s""""median_epoch_ms":${StoreEconomics.f1(baselineMs)},""" +
+      s""""max_fold_epoch_ms":${StoreEconomics.f1(maxFoldMs)},""" +
+      s""""fold_wall_frac":${StoreEconomics.f1(foldEpochNanos.toDouble / ingestNanos)},""" +
+      s""""samples":[\n${samples.result().mkString(",\n")}\n]}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     spark.stop()
   }
 }
