@@ -370,7 +370,6 @@ object AutoExportSinkProbe {
       }
       var row = in.readLine()
       while (row != null) {
-        maxRowBytes = math.max(maxRowBytes, row.length.toLong)
         val fields = row.split("\u0001", 4)
         require(fields.length == 4, s"malformed sink row in ${f.getName}")
         val s = (fields(0), fields(1).toLong)
@@ -382,6 +381,14 @@ object AutoExportSinkProbe {
         require(fields(2).toLong == nextChunk,
           s"out-of-order chunk at $site: ${fields(2)} != $nextChunk")
         val bytes = fields(3).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        // exact UTF-8 bytes of the sink row: measured part bytes plus
+        // the contig/pos/chunk_idx header (pure ASCII -- digits and the
+        // fixture contig, so char count IS byte count there) plus the 3
+        // delimiters. row.length counts UTF-16 chars (r20 review), the
+        // wrong unit for a bytes-held-per-task bound.
+        maxRowBytes = math.max(maxRowBytes,
+          bytes.length.toLong + fields(0).length + fields(1).length +
+            fields(2).length + 3)
         if (nextChunk > 0L) { md.update('\t'.toByte); lineBytes += 1 }
         md.update(bytes); lineBytes += bytes.length
         nextChunk += 1

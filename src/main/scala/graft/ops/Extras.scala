@@ -1042,7 +1042,12 @@ object Extras {
         expr("max_by(numer, rn)").as("numer"),
         expr("max_by(denom, rn)").as("denom"))
       .select(col("event_type"), col("user_id"), col("n_events"),
-        round(col("numer").cast(DoubleType) / col("denom") / 10000, 6).as("ewma"))
+        // empty-window guard (r20 review): a series whose last-8 frame
+        // holds only NULL values compacts to win = [] → denom 0; the
+        // EWMA of no values is NULL, not an ANSI divide-by-zero
+        when(col("denom") === 0, lit(null).cast(DoubleType))
+          .otherwise(round(col("numer").cast(DoubleType) / col("denom") / 10000, 6))
+          .as("ewma"))
       .orderBy("event_type", "user_id")
   }
 
@@ -1077,9 +1082,18 @@ object Extras {
       .withColumn("rnd", row_number().over(byKeyDesc))
       .filter(col("rnd") <= 8)
       .groupBy("event_type", "user_id")
-      .agg(expr("sort_array(collect_list(struct(rnd, um)))").as("tail"))
+      // COMPACTED-position weights (r20 review): the plain shape
+      // collect_list's its 8-ROW frame and weights by position in the
+      // null-compacted array, so a NULL value shifts its older
+      // neighbours' weights down. Weighting by raw rank (the pre-r20
+      // `size(tail) - t.rnd`) diverged whenever NULL values interleaved
+      // a series' last 8 rows — and shiftleft by a negative amount on
+      // the tail. Rank still counts ROWS (the frame is 8 rows, not 8
+      // values); nulls drop after the cut, exactly as collect_list does.
+      .agg(expr("sort_array(collect_list(struct(rnd, um)))").as("tail0"))
+      .withColumn("tail", expr("reverse(filter(tail0, t -> t.um IS NOT NULL))"))
       .withColumn("numer", expr(
-        "aggregate(transform(tail, t -> t.um * shiftleft(1L, size(tail) - t.rnd)), " +
+        "aggregate(transform(tail, (t, j) -> t.um * shiftleft(1L, j)), " +
           "0L, (a, b) -> a + b)"))
       .withColumn("denom", expr("shiftleft(1L, size(tail)) - 1"))
     val counts = raw.groupBy("event_type", "user_id")
@@ -1092,7 +1106,9 @@ object Extras {
           col("l.user_id") <=> col("c.user_id"))
       .select(col("l.event_type").as("event_type"),
         col("l.user_id").as("user_id"), col("c.n_events").as("n_events"),
-        round(col("numer").cast(DoubleType) / col("denom") / 10000, 6).as("ewma"))
+        when(col("denom") === 0, lit(null).cast(DoubleType))
+          .otherwise(round(col("numer").cast(DoubleType) / col("denom") / 10000, 6))
+          .as("ewma"))
       .orderBy("event_type", "user_id")
   }
 
@@ -1241,7 +1257,16 @@ object Extras {
     * SkewSpec pins bit-equality against [[rollingMedianPlain]],
     * including NULL ts/event_type rows (null-safe join keys; null days
     * order first in the summary window exactly as null ts orders first
-    * in the plain sort). */
+    * in the plain sort).
+    *
+    * Parallelism bound, stated honestly (r20 review): the FRAME stage —
+    * where all the median math lives — is fully uniform (segSize-row
+    * segments). The cheap RANK stage is day-granular like every shipped
+    * two-stage rewrite (runningTwoStage, sessionizeSegmented): a corpus
+    * whose hot event_type bursts into one calendar day serializes that
+    * day's row_number pass (O(1)/row, no frame math) into one task —
+    * the residual is a counter sweep, not the 50-element sort-per-row
+    * the segmentation exists to spread. */
   private[graft] def rollingMedianSegmented(raw: org.apache.spark.sql.DataFrame,
       segSize: Int = 8192): org.apache.spark.sql.DataFrame = {
     require(segSize > 49, s"segment must exceed the frame: $segSize")
@@ -1252,6 +1277,16 @@ object Extras {
     val local = ev.withColumn("lrn", row_number().over(wLocal))
     val wDays = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // Day counts are a SECOND, deliberately narrow pass over the
+    // source (r20 review weighed the alternatives): deriving max(lrn)
+    // from `local` would put the rank window — a full
+    // sort-within-partitions of the corpus — on the broadcast build
+    // side too (ReuseExchange cannot bridge the two subtrees: the
+    // probe reads `value`, the count side doesn't, so column pruning
+    // makes the canonical exchanges differ). A count aggregate straight
+    // off the scan reads 3 columns, combines map-side, and never sorts
+    // — the cheaper second pass by far, and the same shape
+    // runningTwoStage ships.
     val offsets = ev.groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("day_n"))
       .select(col("event_type"), col("day"),
@@ -1284,10 +1319,17 @@ object Extras {
       : org.apache.spark.sql.DataFrame = {
     val frame = array((0 until 50).map(i => lag(col("value"), i).over(w)): _*)
     df.withColumn("win", array_sort(filter(frame, x => x.isNotNull)))
-      .withColumn("med50", round(expr(
-        "element_at(win, int((size(win) + 1) div 2)) + " +
-          "(element_at(win, int(size(win) div 2 + 1)) - " +
-          "element_at(win, int((size(win) + 1) div 2))) * 0.5"), 6))
+      // empty-frame guard (r20 review): a row whose entire trailing
+      // frame is NULL values leaves win = [] and (size+1) div 2 = 0 —
+      // element_at(_, 0) is an ANSI error, not a NULL. The median of an
+      // empty frame is NULL, matching DuckDB's quantile_cont over an
+      // all-NULL frame.
+      .withColumn("med50", when(size(col("win")) === 0, lit(null)
+          .cast(DoubleType))
+        .otherwise(round(expr(
+          "element_at(win, int((size(win) + 1) div 2)) + " +
+            "(element_at(win, int(size(win) div 2 + 1)) - " +
+            "element_at(win, int((size(win) + 1) div 2))) * 0.5"), 6)))
   }
 
   val queries: Seq[Query] = Seq(

@@ -37,7 +37,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object StoreEconomics {
 
-  private val Ddl = "key LONG, ver LONG, payload STRING"
+  private[sources] val Ddl = "key LONG, ver LONG, payload STRING"
 
   private[sources] def f1(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
@@ -171,7 +171,7 @@ object StoreEconomics {
   */
 object StoreEconomics334 {
 
-  private val Ddl = "key LONG, ver LONG, payload STRING"
+  private val Ddl = StoreEconomics.Ddl
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/graft_c334")

@@ -166,7 +166,22 @@ class SkewSpec extends SparkSpec {
       Row(4L, t("2026-01-01 11:00:00"), null, "click", 8.0), // NULL user
       Row(5L, t("2026-01-02 11:00:00"), null, "click", 16.0), // NULL user
       Row(6L, null, 7L, "click", 32.0), // NULL ts
-      Row(7L, null, null, "view", 64.0)) // NULL both
+      Row(7L, null, null, "view", 64.0), // NULL both
+      // NULL value, sole row of its event_type: the 50-row trailing
+      // frame filters to EMPTY — the r20 empty-frame guard must yield
+      // med50 = NULL in both median shapes (the unguarded expression
+      // threw element_at(_, 0) under ANSI), and the all-NULL series'
+      // EWMA must be NULL in both shapes (denom 0 threw DIVIDE_BY_ZERO)
+      Row(8L, t("2026-01-03 10:00:00"), 9L, "nullval", null),
+      // NULL values INTERLEAVED in one series: the plain EWMA compacts
+      // the 8-row frame before weighting, so the nulls shift their
+      // older neighbours' weights — the pre-r20 lastK weighted by raw
+      // rank and diverged here (and shifted by a negative amount)
+      Row(9L, t("2026-01-04 10:00:00"), 11L, "mix", 1.0),
+      Row(10L, t("2026-01-04 10:01:00"), 11L, "mix", null),
+      Row(11L, t("2026-01-04 10:02:00"), 11L, "mix", 3.0),
+      Row(12L, t("2026-01-04 10:03:00"), 11L, "mix", null),
+      Row(13L, t("2026-01-04 10:04:00"), 11L, "mix", 5.0))
     val ev = spark.createDataFrame(
       spark.sparkContext.parallelize(rowsIn, 2), schema)
     assert(rows(ops.Relational.runningTwoStage(ev)) ==
@@ -180,8 +195,20 @@ class SkewSpec extends SparkSpec {
       med(ops.Extras.rollingMedianPlain(ev)),
       "segmented rolling median diverged on NULL keys")
     // and the NULL rows genuinely survive: 2 NULL-user running rows etc.
-    assert(ops.Relational.runningTwoStage(ev).count() == 7,
+    assert(ops.Relational.runningTwoStage(ev).count() == 13,
       "the two-stage running sum lost rows on NULL keys")
+    // the all-NULL series' EWMA is NULL, not an error, in both shapes
+    val ne = ops.Extras.ewmaLastK(ev)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "nullval")
+      .select("ewma").collect()
+    assert(ne.length == 1 && ne.head.isNullAt(0),
+      s"all-NULL-series EWMA must be NULL: ${ne.toSeq}")
+    // the empty-frame row is present with a NULL median, not an error
+    val nv = ops.Extras.rollingMedianSegmented(ev, segSize = 50)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "nullval")
+      .select("med50").collect()
+    assert(nv.length == 1 && nv.head.isNullAt(0),
+      s"empty-frame median must be NULL: ${nv.toSeq}")
   }
 
   test("skew corpus plants a dominant hot key with FK-clean orders") {
