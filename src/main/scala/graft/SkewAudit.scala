@@ -511,6 +511,14 @@ object SkewCentury {
         (s, d) => graft.ops.Pipeline.sessionizePlain(api.tbl(s, d, "events")))),
       ("wrunning", run("q_window_running", Map.empty, shipped("q_window_running"))),
       ("rmedian", run("q_rolling_median", Map.empty, shipped("q_rolling_median"))),
+      // the retired bare-event_type frame window (r20 rewrite pair) —
+      // the group checksum doubles as a 10M-row equality proof
+      ("rmedian", run("rmedian_plain", Map.empty,
+        (s, d) => graft.ops.Extras.rollingMedianPlain(api.tbl(s, d, "events"))
+          .filter(col("event_id") % 100 === 0)
+          .select(col("event_id"), col("event_type"),
+            round(col("value"), 6).as("value"), col("med50"))
+          .orderBy("event_id"))),
       ("ewma", run("q_ewma", Map.empty, shipped("q_ewma"))),
       ("ewma", run("ewma_plain", Map.empty,
         (s, d) => graft.ops.Extras.ewmaOf(api.tbl(s, d, "events")))),
