@@ -656,11 +656,17 @@ object Similarity {
     // ORDER BY ... DESC (both sort NaN as the largest double): negating
     // the value would send NaN LAST under Scala's default double
     // ordering and diverge from the oracle on a zero-norm embedding
-    // (r19 review). TotalOrdering ranks NaN above +Inf, like both engines.
+    // (r19 review). TotalOrdering ranks NaN above +Inf, like both
+    // engines — but it also ranks −0.0 BELOW +0.0, which both engines
+    // treat as EQUAL (falling through to the vec_id tie-break), so
+    // zeros are canonicalized inside the comparator only (r19j carry,
+    // closed r20; emitted values stay raw — both sides compute them
+    // from the same rounded doubles).
     val descNanFirst = Ordering.Double.TotalOrdering.reverse
+    def canon(x: Double): Double = if (x == 0.0) 0.0 else x // −0.0 → +0.0
     val pool = cands.select(col("vec_id"), col("rel")).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
-      .sortBy { case (id, rel) => (rel, id) }(
+      .sortBy { case (id, rel) => (canon(rel), id) }(
         Ordering.Tuple2(descNanFirst, Ordering.Long))
     // Guarded for degenerate pools (< 5 candidates, or none at all): the
     // greedy emits min(5, |pool|) rows, matching the declarative shape's
@@ -674,7 +680,7 @@ object Similarity {
         .map { case (id, rel) =>
           (id, rel, 0.7 * rel - 0.3 * selIds.iterator.map(sid => sim((id, sid))).max)
         }
-        .minBy { case (id, _, mmr) => (mmr, id) }(
+        .minBy { case (id, _, mmr) => (canon(mmr), id) }(
           Ordering.Tuple2(descNanFirst, Ordering.Long))
       picked += ((k, id, rel, mmr))
     }
