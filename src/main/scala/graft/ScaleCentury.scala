@@ -401,7 +401,11 @@ object AutoExportSinkProbe {
     // ---- the in-memory stitch witness ----
     val expected = Gvcf.linesFromChunks(auto.df)
       .select(col("contig"), col("pos"),
-        md5(col("line").cast("binary")).as("m"), length(col("line")).as("len"))
+        md5(col("line").cast("binary")).as("m"),
+        // octet_length, not length: the sink side counts UTF-8 BYTES
+        // (r20 review — char count would spuriously fail the length
+        // compare on any non-ASCII content even with digests equal)
+        expr("octet_length(line)").as("len"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)) -> (r.getString(2), r.getInt(3).toLong))
       .toMap

@@ -514,11 +514,8 @@ object SkewCentury {
       // the retired bare-event_type frame window (r20 rewrite pair) —
       // the group checksum doubles as a 10M-row equality proof
       ("rmedian", run("rmedian_plain", Map.empty,
-        (s, d) => graft.ops.Extras.rollingMedianPlain(api.tbl(s, d, "events"))
-          .filter(col("event_id") % 100 === 0)
-          .select(col("event_id"), col("event_type"),
-            round(col("value"), 6).as("value"), col("med50"))
-          .orderBy("event_id"))),
+        (s, d) => graft.ops.Extras.rollingMedianReported(
+          graft.ops.Extras.rollingMedianPlain(api.tbl(s, d, "events"))))),
       ("ewma", run("q_ewma", Map.empty, shipped("q_ewma"))),
       ("ewma", run("ewma_plain", Map.empty,
         (s, d) => graft.ops.Extras.ewmaOf(api.tbl(s, d, "events")))),

@@ -996,6 +996,15 @@ object Extras {
     * straggler can form; bit-identical by SkewSpec pin. */
   val ewma = Query(
     "q_ewma",
+    // The final-row selection is QUALIFY rn = max(rn), NOT arg_max
+    // (r20 review): DuckDB's arg_max SKIPS rows whose ARG is NULL, so
+    // on a series whose last-8 window was all NULL values the old
+    // oracle paired an EARLIER row's numer with the FINAL row's denom —
+    // an accidental chimera, not a semantics. The defined semantics
+    // (all three implementations, synchronized this round): the window
+    // is 8 ROWS; a NULL value occupies its position (weights shift,
+    // denominator counts it) but contributes no term; a window with no
+    // values has EWMA NULL.
     """WITH u AS (
       |  SELECT event_type, user_id,
       |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS um,
@@ -1007,16 +1016,24 @@ object Extras {
       |  FROM events),
       |f AS (
       |  SELECT event_type, user_id,
-      |    CAST(max(rn) AS BIGINT) AS n_events,
-      |    arg_max(CAST(list_sum(list_transform(range(1, len(win) + 1),
-      |      j -> win[j] * (1 << (j - 1)))) AS BIGINT), rn) AS numer,
-      |    arg_max(CAST((1 << len(win)) - 1 AS BIGINT), rn) AS denom
-      |  FROM u GROUP BY event_type, user_id)
+      |    CAST(rn AS BIGINT) AS n_events,
+      |    CAST(list_sum(list_transform(range(1, len(win) + 1),
+      |      j -> win[j] * (1 << (j - 1)))) AS BIGINT) AS numer,
+      |    CAST((1 << len(win)) - 1 AS BIGINT) AS denom
+      |  FROM u
+      |  QUALIFY rn = max(rn) OVER (PARTITION BY event_type, user_id))
       |SELECT event_type, user_id, n_events,
       |  round(CAST(numer AS DOUBLE) / denom / 10000, 6) AS ewma
       |FROM f ORDER BY event_type, user_id""".stripMargin) { (s, d) =>
     ewmaLastK(tbl(s, d, "events"))
   }
+
+  /** The one final IEEE division both EWMA shapes share (and the only
+    * float op in either): NULL numer — a window with no values —
+    * propagates to a NULL ewma; denom ≥ 1 always (the window of the
+    * final row contains at least that row). */
+  private def ewmaFinal(numer: Column, denom: Column): Column =
+    round(numer.cast(DoubleType) / denom / 10000, 6)
 
   /** The full-series sliding-window EWMA formula — the SkewSpec
     * reference [[ewmaLastK]] must reproduce bit-exactly, and the
@@ -1030,24 +1047,30 @@ object Extras {
     val events = raw
       .withColumn("um", (dec("value") * 10000).cast(LongType))
       .withColumn("rn", row_number().over(byKey))
-      .withColumn("win",
-        collect_list(col("um")).over(byKey.rowsBetween(-7, 0)))
-      // weight 2ʲ by 0-based window position: newest element carries the
-      // heaviest weight, denominator 2^L−1 normalizes the partial frame
+      // the window is 8 ROWS with positions — collect structs so a NULL
+      // value keeps its slot (collect_list of a bare null column would
+      // compact it away and shift every weight; r20 review vs oracle)
+      .withColumn("win0",
+        collect_list(struct(col("rn").as("r"), col("um").as("u")))
+          .over(byKey.rowsBetween(-7, 0)))
+      .withColumn("win", expr("filter(win0, t -> t.u IS NOT NULL)"))
+      // weight 2ʲ by 0-based ROW position within the frame (t.r − frame
+      // start): newest row carries the heaviest weight; null slots
+      // contribute no term; a window with no values has NULL numer —
+      // exactly the oracle's list()/list_sum semantics
       .withColumn("numer", expr(
-        "aggregate(transform(win, (x, j) -> x * shiftleft(1L, j)), 0L, (a, b) -> a + b)"))
-      .withColumn("denom", expr("shiftleft(1L, size(win)) - 1"))
+        "IF(size(win) = 0, CAST(NULL AS BIGINT), " +
+          "aggregate(transform(win, t -> t.u * shiftleft(1L, t.r - rn + size(win0) - 1)), " +
+          "0L, (a, b) -> a + b))"))
+      .withColumn("denom", expr("shiftleft(1L, size(win0)) - 1"))
     events.groupBy("event_type", "user_id")
       .agg(max(col("rn")).cast(LongType).as("n_events"),
-        expr("max_by(numer, rn)").as("numer"),
-        expr("max_by(denom, rn)").as("denom"))
+        // struct-wrapped: max_by must return the FINAL row's pair even
+        // when its numer is NULL (the arg_max chimera the oracle fix
+        // removed — mirrored defensively here)
+        expr("max_by(struct(numer, denom), rn)").as("nd"))
       .select(col("event_type"), col("user_id"), col("n_events"),
-        // empty-window guard (r20 review): a series whose last-8 frame
-        // holds only NULL values compacts to win = [] → denom 0; the
-        // EWMA of no values is NULL, not an ANSI divide-by-zero
-        when(col("denom") === 0, lit(null).cast(DoubleType))
-          .otherwise(round(col("numer").cast(DoubleType) / col("denom") / 10000, 6))
-          .as("ewma"))
+        ewmaFinal(col("nd.numer"), col("nd.denom")).as("ewma"))
       .orderBy("event_type", "user_id")
   }
 
@@ -1082,20 +1105,20 @@ object Extras {
       .withColumn("rnd", row_number().over(byKeyDesc))
       .filter(col("rnd") <= 8)
       .groupBy("event_type", "user_id")
-      // COMPACTED-position weights (r20 review): the plain shape
-      // collect_list's its 8-ROW frame and weights by position in the
-      // null-compacted array, so a NULL value shifts its older
-      // neighbours' weights down. Weighting by raw rank (the pre-r20
-      // `size(tail) - t.rnd`) diverged whenever NULL values interleaved
-      // a series' last 8 rows — and shiftleft by a negative amount on
-      // the tail. Rank still counts ROWS (the frame is 8 rows, not 8
-      // values); nulls drop after the cut, exactly as collect_list does.
+      // RAW-position weights over the 8-ROW window (r20 review, the
+      // oracle's defined semantics): rnd counts ROWS (a NULL value
+      // occupies its slot — size(tail0) and every weight see it), null
+      // entries then contribute no term, and a window with no values
+      // has NULL numer. The pre-r20 formula fed null terms into the
+      // fold (NULL numer on ANY null) — equal to neither the plain
+      // window nor the oracle.
       .agg(expr("sort_array(collect_list(struct(rnd, um)))").as("tail0"))
-      .withColumn("tail", expr("reverse(filter(tail0, t -> t.um IS NOT NULL))"))
+      .withColumn("tail", expr("filter(tail0, t -> t.um IS NOT NULL)"))
       .withColumn("numer", expr(
-        "aggregate(transform(tail, (t, j) -> t.um * shiftleft(1L, j)), " +
-          "0L, (a, b) -> a + b)"))
-      .withColumn("denom", expr("shiftleft(1L, size(tail)) - 1"))
+        "IF(size(tail) = 0, CAST(NULL AS BIGINT), " +
+          "aggregate(transform(tail, t -> t.um * shiftleft(1L, size(tail0) - t.rnd)), " +
+          "0L, (a, b) -> a + b))"))
+      .withColumn("denom", expr("shiftleft(1L, size(tail0)) - 1"))
     val counts = raw.groupBy("event_type", "user_id")
       .agg(count(lit(1)).cast(LongType).as("n_events"))
     // null-safe keys: both sides groupBy the same keys (NULLs form
@@ -1106,9 +1129,7 @@ object Extras {
           col("l.user_id") <=> col("c.user_id"))
       .select(col("l.event_type").as("event_type"),
         col("l.user_id").as("user_id"), col("c.n_events").as("n_events"),
-        when(col("denom") === 0, lit(null).cast(DoubleType))
-          .otherwise(round(col("numer").cast(DoubleType) / col("denom") / 10000, 6))
-          .as("ewma"))
+        ewmaFinal(col("numer"), col("denom")).as("ewma"))
       .orderBy("event_type", "user_id")
   }
 
@@ -1208,12 +1229,19 @@ object Extras {
     // the 22.2 s / straggler-1.08 century profile (SKEW_AUDIT_r19) was
     // uniform compute on 5 of 32 cores, not skew. Segmenting by global
     // row rank restores full parallelism with identical frame contents.
-    rollingMedianSegmented(tbl(s, d, "events"))
-      .filter(col("event_id") % 100 === 0)
+    rollingMedianReported(rollingMedianSegmented(tbl(s, d, "events")))
+  }
+
+  /** The query's reporting shape (every 100th event, rounded, ordered)
+    * — ONE definition shared by [[rollingMedian]] and the SkewCentury
+    * probe's plain control, so the harness can never drift from the
+    * shipped presentation (the duplicated-harness lesson). */
+  private[graft] def rollingMedianReported(core: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    core.filter(col("event_id") % 100 === 0)
       .select(col("event_id"), col("event_type"),
         round(col("value"), 6).as("value"), col("med50"))
       .orderBy("event_id")
-  }
 
   /** The naive one-window rolling median — the SkewSpec reference
     * [[rollingMedianSegmented]] must reproduce bit-exactly. NOT the

@@ -173,10 +173,13 @@ class SkewSpec extends SparkSpec {
       // threw element_at(_, 0) under ANSI), and the all-NULL series'
       // EWMA must be NULL in both shapes (denom 0 threw DIVIDE_BY_ZERO)
       Row(8L, t("2026-01-03 10:00:00"), 9L, "nullval", null),
-      // NULL values INTERLEAVED in one series: the plain EWMA compacts
-      // the 8-row frame before weighting, so the nulls shift their
-      // older neighbours' weights — the pre-r20 lastK weighted by raw
-      // rank and diverged here (and shifted by a negative amount)
+      // NULL values INTERLEAVED in one series: the oracle-defined
+      // semantics is RAW-position weights — a NULL occupies its row
+      // slot (denominator and weights count it) and contributes no
+      // term. The pre-r20 lastK fed null terms into the fold (NULL on
+      // any null); the pre-r20 plain shape compacted positions. Both
+      // now match the oracle: [1, N, 3, N, 5] → (1·2⁰ + 3·2² + 5·2⁴)
+      // / (2⁵ − 1) = 93/31 = 3.0 exactly (DuckDB-verified)
       Row(9L, t("2026-01-04 10:00:00"), 11L, "mix", 1.0),
       Row(10L, t("2026-01-04 10:01:00"), 11L, "mix", null),
       Row(11L, t("2026-01-04 10:02:00"), 11L, "mix", 3.0),
@@ -203,6 +206,15 @@ class SkewSpec extends SparkSpec {
       .select("ewma").collect()
     assert(ne.length == 1 && ne.head.isNullAt(0),
       s"all-NULL-series EWMA must be NULL: ${ne.toSeq}")
+    // ABSOLUTE anchor for the interleaved series (shape-vs-shape
+    // equality alone cannot catch a shared drift): the raw-position
+    // weighted sum is exactly 3.0 — verified against the DuckDB oracle
+    // formula by hand this round
+    val mix = ops.Extras.ewmaLastK(ev)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "mix")
+      .select("ewma").collect()
+    assert(mix.length == 1 && mix.head.getDouble(0) == 3.0,
+      s"interleaved-NULL EWMA must be 3.0 (oracle semantics): ${mix.toSeq}")
     // the empty-frame row is present with a NULL median, not an error
     val nv = ops.Extras.rollingMedianSegmented(ev, segSize = 50)
       .filter(org.apache.spark.sql.functions.col("event_type") === "nullval")
