@@ -816,7 +816,13 @@ object Extras {
     * argmax is total and
     * both engines agree without relying on tie-breaking internals
     * (DuckDB's arg_max only takes scalar keys; ties would otherwise be
-    * engine-defined). The cents key rounds EXPLICITLY (`round(·, 0)`,
+    * engine-defined). The ARG is struct-wrapped in the oracle (r20
+    * review, the q_ewma chimera class): DuckDB's bare `arg_max` SKIPS
+    * rows whose arg is NULL — a NULL event_type holding the max key
+    * would silently yield the runner-up's type — while Spark's
+    * `max_by` returns the NULL; `struct_pack(e := …).e` makes the two
+    * agree (the extreme row wins, NULL arg and all).
+    * The cents key rounds EXPLICITLY (`round(·, 0)`,
     * half-away-from-zero in both engines) before the BIGINT cast: a bare
     * decimal→long cast truncates in Spark but rounds in DuckDB, a
     * divergence that only fixture luck (2-decimal values) masked.
@@ -829,9 +835,9 @@ object Extras {
       |    CAST(round(CAST(value AS DECIMAL(18,4)) * 100, 0) AS BIGINT) * 10000000000 + event_id AS k
       |  FROM events)
       |SELECT user_id,
-      |  arg_max(event_type, k) AS top_event_type,
+      |  arg_max(struct_pack(e := event_type), k).e AS top_event_type,
       |  round(max(value), 6) AS top_value,
-      |  arg_min(event_type, k) AS bottom_event_type
+      |  arg_min(struct_pack(e := event_type), k).e AS bottom_event_type
       |FROM e GROUP BY user_id
       |ORDER BY user_id LIMIT 500""".stripMargin) { (s, d) =>
     tbl(s, d, "events")

@@ -96,6 +96,28 @@ class OperatorSpec extends SparkSpec {
       -124L * 10000000000L + 9L)) // half-away-from-zero on negatives too
   }
 
+  test("minmax_by keeps a NULL arg at the extreme key (the arg_max chimera class)") {
+    // r20 review: Spark's max_by returns the value at the max key even
+    // when that value is NULL; DuckDB's bare arg_max SKIPS null args
+    // and would return the runner-up. The oracle is struct-wrapped
+    // (arg_max(struct_pack(e := …), k).e — DuckDB-verified this round)
+    // to match the behavior pinned HERE: the extreme row wins, NULL
+    // arg and all.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("k", LongType)))
+    val ev = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "click", 5L), Row(1L, null, 9L), Row(1L, "view", 1L)), 2), schema)
+    val r = ev.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max_by($"event_type", $"k").as("top"),
+        org.apache.spark.sql.functions.min_by($"event_type", $"k").as("bottom"))
+      .collect().head
+    assert(r.isNullAt(1), s"max_by must return the NULL arg at max k: $r")
+    assert(r.getString(2) == "view", s"min_by changed: $r")
+  }
+
   test("chunk dedup finds a shared paragraph at different positions") {
     // the shared 80-token paragraph sits at offset 0 in doc 1 and after
     // 13 tokens of unique prefix in doc 2 — content-defined boundaries
