@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** r20 robustness probe: plant NULLs in every nullable column of the
+  * events and documents tables (~1% of rows poisoned, one column each,
+  * round-robin) and run EVERY SparkEntry query to completion. The
+  * assertable 100 TB property is CRASH-FREEDOM — a poison record in a
+  * petabyte corpus must degrade a result (NULL out, filter away,
+  * group separately), never kill the pipeline — value semantics under
+  * NULLs are pinned separately where defined (SkewSpec/OperatorSpec,
+  * SCALE.md r20e–g). Findings drive fixes; the probe ships as the
+  * regression harness for the class.
+  *
+  *   sbt "runMain graft.NullProbe /root/testdata/sf0.001 NULL_PROBE.json"
+  */
+object NullProbe {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = if (args.length > 1) args(1) else "NULL_PROBE.json"
+    val dest = "/tmp/graft_nullprobe"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = new java.io.File(dest)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir); dir.mkdirs()
+    val tables = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName.stripSuffix(".parquet"))
+    for (t <- tables if t != "events" && t != "documents")
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$dest/$t.parquet"),
+        java.nio.file.Paths.get(s"$src/$t.parquet"))
+    // poison IN PLACE: every other column of the table rides through
+    // untouched (the first probe cut dropped events.props and flagged
+    // three analysis errors that were probe bugs, not engine bugs)
+    def poisoned(df: org.apache.spark.sql.DataFrame, key: String,
+        targets: Map[String, Long]): org.apache.spark.sql.DataFrame =
+      targets.foldLeft(df) { case (d, (c, r)) =>
+        d.withColumn(c,
+          when(pmod(xxhash64(col(key)), lit(97)) === r, lit(null)).otherwise(col(c)))
+      }
+    poisoned(graft.api.tbl(spark, src, "events"), "event_id",
+      Map("ts" -> 3L, "user_id" -> 13L, "event_type" -> 23L, "value" -> 33L))
+      .write.parquet(s"$dest/events.parquet")
+    poisoned(graft.api.tbl(spark, src, "documents"), "doc_id",
+      Map("text" -> 5L, "lang" -> 15L, "source" -> 25L, "n_chars" -> 35L))
+      .write.parquet(s"$dest/documents.parquet")
+    var pass = 0
+    val failures = Seq.newBuilder[(String, String)]
+    for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
+      try { fn(spark, dest).collect(); pass += 1 }
+      catch { case e: Throwable =>
+        val root = { var c: Throwable = e; while (c.getCause != null) c = c.getCause; c }
+        failures += name -> root.toString.linesIterator.next().take(200)
+      }
+    }
+    val fails = failures.result()
+    println(s"NULLPROBE pass=$pass fail=${fails.size}")
+    fails.foreach { case (n, m) => println(s"FAIL $n: $m") }
+    val json = s"""{"src":"$src","poison_mod":97,"queries":${pass + fails.size},""" +
+      s""""pass":$pass,"fail":${fails.size},"failures":[""" +
+      fails.map { case (n, m) =>
+        s"""{"q":"$n","err":"${m.replace("\\", "\\\\").replace("\"", "'")}"}"""
+      }.mkString(",") + "]}"
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), (json + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}
