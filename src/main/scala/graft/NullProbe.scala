@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** r20 robustness probe: plant NULLs in every nullable column of the
-  * events and documents tables (~1% of rows poisoned, one column each,
-  * round-robin) and run EVERY SparkEntry query to completion. The
+  * events and documents tables (four columns per table, each NULLing
+  * its own ~1% hash-residue slice — ~4% of rows carry one NULL) and
+  * run EVERY SparkEntry query to completion. The
   * assertable 100 TB property is CRASH-FREEDOM — a poison record in a
   * petabyte corpus must degrade a result (NULL out, filter away,
   * group separately), never kill the pipeline — value semantics under
@@ -29,7 +30,9 @@ object NullProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = new java.io.File(dest)
     org.apache.commons.io.FileUtils.deleteDirectory(dir); dir.mkdirs()
-    val tables = new java.io.File(src).listFiles()
+    val srcFiles = new java.io.File(src).listFiles()
+    require(srcFiles != null, s"source corpus not found: $src")
+    val tables = srcFiles
       .filter(_.getName.endsWith(".parquet")).map(_.getName.stripSuffix(".parquet"))
     for (t <- tables if t != "events" && t != "documents")
       java.nio.file.Files.createSymbolicLink(
@@ -62,11 +65,19 @@ object NullProbe {
     val fails = failures.result()
     println(s"NULLPROBE pass=$pass fail=${fails.size}")
     fails.foreach { case (n, m) => println(s"FAIL $n: $m") }
-    val json = s"""{"src":"$src","poison_mod":97,"queries":${pass + fails.size},""" +
+    // full JSON string escaping (r20 review): exception messages carry
+    // tabs/newlines and paths can carry quotes — a strict parser must
+    // be able to read the artifact exactly on the runs that report fails
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    } + "\""
+    val json = s"""{"src":${jstr(src)},"poison_mod":97,"queries":${pass + fails.size},""" +
       s""""pass":$pass,"fail":${fails.size},"failures":[""" +
-      fails.map { case (n, m) =>
-        s"""{"q":"$n","err":"${m.replace("\\", "\\\\").replace("\"", "'")}"}"""
-      }.mkString(",") + "]}"
+      fails.map { case (n, m) => s"""{"q":${jstr(n)},"err":${jstr(m)}}""" }
+        .mkString(",") + "]}"
     java.nio.file.Files.write(java.nio.file.Paths.get(out), (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
