@@ -1006,7 +1006,7 @@ object Gvcf {
       .select((col("start") / IncBucketW).cast(LongType).as("bucket"))
       .distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
-    val rawTouched = s.read.parquet(rawDir)
+    val rawTouched = graft.api.pathTbl(s, rawDir)
       .filter(col("bucket").isin(touched: _*))
       .drop("bucket")
       // spanning blocks were duplicated into each bucket they cross —
@@ -1021,7 +1021,7 @@ object Gvcf {
     val recombined = combineSites(
         rawTouched.unionByName(delta).localCheckpoint())
       .withColumn("calls", array_join(col("calls"), ";"))
-    val passthrough = s.read.parquet(combDir)
+    val passthrough = graft.api.pathTbl(s, combDir)
       .filter(!col("bucket").isin(touched: _*))
       .drop("bucket")
     passthrough.unionByName(recombined).orderBy("contig", "pos")

@@ -146,12 +146,12 @@ object Ivf {
     val dir = buildIndex(s, d)
     val probe = graft.api.tbl(s, d, "embeddings")
       .filter(col("vec_id") === probeVecId).select(col("embedding").as("pv"))
-    val sel = s.read.parquet(s"$dir/centroids")
+    val sel = graft.api.pathTbl(s, s"$dir/centroids")
       .crossJoin(broadcast(probe))
       .orderBy(d2ToProbe.asc, col("label"))
       .select(col("label").as("bucket"))
       .limit(nprobe)
-    s.read.parquet(s"$dir/vectors")
+    graft.api.pathTbl(s, s"$dir/vectors")
       .join(broadcast(sel), "bucket")
       .filter(col("vec_id") =!= probeVecId)
       .crossJoin(broadcast(probe))

@@ -1013,14 +1013,28 @@ object Relational {
       |FROM eligible WHERE rn = 1
       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
       |LIMIT 100""".stripMargin) { (s, d) =>
-    val shippers = tbl(s, d, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    // The part predicate (type + size) is selective, so the eligible key
+    // set pre-filters the fact BELOW the pair-distinct (broadcast semi
+    // join on the scan): the distinct exchange then carries only pairs
+    // of eligible parts instead of every (partkey, suppkey) in the fact.
+    // Equivalent by construction — distinct-then-join-on-filtered-keys ≡
+    // semi-filter-then-distinct-then-join, since both keep exactly the
+    // distinct pairs whose partkey survives the part predicate. The semi
+    // side is unhinted (part scales linearly — the q_tpch_q5 rule): the
+    // planner broadcasts it at verify/bench scale, AQE decides at 100 TB.
+    val eligibleParts = tbl(s, d, "part")
+      .filter(col("p_type") === "LARGE" && col("p_size") <= 10)
+    val shippers = tbl(s, d, "lineitem").select("l_partkey", "l_suppkey")
+      .join(eligibleParts.select("p_partkey"),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .distinct()
     // supplier scales linearly — unhinted (q_tpch_q5 note); nation/region
     // are fixed-cardinality and keep their broadcast hints.
     val sup = tbl(s, d, "supplier")
       .join(broadcast(tbl(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(tbl(s, d, "region").filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
-    tbl(s, d, "part").filter(col("p_type") === "LARGE" && col("p_size") <= 10)
+    eligibleParts
       .join(shippers, col("p_partkey") === col("l_partkey"))
       .join(sup, col("l_suppkey") === col("s_suppkey"))
       .withColumn("rn", row_number().over(
@@ -1308,31 +1322,43 @@ object Relational {
       |LIMIT 20""".stripMargin) { (s, d) =>
     val ordersF = tbl(s, d, "orders")
       .filter(col("o_orderstatus") === "F").select("o_orderkey", "o_orderdate")
-    // All late lines of finished orders, projected to two longs — built
-    // once, consumed as the driving side AND the NOT-EXISTS probe side.
-    val lateAll = tbl(s, d, "lineitem")
+    // One-pass aggregate shape (r21): the EXISTS/NOT-EXISTS pair over the
+    // same fact is a per-order predicate — "some other supplier on the
+    // order, and this supplier is the ONLY late one" — so instead of a
+    // semi join + an anti join that each shuffle a lineitem-scale probe
+    // (the r20 plan's two SortMergeJoins), aggregate once per
+    // (orderkey, suppkey) and once per orderkey: an order qualifies iff
+    // it has >1 distinct supplier and exactly 1 late supplier, and that
+    // supplier's numwait contribution is its late-line count there.
+    // Equivalence: each original l1 row passes EXISTS ⇔ another distinct
+    // supplier shipped the order, and passes NOT EXISTS ⇔ no OTHER
+    // supplier was late — conditions on (order, supplier) only, so all
+    // of s's late lines in a qualifying order count, which is exactly
+    // sum(n_late) of the unique late supplier. Null l_suppkey rows are
+    // dropped up front: the original's `<>` comparisons never match NULL
+    // and the supplier equi-join never keeps it, so this reproduces the
+    // join semantics verbatim on poison data too.
+    val perSupp = tbl(s, d, "lineitem")
+      .filter(col("l_suppkey").isNotNull)
       .join(ordersF, col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-      .select("l_orderkey", "l_suppkey")
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(sum(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        1L).otherwise(0L)).as("n_late"))
+    val qualified = perSupp.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("n_late") > 0, 1L).otherwise(0L)).as("n_late_supp"),
+        max(when(col("n_late") > 0, col("l_suppkey"))).as("late_supp"),
+        max(when(col("n_late") > 0, col("n_late"))).as("late_lines"))
+      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
     val supRegion = tbl(s, d, "supplier")
       .join(broadcast(tbl(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(tbl(s, d, "region").filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
       .select("s_suppkey", "s_name")
-    val others = tbl(s, d, "lineitem")
-      .select(col("l_orderkey").as("o2_key"), col("l_suppkey").as("o2_supp"))
-    val lateOthers = lateAll
-      .select(col("l_orderkey").as("o3_key"), col("l_suppkey").as("o3_supp"))
-    lateAll
-      .join(supRegion, col("l_suppkey") === col("s_suppkey"))
-      .join(others,
-        col("l_orderkey") === col("o2_key") && col("o2_supp") =!= col("l_suppkey"),
-        "left_semi")
-      .join(lateOthers,
-        col("l_orderkey") === col("o3_key") && col("o3_supp") =!= col("l_suppkey"),
-        "left_anti")
+    qualified
+      .join(supRegion, col("late_supp") === col("s_suppkey"))
       .groupBy("s_name")
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("late_lines")).as("numwait"))
       .orderBy(desc("numwait"), col("s_name"))
       .limit(20)
   }

@@ -265,13 +265,13 @@ object Similarity {
     val e = tbl(s, d, "embeddings")
     val probes = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("pid"), col("embedding").as("pv"))
-    val sel = s.read.parquet(s"$dir/centroids")
+    val sel = graft.api.pathTbl(s, s"$dir/centroids")
       .crossJoin(broadcast(probes))
       .select(col("pid"), col("label").as("bucket"), Ivf.d2ToProbe.as("d2"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("pid").orderBy(col("d2"), col("bucket"))))
       .filter(col("rn") <= 2).select("pid", "bucket")
-    val ivfTop = s.read.parquet(s"$dir/vectors")
+    val ivfTop = graft.api.pathTbl(s, s"$dir/vectors")
       .join(broadcast(sel), "bucket")
       .join(broadcast(probes), Seq("pid"))
       .filter(col("vec_id") =!= col("pid"))

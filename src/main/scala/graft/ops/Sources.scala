@@ -148,7 +148,7 @@ object Sources {
         .withColumn("y", year(col("o_orderdate")).cast(LongType))
         .write.mode("overwrite").partitionBy("y").parquet(tmp)
     }
-    s.read.parquet(dir)
+    graft.api.pathTbl(s, dir)
   }
 
   /** The custom DSv2 source (graft.sources.RangeVariantSource) read

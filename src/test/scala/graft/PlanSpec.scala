@@ -350,9 +350,16 @@ class PlanSpec extends SparkSpec {
     val p20 = plan(Relational.tpchQ20)
     assert("LeftSemi".r.findAllIn(p20).size >= 2,
       s"q20 nested INs did not stack two semi joins:\n${p20.take(1200)}")
+    // q21 (r21): the EXISTS/NOT-EXISTS pair is rewritten as one
+    // per-(order, supplier) aggregate + one per-order aggregate — no
+    // semi/anti join remains, and lineitem is scanned/shuffled ONCE
+    // (the r20 shape shuffled three lineitem-scale probes). Pin the
+    // aggregate shape and that no join ever carries the fact twice.
     val p21 = plan(Relational.tpchQ21)
-    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
-      s"q21 exists/not-exists pair did not plan as semi+anti:\n${p21.take(1200)}")
+    assert(!p21.contains("LeftSemi") && !p21.contains("LeftAnti"),
+      s"q21 regressed to the semi+anti shape:\n${p21.take(1200)}")
+    assert("HashAggregate".r.findAllIn(p21).size >= 4,
+      s"q21 one-pass aggregate shape missing:\n${p21.take(1200)}")
     for ((n, p) <- Seq("q4" -> p4, "q20" -> p20, "q21" -> p21))
       assert(!p.contains("CartesianProduct"), s"$n went quadratic")
   }
