@@ -40,7 +40,9 @@ object StoreEconomics {
   private[sources] val Ddl = "key LONG, ver LONG, payload STRING"
 
   private[sources] def f1(v: Double): String =
-    String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    // NaN (e.g. the no-non-fold-epoch median) must stay valid JSON
+    if (v.isNaN || v.isInfinite) "null"
+    else String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("STORE_ECONOMICS.json")
@@ -261,7 +263,12 @@ object StoreEconomics334 {
         System.err.println(samples.result().last)
       }
     }
-    baselineMs = nonFoldMs.sorted.apply(nonFoldMs.size / 2)
+    // guard the median (r20 advice): if EVERY epoch folded (tiny epoch
+    // count or aggressive threshold) nonFoldMs is empty — emit NaN
+    // instead of dying on an empty index after the whole ingest ran.
+    baselineMs =
+      if (nonFoldMs.isEmpty) Double.NaN
+      else nonFoldMs.sorted.apply(nonFoldMs.size / 2)
     val boundHeld = maxGens <= AutoCompactPolicy.DefaultThreshold + 1
     require(boundHeld, s"generation bound broken: max $maxGens")
     val json = s"""{"sf":"$sfDir","epochs":$epochs,"writers_per_epoch":$writers,""" +

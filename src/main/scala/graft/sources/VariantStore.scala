@@ -80,12 +80,25 @@ object VariantStore {
     * makes the resolved snapshot a pure function of store CONTENT. */
   private def latestPerKey(df: DataFrame, cols: Array[String]): DataFrame = {
     val cellKey = cols(0) +: sampleCol(cols).toSeq
-    val tiebreak = cols.drop(2).filterNot(cellKey.contains).map(col(_).desc)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(cellKey.map(col): _*).orderBy(col("ver").desc +: tiebreak: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    // r21 (guide §2.3/§4): one hash aggregate, not Sort+Window+filter.
+    // The winner per cell is argmax under the total order (ver, every
+    // non-key column) — `max_by(struct(<all cols>), struct(ver,
+    // tiebreaks))` picks exactly the row `row_number() OVER (ORDER BY
+    // ver DESC, tiebreaks DESC) = 1` picked, because struct comparison
+    // is the same lexicographic order and ties mean byte-identical
+    // rows (the full-row order is total by construction). The window
+    // form sorted every partition of the store scan; the aggregate is
+    // a partial/final hash agg that never sorts and combines map-side
+    // — at 100 TB that removes a full sort of every versioned read.
+    // NULL caveat (the r20 q_ewma lesson): max_by skips rows whose
+    // ORDER key is NULL — here the key is a non-null STRUCT literal of
+    // non-null `ver` (write path enforces it), so no row is skippable.
+    val tiebreak = cols.drop(2).filterNot(cellKey.contains)
+    val ordKey = struct((col("ver") +: tiebreak.map(col)): _*)
+    val row = struct(cols.map(col): _*)
+    df.groupBy(cellKey.map(col): _*)
+      .agg(max_by(row, ordKey).as("__w"))
+      .select(cols.map(c => col(s"__w.$c").as(c)): _*)
   }
 
   /** Drop rows whose winning version is a delete marker (null-safe: a
@@ -336,7 +349,17 @@ object VariantStore {
     // plus the epoch high-water mark's replace branch already cover the
     // fully-folded-epoch case. Only a fold set of one file is a no-op
     // rewrite.
-    if (foldGroups.iterator.map(_.size).sum < 2) return
+    // "Worth merging" counts FILES against the fold's OUTPUT file count
+    // (r20 advice, generalized r21): the fold rewrites its input into
+    // `numRanges` files, so a fold set of <= numRanges files cannot
+    // shrink the store — with numRanges >= 2 the output generation's
+    // files (batch files, grouped singly) would qualify again on every
+    // pass and re-fold the same rows forever: idempotent results,
+    // unbounded write amplification. Requiring strictly more input
+    // files than output files makes every fold a real consolidation and
+    // the pass sequence terminating. (k == numRanges overlapping files
+    // keep their layout here; a MAJOR `compact` still re-sorts them.)
+    if (foldGroups.iterator.map(_.size).sum <= math.max(1, numRanges)) return
     val fold = foldGroups.flatten
     spliceCompacted(path, fold,
       spark.read.schema(schema).parquet(fold.map(e => s"$path/${e.file}"): _*),

@@ -286,6 +286,42 @@ class StoreEpochSpec extends graft.SparkSpec {
       "a single-file eligible group must not be rewritten")
   }
 
+  test("a lone already-consolidated generation is never re-folded (numRanges >= 2 churn guard, r21)") {
+    // r20 advice item: with numRanges >= 2 a fold's OUTPUT is itself a
+    // multi-file generation; if it remains the only eligible group, the
+    // pre-r21 guard (fold-set file count >= 2) re-folded the same rows
+    // on every pass — idempotent results, unbounded rewrite churn. A
+    // lone group at or below numRanges files must be left alone.
+    val dir = java.nio.file.Files.createTempDirectory("graft_epoch_churn").toString
+    val write = new StoreStreamingWrite(dir, schema, "test-query")
+    // epoch 5: three task files, one committed generation (fold fodder)
+    val msgs = (0 to 2).map { p =>
+      val w = StoreMemstoreFactory(dir, schema, StoreManifest.queryTag("test-query"))
+        .createWriter(p, p.toLong, 5L)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(
+        (p + 1).toLong, 5L, UTF8String.fromString(s"p$p")))
+      w.commit()
+    }
+    write.commit(5L, msgs.toArray)
+    // epoch 6: crash window (lines present, mark 5) → ineligible group,
+    // so the folded generation stays the ONLY eligible group afterwards
+    crashWindowState(dir, 6L, Seq((9L, 6L, "c6")))
+    val before = rawRows(dir)
+    // pass 1: 3 files > numRanges=2 → genuine consolidation, folds to 2
+    VariantStore.compactMinor(spark, dir, ddl, keepGenerations = 1, numRanges = 2)
+    val after1 = manifestFiles(dir)
+    assert(genFiles(dir, "test-query", 5L).isEmpty,
+      s"pass 1 did not fold the 3-file generation: $after1")
+    assert(rawRows(dir) == before, "pass 1 changed the row multiset")
+    // pass 2: the merged generation has exactly numRanges=2 files and is
+    // the only eligible group — folding it would rewrite 2 files into 2
+    // files forever. The churn guard must make this a no-op.
+    VariantStore.compactMinor(spark, dir, ddl, keepGenerations = 1, numRanges = 2)
+    assert(manifestFiles(dir).toSeq == after1.toSeq,
+      s"pass 2 re-folded an already-consolidated lone generation: ${manifestFiles(dir)}")
+    assert(rawRows(dir) == before, "pass 2 changed the row multiset")
+  }
+
   test("a fresh query's epoch 0 never replaces a previous query's epoch-0 generation") {
     // Epoch numbering restarts at 0 for a new query, so generation
     // names are scoped by the query tag: an unscoped `gen-000000000-`
