@@ -653,7 +653,17 @@ object Gvcf {
       .selectExpr("id AS k")
       .crossJoin(s.range(0, nPositions, 1, 1).selectExpr("id AS j"))
       .selectExpr(
-        "format_string('s%05d', k) AS sample",
+        // concat+lpad, not format_string('s%05d'): identical bytes (the
+        // DuckDB cohort CTE already spells it lpad), but format_string
+        // instantiates a java.util.Formatter per ROW — 2.7× steady-state
+        // per-row cost in a same-JVM noop A/B at 20M rows (r21, guide
+        // §1.2 step 2), paid on all three cohort scans of every wide
+        // query. The k >= 100000 branch preserves %05d semantics
+        // EXACTLY at probe widths (ScaleCentury runs this generator at
+        // width 1,002,000): lpad alone TRUNCATES past 5 digits, which
+        // would collide sample names; %05d pads but never truncates.
+        "concat('s', CASE WHEN k >= 100000 THEN CAST(k AS STRING) " +
+          "ELSE lpad(CAST(k AS STRING), 5, '0') END) AS sample",
         "concat('chr', 1 + j % 2) AS contig",
         "j * 10 + 1 AS start",
         "CASE WHEN (j + k) % 3 < 2 THEN j * 10 + 1 ELSE j * 10 + 10 END AS end",
