@@ -80,25 +80,26 @@ object VariantStore {
     * makes the resolved snapshot a pure function of store CONTENT. */
   private def latestPerKey(df: DataFrame, cols: Array[String]): DataFrame = {
     val cellKey = cols(0) +: sampleCol(cols).toSeq
-    // r21 (guide §2.3/§4): one hash aggregate, not Sort+Window+filter.
-    // The winner per cell is argmax under the total order (ver, every
-    // non-key column) — `max_by(struct(<all cols>), struct(ver,
-    // tiebreaks))` picks exactly the row `row_number() OVER (ORDER BY
-    // ver DESC, tiebreaks DESC) = 1` picked, because struct comparison
-    // is the same lexicographic order and ties mean byte-identical
-    // rows (the full-row order is total by construction). The window
-    // form sorted every partition of the store scan; the aggregate is
-    // a partial/final hash agg that never sorts and combines map-side
-    // — at 100 TB that removes a full sort of every versioned read.
-    // NULL caveat (the r20 q_ewma lesson): max_by skips rows whose
-    // ORDER key is NULL — here the key is a non-null STRUCT literal of
-    // non-null `ver` (write path enforces it), so no row is skippable.
-    val tiebreak = cols.drop(2).filterNot(cellKey.contains)
-    val ordKey = struct((col("ver") +: tiebreak.map(col)): _*)
-    val row = struct(cols.map(col): _*)
-    df.groupBy(cellKey.map(col): _*)
-      .agg(max_by(row, ordKey).as("__w"))
-      .select(cols.map(c => col(s"__w.$c").as(c)): _*)
+    // r21 NOTE — window KEPT, measured against the "obvious" rewrite:
+    // the argmax-as-aggregate form (`max_by(struct(<all cols>),
+    // struct(ver, tiebreaks))`) was implemented, oracle-verified, then
+    // REVERTED on measurement. Spark 4 already inserts WindowGroupLimit
+    // (partial, map-side) for a rank/row_number + `= 1` filter, so this
+    // window ships ONE winner candidate per cell per input partition
+    // through the exchange — the shuffle-volume win the rewrite was
+    // after already exists. Measured on a 20k-key × 100-version store
+    // (graft.StoreDepthAB): window 0.2 MB shuffled / 0.45 s warm vs
+    // max_by 0.5 MB / 0.51 s — the aggregate is strictly worse (struct
+    // buffers are not hash-aggregable, so it plans SortAggregate and
+    // ships struct-wrapped rows ~2× the bare winner row). Keep the
+    // `__rn = 1` filter shape intact: THAT is what lets Spark plan
+    // WindowGroupLimit.
+    val tiebreak = cols.drop(2).filterNot(cellKey.contains).map(col(_).desc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(cellKey.map(col): _*).orderBy(col("ver").desc +: tiebreak: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
   }
 
   /** Drop rows whose winning version is a delete marker (null-safe: a
