@@ -163,19 +163,14 @@ object Gvcf {
     // union independent of the window's intra-partition row order. */
     // try_cast + range guards: a malformed GT token ('A', '', '-1')
     // degrades to the missing call '.' instead of aborting a 100 TB
-    // combine under ANSI — same skip-bad-records posture as the parser
-    val remapped = expr(
-      s"""CASE WHEN kind = 'block' THEN replace(gt, '|', '/') ELSE
-         |  array_join(transform(split(replace(gt, '|', '/'), '/'), g ->
-         |    CASE WHEN g = '.' OR try_cast(g AS INT) IS NULL
-         |           OR try_cast(g AS INT) < 0 THEN '.'
-         |         WHEN CAST(g AS INT) = 0 THEN '0'
-         |         ELSE CAST(array_position(alts,
-         |                CASE WHEN CAST(g AS INT) < size(alleles)
-         |                     THEN element_at(alleles, CAST(g AS INT) + 1)
-         |                     ELSE '${Vcf.NonRef}' END) AS STRING)
-         |    END), '/')
-         |END""".stripMargin)
+    // combine under ANSI — same skip-bad-records posture as the parser.
+    // graft_remap_gt (r22) = the former split/transform/array_position
+    // CASE chain as ONE codegen-native pass (the HOF transform evaluated
+    // interpreted on every coverage row); GvcfKernels.remapGt documents
+    // the replicated expression verbatim and GvcfExprSpec pins token-level
+    // equality including the malformed-token corners.
+    val remapped = graft.functions.GvcfExpressions.remapGt(
+      col("gt"), col("kind"), col("alleles"), col("alts"), Vcf.NonRef)
     val w = Window.partitionBy("contig", "pos")
     // one select, not chained withColumn: both window aggregates land in
     // a single WindowExec pass over the shared sort
@@ -185,7 +180,7 @@ object Gvcf {
           .as("ref") :+
         // collect_SET, not collect_list: the window aggregate's buffer
         // dedups the alt slices as it goes, so the per-ROW projection
-        // wrapping the shared window value (flatten + distinct + sort —
+        // wrapping the shared window value (sorted-distinct-flatten —
         // WindowExec evaluates the frame once per partition but the
         // projection above it once per row) runs over the handful of
         // DISTINCT allele lists a site carries, not one entry per
@@ -193,12 +188,13 @@ object Gvcf {
         // site — 37 s of task time on the 3,000-sample wide cohort at
         // sf0.1, ×100 at a 30,000-sample cohort — for a value that is
         // O(distinct alts). Set iteration order is arbitrary, but the
-        // final array_sort canonicalizes it: output unchanged.
-        concat(
-          array_sort(array_distinct(flatten(collect_set(
+        // canonical sort inside graft_merged_alts (r22: the former
+        // concat(array_sort(array_distinct(flatten(…))), [NON_REF]) HOF
+        // chain as one codegen-native pass) keeps the output unchanged.
+        graft.functions.GvcfExpressions.mergedAlts(collect_set(
             when(col("kind") === "site",
-              expr("slice(alleles, 2, greatest(size(alleles) - 1, 0))"))).over(w)))),
-          array(lit(Vcf.NonRef))).as("alts"): _*)
+              expr("slice(alleles, 2, greatest(size(alleles) - 1, 0))"))).over(w),
+          Vcf.NonRef).as("alts"): _*)
       .join(broadcast(sampleNameIndex(v)), "sample")
       .withColumn("gtm", remapped)
   }
@@ -499,43 +495,31 @@ object Gvcf {
         min(when(col("kind") === "site", element_at(col("alleles"), 1))).over(wm)
           .as("ref") :+
         // collect_SET for the same reason as [[combinedCalls]]: the
-        // wrapping flatten/distinct/sort is a per-row projection over
+        // wrapping sorted-distinct-flatten is a per-row projection over
         // the shared window value, so the aggregate must hand it
         // distinct slices, not one per sample (O(samples²) otherwise).
-        concat(
-          array_sort(array_distinct(flatten(collect_set(
+        // graft_merged_alts = the former concat(array_sort(array_distinct(
+        // flatten(…))), array(NON_REF)) chain as ONE codegen-native pass
+        // (r22: the HOF chain evaluated interpreted on every coverage row).
+        graft.functions.GvcfExpressions.mergedAlts(collect_set(
             when(col("kind") === "site",
-              expr("slice(alleles, 2, greatest(size(alleles) - 1, 0))"))).over(wm)))),
-          array(lit(Vcf.NonRef))).as("alts"): _*)
+              expr("slice(alleles, 2, greatest(size(alleles) - 1, 0))"))).over(wm),
+          Vcf.NonRef).as("alts"): _*)
       .withColumn("malleles", concat(array(col("ref")), col("alts")))
       .withColumn("lall", concat(col("alleles"), array(lit(Vcf.NonRef))))
-      // merged-allele index -> sample-local allele index (<NON_REF>
-      // fallback for alleles outside the sample's local list)
-      .withColumn("limap", expr(
-        """transform(malleles, m ->
-          |  CASE WHEN array_position(lall, m) > 0
-          |       THEN CAST(array_position(lall, m) - 1 AS INT)
-          |       ELSE size(lall) - 1 END)""".stripMargin))
-      // merged genotype space in canonical PL order: (0,0),(0,1),(1,1),…
-      .withColumn("pairs", expr(
-        "flatten(transform(sequence(0, size(malleles) - 1), " +
-          "b -> transform(sequence(0, b), a -> array(a, b))))"))
-      // coalesce(gq, 0): a block with GQ '.' (the parser's nullable gq)
-      // must still emit a call — null would poison mpl and silently drop
-      // the sample from `calls` while n_samples still counts it. GQ 0 =
-      // "covered, no confidence": gt 0/0 with gq_new 0.
-      .withColumn("mpl", expr(
-        """CASE WHEN kind = 'block' OR pl IS NULL THEN
-          |  transform(pairs, p -> coalesce(gq, 0) * (CAST(p[0] > 0 AS INT) + CAST(p[1] > 0 AS INT)))
-          |ELSE
-          |  transform(pairs, p -> coalesce(try_element_at(pl, CAST(
-          |    (greatest(limap[p[0]], limap[p[1]]) * (greatest(limap[p[0]], limap[p[1]]) + 1)) div 2
-          |      + least(limap[p[0]], limap[p[1]]) + 1 AS INT)), 999999))
-          |END""".stripMargin))
-      .withColumn("g", expr("CAST(array_position(mpl, array_min(mpl)) - 1 AS INT)"))
-      .withColumn("gt_new", expr("concat(pairs[g][0], '/', pairs[g][1])"))
-      .withColumn("spl", array_sort(col("mpl")))
-      .withColumn("gq_new", expr("least(try_element_at(spl, 2) - try_element_at(spl, 1), 99)"))
+      // The local-index map + canonical-pair walk + PL remap + argmin +
+      // second-best gap, packed into ONE codegen-native expression
+      // (graft_pl_regenotype, r22 — was a 6-step interpreted HOF chain:
+      // limap/pairs/mpl/argmin/sort; see GvcfKernels.plRegenotype for the
+      // step-by-step replication, incl. coalesce(gq, 0) for GQ-'.'
+      // blocks and the 999999 out-of-range PL sentinel). The packed long
+      // carries (a, b, gq_new); unpacking below is pure integer codegen.
+      .withColumn("pk", graft.functions.GvcfExpressions.plRegenotype(
+        col("malleles"), col("lall"), col("pl"), col("kind"), col("gq")))
+      .withColumn("gt_new", expr(
+        "concat(CAST(pk & 1048575 AS STRING), '/', " +
+          "CAST(shiftright(pk, 20) & 1048575 AS STRING))"))
+      .withColumn("gq_new", expr("CAST(shiftright(pk, 40) AS INT)"))
     re.join(broadcast(sampleNameIndex(variants)), "sample")
   }
 
@@ -618,11 +602,23 @@ object Gvcf {
   private[graft] def withPl(cohort: DataFrame): DataFrame =
     cohort
       .withColumn("dp", (col("gq") % 30 + 10).cast(IntegerType))
+      // explicit 6-element array, not transform(sequence(0, 5), …): the
+      // higher-order transform evaluates INTERPRETED (a boxed lambda call
+      // per element per row — r22 RemapAB measured the class of chain at
+      // >10× the codegen cost), and j is statically 0..5 here, so the
+      // unrolled form is the same values with every element codegen'd.
+      // j = gidx is only reachable for j in {0,1,2} (gidx = 0/1/2).
       .withColumn("pl", expr(
-        """CASE WHEN kind = 'site' THEN
-          |  transform(sequence(0, 5), j -> CAST(
-          |    CASE WHEN j = (CASE WHEN gt = '0/1' THEN 1 WHEN gt = '1/1' THEN 2 ELSE 0 END)
-          |         THEN 0 ELSE (j + 1) * 10 + start % 7 END AS INT))
+        """CASE WHEN kind = 'site' THEN array(
+          |  CAST(CASE WHEN 0 = (CASE WHEN gt = '0/1' THEN 1 WHEN gt = '1/1' THEN 2 ELSE 0 END)
+          |       THEN 0 ELSE 10 + start % 7 END AS INT),
+          |  CAST(CASE WHEN 1 = (CASE WHEN gt = '0/1' THEN 1 WHEN gt = '1/1' THEN 2 ELSE 0 END)
+          |       THEN 0 ELSE 20 + start % 7 END AS INT),
+          |  CAST(CASE WHEN 2 = (CASE WHEN gt = '0/1' THEN 1 WHEN gt = '1/1' THEN 2 ELSE 0 END)
+          |       THEN 0 ELSE 30 + start % 7 END AS INT),
+          |  CAST(40 + start % 7 AS INT),
+          |  CAST(50 + start % 7 AS INT),
+          |  CAST(60 + start % 7 AS INT))
           |END""".stripMargin))
 
   /** [[syntheticVariantsWide]] with the likelihood fields — the input
