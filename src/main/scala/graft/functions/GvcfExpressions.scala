@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the gVCF per-row hot path (r22,
@@ -51,6 +51,17 @@ object GvcfExpressions {
     ColumnBridge.column(RemapGt(ColumnBridge.expression(gt),
       ColumnBridge.expression(kind), ColumnBridge.expression(alleles),
       ColumnBridge.expression(alts), sentinel))
+
+  /** `transform(sort_array(x), s -> s.c)` over `array<struct<i,c>>`
+    * ([[GvcfKernels.sortedCallVals]]) — the dense calls assembly. */
+  def sortedCallVals(collected: Column): Column =
+    ColumnBridge.column(SortedCallVals(ColumnBridge.expression(collected)))
+
+  /** The export cell merge ([[GvcfKernels.exportCells]]): covered calls
+    * + per-missing-sample defaults, in cohort (sample) order. */
+  def exportCells(esd: Column, samples: Column, missing: String): Column =
+    ColumnBridge.column(ExportCells(ColumnBridge.expression(esd),
+      ColumnBridge.expression(samples), missing))
 }
 
 /** The primitive loops behind [[GvcfExpressions]] — top-level object so
@@ -275,6 +286,114 @@ object GvcfKernels {
     }
     UTF8String.fromString(out.toString)
   }
+
+  /** Binary-order comparator over 2-field structs, replicating Spark's
+    * interpreted struct ordering (field 0 first, nulls-first per field)
+    * for the two shapes below: (long, string) and (string, string). */
+  private def cmpNullsFirst[T](an: Boolean, bn: Boolean, cmp: => Int): Int =
+    if (an && bn) 0 else if (an) -1 else if (bn) 1 else cmp
+
+  /** `transform(sort_array(x), s -> s.c)` over array<struct<i: long,
+    * c: string>> — the dense per-site calls assembly. sort_array's
+    * default ascending struct order is (i, then c), null structs and
+    * null fields first; the projection keeps c. Replaces a codegen'd
+    * sort whose struct comparisons went through the boxed interpreted
+    * ordering plus an interpreted transform — one primitive sort +
+    * copy instead. */
+  def sortedCallVals(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val rows = new Array[org.apache.spark.sql.catalyst.InternalRow](n)
+    var i = 0
+    while (i < n) {
+      rows(i) = if (arr.isNullAt(i)) null else arr.getStruct(i, 2)
+      i += 1
+    }
+    java.util.Arrays.sort(rows,
+      new java.util.Comparator[org.apache.spark.sql.catalyst.InternalRow] {
+        override def compare(a: org.apache.spark.sql.catalyst.InternalRow,
+            b: org.apache.spark.sql.catalyst.InternalRow): Int =
+          if (a == null && b == null) 0
+          else if (a == null) -1
+          else if (b == null) 1
+          else {
+            val c0 = cmpNullsFirst(a.isNullAt(0), b.isNullAt(0),
+              java.lang.Long.compare(a.getLong(0), b.getLong(0)))
+            if (c0 != 0) c0
+            else cmpNullsFirst(a.isNullAt(1), b.isNullAt(1),
+              a.getUTF8String(1).compareTo(b.getUTF8String(1)))
+          }
+      })
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) = if (rows(i) == null || rows(i).isNullAt(1)) null
+        else rows(i).getUTF8String(1)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The export cell merge, replicating
+    *
+    *   transform(sort_array(concat(
+    *     transform(esd, x -> struct(x.k AS k, x.call AS v)),
+    *     transform(array_except(samples, transform(esd, x -> x.k)),
+    *       n -> struct(n AS k, missing AS v)))), x -> x.v)
+    *
+    * over esd: array<struct<k: string, g: int, call: string>> and
+    * samples: array<string>. array_except keeps first occurrence and
+    * DEDUPS the left side (samples are distinct already, but the seen
+    * set keeps that exact); the struct sort orders by (k, then v),
+    * nulls first. */
+  def exportCells(esd: ArrayData, samples: ArrayData,
+      missing: UTF8String): ArrayData = {
+    val ne = esd.numElements()
+    val ns = samples.numElements()
+    val ks = new Array[UTF8String](ne + ns)
+    val vs = new Array[UTF8String](ne + ns)
+    val covered = new java.util.HashSet[UTF8String](ne * 2 + 4)
+    var w = 0
+    var i = 0
+    while (i < ne) {
+      if (esd.isNullAt(i)) {
+        // a null struct sorts first and projects a null cell — keep it
+        ks(w) = null; vs(w) = null; w += 1
+      } else {
+        val row = esd.getStruct(i, 3)
+        val k = if (row.isNullAt(0)) null else row.getUTF8String(0)
+        ks(w) = k
+        vs(w) = if (row.isNullAt(2)) null else row.getUTF8String(2)
+        if (k != null) covered.add(k)
+        w += 1
+      }
+      i += 1
+    }
+    i = 0
+    while (i < ns) {
+      val s = if (samples.isNullAt(i)) null else samples.getUTF8String(i)
+      if (s != null && covered.add(s)) { // also dedups samples, as except does
+        ks(w) = s; vs(w) = missing; w += 1
+      }
+      i += 1
+    }
+    // sort (k, v) pairs by k then v, nulls first — index sort over the
+    // pair arrays
+    val idx = new Array[Integer](w)
+    i = 0
+    while (i < w) { idx(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(x: Integer, y: Integer): Int = {
+        val a = x.intValue(); val b = y.intValue()
+        val kc = cmpNullsFirst(ks(a) == null, ks(b) == null, ks(a).compareTo(ks(b)))
+        if (kc != 0) kc
+        else cmpNullsFirst(vs(a) == null, vs(b) == null, vs(a).compareTo(vs(b)))
+      }
+    })
+    val out = new Array[Any](w)
+    i = 0
+    while (i < w) { out(i) = vs(idx(i).intValue()); i += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** See [[GvcfKernels.plRegenotype]]. Null only when `malleles` or `lall`
@@ -422,4 +541,71 @@ case class RemapGt(gt: Expression, kind: Expression, alleles: Expression,
       newChildren: IndexedSeq[Expression]): RemapGt =
     copy(gt = newChildren(0), kind = newChildren(1),
       alleles = newChildren(2), alts = newChildren(3))
+}
+
+/** See [[GvcfKernels.sortedCallVals]]. */
+case class SortedCallVals(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StructType(Seq(
+    StructField("i", LongType), StructField("c", StringType)))))
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_sorted_call_vals"
+
+  override protected def nullSafeEval(x: Any): Any =
+    GvcfKernels.sortedCallVals(x.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.GvcfKernels.sortedCallVals($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): SortedCallVals =
+    copy(child = newChild)
+}
+
+/** See [[GvcfKernels.exportCells]]. */
+case class ExportCells(esd: Expression, samples: Expression, missing: String)
+    extends Expression with ExpectsInputTypes {
+
+  override def children: Seq[Expression] = Seq(esd, samples)
+  override def inputTypes: Seq[DataType] = Seq(
+    ArrayType(StructType(Seq(StructField("k", StringType),
+      StructField("g", IntegerType), StructField("call", StringType)))),
+    ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = esd.nullable || samples.nullable
+  override def prettyName: String = "graft_export_cells"
+
+  private lazy val missingU8 = UTF8String.fromString(missing)
+
+  override def eval(input: InternalRow): Any = {
+    val e = esd.eval(input)
+    if (e == null) return null
+    val s = samples.eval(input)
+    if (s == null) return null
+    GvcfKernels.exportCells(e.asInstanceOf[ArrayData],
+      s.asInstanceOf[ArrayData], missingU8)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("missing", missingU8,
+      classOf[UTF8String].getName)
+    val eC = esd.genCode(ctx)
+    val sC = samples.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${eC.code}
+        ${sC.code}
+        boolean ${ev.isNull} = ${eC.isNull} || ${sC.isNull};
+        ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.GvcfKernels.exportCells(
+            ${eC.value}, ${sC.value}, $mRef);
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ExportCells =
+    copy(esd = newChildren(0), samples = newChildren(1))
 }

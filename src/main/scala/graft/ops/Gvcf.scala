@@ -215,9 +215,13 @@ object Gvcf {
 
   def combineSites(variants: DataFrame, bucketWidth: Long = 64): DataFrame =
     mergedSiteAgg(combinedCalls(variants, bucketWidth),
-      expr("transform(sort_array(collect_list(struct(sample_idx AS i, " +
-        "concat(sample, ':', coalesce(gtm, './.'), ':', " +
-        "coalesce(CAST(gq AS STRING), '.')) AS c))), s -> s.c)")
+      // graft_sorted_call_vals = transform(sort_array(...), s -> s.c) as
+      // one primitive kernel (r22: the HOF pair ran interpreted with a
+      // boxed struct comparator per element)
+      graft.functions.GvcfExpressions.sortedCallVals(
+        expr("collect_list(struct(sample_idx AS i, " +
+          "concat(sample, ':', coalesce(gtm, './.'), ':', " +
+          "coalesce(CAST(gq AS STRING), '.')) AS c))"))
         .as("calls"))
       .orderBy("contig", "pos")
 
@@ -409,9 +413,10 @@ object Gvcf {
     long.groupBy("contig", "pos")
       .agg(max(col("ref")).as("ref"), max(col("alt")).as("alt"),
         count(lit(1)).as("n_samples"),
-        expr("transform(sort_array(collect_list(struct(sample_idx AS i, " +
-          "concat(sample, ':', gt, ':', " +
-          "coalesce(CAST(gq AS STRING), '.')) AS c))), s -> s.c)")
+        graft.functions.GvcfExpressions.sortedCallVals(
+          expr("collect_list(struct(sample_idx AS i, " +
+            "concat(sample, ':', gt, ':', " +
+            "coalesce(CAST(gq AS STRING), '.')) AS c))"))
           .as("calls"))
       .orderBy("contig", "pos")
 
@@ -469,8 +474,9 @@ object Gvcf {
   def genotypeGvcf(variants: DataFrame, bucketWidth: Long = 64): DataFrame =
     mergedSiteAgg(genotypeCalls(variants, bucketWidth),
       sum(col("dp")).cast(LongType).as("sum_dp"),
-      expr("array_join(transform(sort_array(collect_list(struct(sample_idx AS i, " +
-        "concat(sample, ':', gt_new, ':', gq_new) AS c))), s -> s.c), ';')")
+      array_join(graft.functions.GvcfExpressions.sortedCallVals(
+        expr("collect_list(struct(sample_idx AS i, " +
+          "concat(sample, ':', gt_new, ':', gq_new) AS c))")), ";")
         .as("calls"))
       .orderBy("contig", "pos")
 
@@ -542,8 +548,9 @@ object Gvcf {
       .agg(max(col("ref")).as("ref"), max(col("alt")).as("alt"),
         count(lit(1)).as("n_samples"),
         sum(col("dp")).cast(LongType).as("sum_dp"),
-        expr("array_join(transform(sort_array(collect_list(struct(sample_idx AS i, " +
-          "concat(sample, ':', gt, ':', gq) AS c))), s -> s.c), ';')")
+        array_join(graft.functions.GvcfExpressions.sortedCallVals(
+          expr("collect_list(struct(sample_idx AS i, " +
+            "concat(sample, ':', gt, ':', gq) AS c))")), ";")
           .as("calls"))
       .orderBy("contig", "pos")
 
@@ -1173,20 +1180,18 @@ object Gvcf {
       // every cohort sample — and Catalyst map lookup is a LINEAR scan
       // of the kv array, so each line cost O(samples²) (~4 s for 120
       // lines at a 3,000-wide cohort, ×100 at 30,000). Covered entries
-      // and the uncovered samples' './.:.'  defaults (array_except is
-      // hash-based) are concatenated and one sort_array restores cohort
-      // order — O(samples log samples) per line, and the order is
-      // identical because `samples` was already sorted.
+      // and the uncovered samples' './.:.'  defaults are merged by
+      // graft_export_cells — ONE codegen-native pass replacing the
+      // 5-HOF transform/array_except/sort_array chain that evaluated
+      // interpreted per line (r22); cohort order is identical because
+      // `samples` was already sorted.
       .select(col("contig"), col("pos"),
         concat_ws("\t",
           col("contig"), col("pos").cast(StringType), lit("."), col("ref"), col("alt"),
           lit("."), lit("PASS"),
           concat(lit("NS="), size(col("esd")).cast(StringType)), lit("GT:GQ"),
-          array_join(expr(
-            """transform(sort_array(concat(
-              |  transform(esd, x -> struct(x.k AS k, x.call AS v)),
-              |  transform(array_except(samples, transform(esd, x -> x.k)),
-              |    n -> struct(n AS k, './.:.' AS v)))), x -> x.v)""".stripMargin),
+          array_join(graft.functions.GvcfExpressions.exportCells(
+            col("esd"), col("samples"), "./.:."),
             "\t")).as("line"))
   }
 
@@ -1300,11 +1305,8 @@ object Gvcf {
       .select(col("contig"), col("pos"), col("chunk_idx"),
         when(col("esd").isNull,
           array_join(expr("transform(csamples, n -> './.:.')"), "\t"))
-          .otherwise(array_join(expr(
-            """transform(sort_array(concat(
-              |  transform(esd, x -> struct(x.k AS k, x.call AS v)),
-              |  transform(array_except(csamples, transform(esd, x -> x.k)),
-              |    n -> struct(n AS k, './.:.' AS v)))), x -> x.v)""".stripMargin),
+          .otherwise(array_join(graft.functions.GvcfExpressions.exportCells(
+            col("esd"), col("csamples"), "./.:."),
             "\t")).as("part"))
     prefix.unionByName(cells)
   }
@@ -1318,8 +1320,8 @@ object Gvcf {
     * prefix ends at FORMAT and every cell run is already tab-joined. */
   def linesFromChunks(chunks: DataFrame): DataFrame =
     chunks.groupBy("contig", "pos")
-      .agg(array_join(expr(
-        "transform(sort_array(collect_list(struct(chunk_idx AS i, part AS p))), x -> x.p)"),
+      .agg(array_join(graft.functions.GvcfExpressions.sortedCallVals(
+        expr("collect_list(struct(chunk_idx AS i, part AS c))")),
         "\t").as("line"))
 
   /** Width-dispatching export — the [[combineAuto]] admission rule

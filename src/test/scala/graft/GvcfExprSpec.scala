@@ -139,6 +139,54 @@ class GvcfExprSpec extends SparkSpec {
       Seq("nat" -> "hof"))
   }
 
+  test("graft_sorted_call_vals matches transform(sort_array(...)) on ties/nulls") {
+    import spark.implicits._
+    val df = Seq(
+      Seq((3L, "c"), (1L, "a"), (2L, "b")),
+      Seq((1L, "x"), (1L, "a")), // tie on i -> c breaks it
+      Seq.empty[(Long, String)],
+      Seq((5L, "only"))
+    ).toDF("x")
+      .withColumn("x", col("x").cast("array<struct<i: bigint, c: string>>"))
+      // null c field + null struct element corners
+      .withColumn("x", expr(
+        "concat(x, array(named_struct('i', 0L, 'c', CAST(NULL AS STRING))))"))
+    assertParity(
+      d => d
+        .withColumn("hof", expr("transform(sort_array(x), s -> s.c)"))
+        .withColumn("nat", GvcfExpressions.sortedCallVals(col("x"))),
+      Seq("nat" -> "hof"),
+      input = df)
+  }
+
+  test("graft_export_cells matches the transform/array_except/sort_array chain") {
+    import spark.implicits._
+    val df = Seq(
+      // covered subset, missing samples fill in
+      (Seq(("s2", 30, "0/1:30"), ("s4", 99, "1/1:99")), Seq("s1", "s2", "s3", "s4")),
+      // fully covered
+      (Seq(("s1", 1, "0/0:1"), ("s2", 2, "0/0:2")), Seq("s1", "s2")),
+      // nothing covered
+      (Seq.empty[(String, Int, String)], Seq("a", "b")),
+      // duplicate sample in the cohort list (array_except dedups)
+      (Seq(("s1", 5, "0/1:5")), Seq("s1", "s2", "s2")),
+      // empty cohort
+      (Seq(("s1", 5, "0/1:5")), Seq.empty[String])
+    ).toDF("esd", "samples")
+      .withColumn("esd", col("esd").cast("array<struct<k: string, g: int, call: string>>"))
+    assertParity(
+      d => d
+        .withColumn("hof", expr(
+          """transform(sort_array(concat(
+            |  transform(esd, x -> struct(x.k AS k, x.call AS v)),
+            |  transform(array_except(samples, transform(esd, x -> x.k)),
+            |    n -> struct(n AS k, './.:.' AS v)))), x -> x.v)""".stripMargin))
+        .withColumn("nat", GvcfExpressions.exportCells(
+          col("esd"), col("samples"), "./.:.")),
+      Seq("nat" -> "hof"),
+      input = df)
+  }
+
   test("remap token cast parity on whitespace/sign/overflow corners") {
     import spark.implicits._
     val toks = Seq(".", "", "0", "1", "007", " 1", "1 ", "\t2\n", "+2", "-1",
