@@ -448,18 +448,38 @@ object Dedup {
       |WHERE len(list_intersect(a.s, b.s)) > 0
       |ORDER BY jaccard DESC, doc_a, doc_b
       |LIMIT 20""".stripMargin) { (s, d) =>
-    // Two-job LSH verify (the standard shape): job 1 = signature
-    // pipeline → banding → collision pairs; job 2 = re-shingle ONLY
-    // candidate docs (broadcast semi-join pushes the doc_id filter below
-    // the shingle explode) and score exactly. The candidate set is
-    // collision-bounded — tiny next to the corpus — so it localCheckpoints
-    // (documented lineage break, K-row class) and the expensive signature
-    // pipeline runs exactly ONCE; the verification scan does near-zero
-    // CPU outside the surviving docs. (A single-plan variant sharing one
-    // aggregate was tried: per-branch column pruning makes the three
-    // consumers' subtrees non-identical, so ReusedExchange never fires
-    // and the corpus is scanned 3×.)
-    val docs = tbl(s, d, "documents")
+    // persist, not localCheckpoint (r22, DedupNgramAB decade A/B:
+    // persist 3.5/3.9/3.5 s vs ckpt 5.7/4.5/4.3 s vs none 4.9/4.1/4.3 s
+    // interleaved at /tmp/graft_sf1; ties at sf0.1): localCheckpoint is
+    // EAGER — it runs the subtree as an extra build-time job and pins
+    // its blocks before the consuming job starts — while persist reuses
+    // blocks lazily inside the consuming job. Both pin K-row-class
+    // blocks for the session (identical leak profile); results
+    // cross-checked identical (DIFF = 0 both corpora).
+    dedupNgramWith(tbl(s, d, "documents"),
+      _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** The q_dedup_ngram pipeline with a pluggable materialization
+    * barrier for the two reused K-row-class frames (candidate pairs,
+    * survivor shingle sets) — the declared query passes `persist`
+    * (see the A/B note above); [[graft.DedupNgramAB]] times the
+    * alternatives (no barrier / localCheckpoint) against it (r21
+    * verdict #4).
+    *
+    * Two-job LSH verify (the standard shape): job 1 = signature
+    * pipeline → banding → collision pairs; job 2 = re-shingle ONLY
+    * candidate docs (broadcast semi-join pushes the doc_id filter below
+    * the shingle explode) and score exactly. The candidate set is
+    * collision-bounded — tiny next to the corpus — so it takes the
+    * barrier (documented lineage break, K-row class) and the expensive
+    * signature pipeline runs exactly ONCE; the verification scan does
+    * near-zero CPU outside the surviving docs. (A single-plan variant
+    * sharing one aggregate was tried: per-branch column pruning makes
+    * the three consumers' subtrees non-identical, so ReusedExchange
+    * never fires and the corpus is scanned 3×.) */
+  private[graft] def dedupNgramWith(docs: DataFrame,
+      barrier: DataFrame => DataFrame): DataFrame = {
     val sigs = minhashSignatures(docs)
     val nBands = NumPerms / BandRows
     // This consumer needs only the PAIR IDS, so the signature does not
@@ -472,18 +492,17 @@ object Dedup {
     // the signatures, so the pair-dedup exchange ships 16 B/pair
     // (bucketPairs). The distinct is REQUIRED here — multi-band
     // collisions would otherwise score (and emit) a pair repeatedly.
-    val cands = bucketPairs(bands, Seq("band", "bh"))
-      .select(col("doc_a"), col("doc_b")).distinct().localCheckpoint()
+    val cands = barrier(bucketPairs(bands, Seq("band", "bh"))
+      .select(col("doc_a"), col("doc_b")).distinct())
     val candIds = cands.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    // localCheckpoint: used twice (probe side + broadcast side), and
-    // the output is K-row class (one row per SURVIVOR doc, bounded by
+    // barrier: used twice (probe side + broadcast side), and the
+    // output is K-row class (one row per SURVIVOR doc, bounded by
     // 2x candidate pairs). Without it each side re-runs the filtered
     // scan + shingle + set aggregate.
-    val sets = shingleVals(docs.join(broadcast(candIds), Seq("doc_id"), "leftsemi"))
+    val sets = barrier(shingleVals(docs.join(broadcast(candIds), Seq("doc_id"), "leftsemi"))
       .groupBy("doc_id")
-      .agg(collect_set(col("v")).as("shset"))
-      .localCheckpoint()
+      .agg(collect_set(col("v")).as("shset")))
     val setsA = sets.select(col("doc_id").as("doc_a"), col("shset").as("sa"))
     val setsB = sets.select(col("doc_id").as("doc_b"), col("shset").as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb")))
