@@ -55,7 +55,18 @@ object NullProbe {
       .write.parquet(s"$dest/documents.parquet")
     var pass = 0
     val failures = Seq.newBuilder[(String, String)]
-    for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
+    // SPARK_GRAFT_SKIP: same contract as Bench — at the decade corpus
+    // the wide trio's dense site × sample matrix is O(sf²) by contract
+    // (SCALE.md r15f) and would dominate the probe without informing
+    // the crash-freedom property. Skips are logged and visible in the
+    // JSON's query count.
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    for (s <- skip.toSeq.sorted)
+      System.err.println(s"SKIPPED (SPARK_GRAFT_SKIP): $s")
+    for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)
+        if !skip.contains(name)) {
       try { fn(spark, dest).collect(); pass += 1 }
       catch { case e: Throwable =>
         val root = { var c: Throwable = e; while (c.getCause != null) c = c.getCause; c }
