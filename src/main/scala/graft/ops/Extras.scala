@@ -957,6 +957,15 @@ object Extras {
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
+      // localCheckpoint KEPT over lazy persist (r22, measured): two of
+      // the five roles are broadcast builds, i.e. concurrent driver
+      // jobs — under lazy persist they race to compute the
+      // not-yet-cached blocks and duplicate the subtree (FloorAudit
+      // sf0.1: exec1 478 → 1874 ms, tasks 14 → 720, task_ms 401 →
+      // 39747 on the persist variant). The eager materialization is
+      // what serializes the compute to exactly once. Contrast
+      // q_dedup_ngram, where all consumers meet in ONE job and lazy
+      // persist wins.
       .localCheckpoint()
     // one pass for degrees: each edge contributes both endpoints. The
     // degree table is bounded by the FOLDED node space (2000 ids, fixed

@@ -1025,12 +1025,15 @@ object Gvcf {
       // spanning blocks were duplicated into each bucket they cross —
       // collapse before combining (one record per (sample, start))
       .dropDuplicates("sample", "contig", "start")
-    // localCheckpoint: combineSites traverses its input twice (sample
-    // index build, coverage join + windowed allele merge) — fine over
-    // a cheap synthetic range, but here each traversal would re-run the
-    // pruned scan + dedup shuffle. The touched slice is delta-bounded
-    // (the premise of incrementality), so materializing it is the
-    // Ivf-centroid class of lineage break, not a corpus cache.
+    // localCheckpoint KEPT over lazy persist (r22, measured):
+    // combineSites traverses its input twice (sample index build —
+    // a broadcast, i.e. a concurrent driver job — and the coverage
+    // join + windowed allele merge); under lazy persist the two
+    // racing consumers duplicate the pruned scan + dedup shuffle
+    // (FloorAudit sf0.1: task_ms 2579 → 10684 on the persist
+    // variant). The touched slice is delta-bounded (the premise of
+    // incrementality), so materializing it eagerly is the Ivf-centroid
+    // class of lineage break, not a corpus cache.
     val recombined = combineSites(
         rawTouched.unionByName(delta).localCheckpoint())
       .withColumn("calls", array_join(col("calls"), ";"))

@@ -94,6 +94,17 @@ object VariantStore {
     // ships struct-wrapped rows ~2× the bare winner row). Keep the
     // `__rn = 1` filter shape intact: THAT is what lets Spark plan
     // WindowGroupLimit.
+    // r22 NOTE — the follow-up idea (encode the ordering as one
+    // fixed-width hash-aggregable long `(ver, digest)` so max() plans
+    // HashAggregate) is REJECTED on order-equivalence, not cost: the
+    // declared winner among duplicate (key, ver) rows is the max under
+    // EVERY-remaining-column-desc, and payload columns are unbounded
+    // strings — no fixed-width digest is order-preserving over them, so
+    // any packing picks a different (hash-ordered) winner on exactly
+    // the duplicate stores the full-row order exists to make
+    // deterministic. A results-changing rewrite is out of scope by the
+    // optimization contract; WindowGroupLimit already delivers the
+    // shuffle-volume goal (A/B above).
     val tiebreak = cols.drop(2).filterNot(cellKey.contains).map(col(_).desc)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(cellKey.map(col): _*).orderBy(col("ver").desc +: tiebreak: _*)
