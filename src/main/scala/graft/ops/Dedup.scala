@@ -227,8 +227,11 @@ object Dedup {
     // pair-dedup exchange was 190+ MB on the duplication corpus; now 0).
     bucketPairs(bands, Seq("band", "bh"))
       .select(col("doc_a"), col("doc_b"),
-        round(size(filter(zip_with(col("sa"), col("sb"), (a, b) => a === b),
-          x => x)).cast(DoubleType) / NumPerms, 6).as("est_jaccard"))
+        // graft_match_count = size(filter(zip_with(sa, sb, =), p -> p))
+        // as one codegen'd loop (r22: the HOF pair ran interpreted per
+        // candidate pair, and pair volume is the term that grows)
+        round(graft.functions.VectorExpressions.matchCount(col("sa"), col("sb"))
+          .cast(DoubleType) / NumPerms, 6).as("est_jaccard"))
       .orderBy(desc("est_jaccard"), col("doc_a"), col("doc_b"))
       .limit(20 * nBands)
       .distinct()
