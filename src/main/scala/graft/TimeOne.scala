@@ -15,12 +15,18 @@ object TimeOne {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-    // A/B experiment hook: SPARK_GRAFT_CONF="k=v,k=v" injects session
+    // A/B experiment hook: SPARK_GRAFT_CONF="k=v;k=v" injects session
     // confs so a candidate tuning can be timed without a recompile.
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
-      })
+    // ';'-separated (r21 advice): Spark conf VALUES legitimately carry
+    // commas (lists, JVM option strings) — a ',' split silently
+    // shredded them into garbage pairs. ',' still accepted for
+    // comma-free values (legacy invocations split harmlessly).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(
+      _.split(if (sys.env("SPARK_GRAFT_CONF").contains(";")) ";" else ",")
+        .filter(_.contains("="))
+        .foreach { kv =>
+          val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+        })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.queries("q_text_stats")(spark, sfDir).count() catch { case _: Throwable => }

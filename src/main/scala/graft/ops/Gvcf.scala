@@ -813,7 +813,12 @@ object Gvcf {
       |         greatest((SELECT n FROM ns), 3)),
       |ps AS (SELECT range AS j FROM range(0, 120)),
       |v AS (
-      |  SELECT 's' || lpad(CAST(k AS VARCHAR), 5, '0') AS sample,
+      |  -- k >= 100000 guard mirrors the Scala generator (r21 advice):
+      |  -- bare lpad TRUNCATES past 5 digits, the generator preserves
+      |  -- %05d semantics — inert at fixture widths, but impl and
+      |  -- oracle must agree at ANY width an oracle-verified probe uses
+      |  SELECT 's' || (CASE WHEN k >= 100000 THEN CAST(k AS VARCHAR)
+      |                 ELSE lpad(CAST(k AS VARCHAR), 5, '0') END) AS sample,
       |    'chr' || CAST(1 + j % 2 AS VARCHAR) AS contig,
       |    j * 10 + 1 AS vstart,
       |    CASE WHEN (j + k) % 3 < 2 THEN j * 10 + 1 ELSE j * 10 + 10 END AS vend,

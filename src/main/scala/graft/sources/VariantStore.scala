@@ -297,7 +297,16 @@ object VariantStore {
     * the splice can fail LOUDLY if it executes after the fold set is
     * deleted — the retry-the-read contract every snapshot-isolated file
     * store without reference counting has ([[snapshotImpl]] implements
-    * that retry for clones). */
+    * that retry for clones).
+    *
+    * Live-generation bound (r21 advice): the churn guard (fold only
+    * when the fold set holds MORE input files than the numRanges
+    * output files it would write) relaxes the worst case from
+    * keep + 1 to **keep + numRanges** live generations — e.g. two
+    * 1-file generations at numRanges = 2 stay separate until a third
+    * file arrives. Production auto-compact uses numRanges = 1, where
+    * the bound is unchanged; the trade (never an idempotent rewrite
+    * that only renames bytes) is deliberate. */
   def compactMinor(spark: SparkSession, path: String, schema: String,
       keepGenerations: Int = 4, numRanges: Int = 1): Unit =
     compactMinorImpl(spark, path, schema, keepGenerations, numRanges, () => ())
