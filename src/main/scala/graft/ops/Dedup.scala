@@ -142,9 +142,9 @@ object Dedup {
   def minhashA(i: Int): Long = 12289L + 2L * i
   def minhashB(i: Int): Long = 9973L * i + 7L
 
-  /** doc_id → MinHash signature (array of NumPerms longs). One explode +
-    * one groupBy(doc_id) with NumPerms min-aggregates (single pass,
-    * partial+final, no per-permutation shuffle). The base hash is the
+  /** doc_id → MinHash signature (array of NumPerms longs), ONE per-row
+    * pass inside the scan stage (no explode, no aggregate, no exchange
+    * — r22b batch 2, see the kernel note below). The base hash is the
     * first 12 hex digits of md5(shingle) read as a 48-bit integer —
     * byte-identical in Spark (`conv(hex,16,10)`) and DuckDB (digit
     * polynomial) — and the "permutations" are the portable affine maps
@@ -155,27 +155,28 @@ object Dedup {
     * far below MinHash's own estimation variance, and identically in
     * both engines. */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    // ONE array-typed native aggregate (graft_minhash_sig) — identical
-    // values to NumPerms separate min columns, but the aggregation
-    // schema stays one column wide regardless of signature length.
-    // (duplicate shingles cannot change a min, so no distinct pass needed)
-    shingleVals(docs).groupBy("doc_id")
-      .agg(graft.functions.SketchAggregates.minhashSig(col("v"),
-        (0 until NumPerms).map(minhashA), (0 until NumPerms).map(minhashB),
-        MinhashP).as("sig"))
+    // ONE per-row native kernel (graft_minhash_h48, r22b batch 2):
+    // shingle → h48 → per-permutation minima fused into a single pass.
+    // The pre-r22b shape was explode(shingles) + a per-doc group
+    // aggregate (graft_minhash_sig) — but the group key IS the row's
+    // own doc_id (unique by fixture contract, and every downstream
+    // consumer assumes it), so per-doc group ≡ per-row and the whole
+    // explode + partial/final aggregate + buffer exchange disappears:
+    // the signature is computed inside the scan stage. Values are the
+    // aggregate's update arithmetic verbatim (TextExpressionsSpec pins
+    // signature parity); the isNotNull filter replicates the old
+    // explode's null-text drop (split(NULL) explodes to zero rows).
+    // (duplicate shingles cannot change a min, so no distinct needed)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.minhashH48(split(col("text"), " "),
+          (0 until NumPerms).map(minhashA), (0 until NumPerms).map(minhashB),
+          MinhashP).as("sig"))
 
-  /** (doc_id, v) rows: one 48-bit portable hash per word-3-gram shingle —
-    * the shared leaf of the MinHash signature AND the exact-Jaccard
-    * scorer (one corpus scan feeds both). */
-  private def shingleVals(docs: DataFrame): DataFrame = {
-    // repartition = exchange barrier: tokens materialize once per row, so
-    // the shingle lambda slices an attribute instead of re-splitting.
-    val toked = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .repartition(col("doc_id"))
-    toked
-      .select(col("doc_id"), explode(shinglesOf(col("toks"))).as("sh"))
-      .select(col("doc_id"), expr(h48("sh")).as("v"))
-  }
+  // (the explode-based shingleVals helper — (doc_id, per-shingle h48)
+  // rows behind a repartition barrier — is gone, r22b: both former
+  // consumers run per-row kernels now, minhashSignatures above and
+  // dedupNgramWith's survivor shingle sets via graft_shingle_h48_distinct)
 
   /** C6 — MinHash + LSH banding near-dup candidates: band the signature,
     * equi-join on (band, concatenated band rows), estimate Jaccard as
@@ -330,22 +331,23 @@ object Dedup {
     * xxhash64) — same algorithm, different hash leaf; this variant
     * exists so the LSH chunk-blocking pipeline is oracle-checkable. */
   def simhashHexSignatures(docs: DataFrame): DataFrame =
-    // ONE native 64-lane majority aggregate (graft_simhash_sig, r14) —
-    // the pre-r14 shape exploded each token into four 16-bit groups and
-    // chained TWO aggregations (16 lane-sum columns, then a string
-    // reassembly groupBy); now each token is ONE row carrying its full
-    // 64-bit md5 prefix (two 32-bit conv halves packed — a single conv
-    // of 16 hex chars would overflow BIGINT) and the per-doc state is a
-    // 65-long buffer, map-side combined. Same majority rule, same digit
-    // order, bit-identical signatures — DedupSpec pins them and the
-    // q_dedup_simhash oracle hash-matches unchanged. The exchange ships
-    // per-doc partial buffers instead of a 4×-token row stream.
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    // ONE per-row native kernel (graft_simhash_hex, r22b batch 2): token
+    // → md5 prefix → 64 majority lanes → hex digits, fused into a single
+    // pass inside the scan stage. The r14 shape (explode per token, the
+    // md5/conv projection, then the graft_simhash_sig 65-long-buffer
+    // group aggregate) was already one corpus pass, but materialized a
+    // per-TOKEN row stream through Generate + aggregate hash probes and
+    // shipped per-doc buffers across a groupBy(doc_id) exchange — and
+    // the group key is the row's own doc_id (unique by fixture
+    // contract), so per-doc group ≡ per-row and all three nodes
+    // disappear. Same majority rule, same digit order, bit-identical
+    // signatures (TextExpressionsSpec pins kernel-vs-aggregate parity;
+    // DedupSpec's planted dups and the q_dedup_simhash oracle
+    // hash-match unchanged). The isNotNull filter replicates the old
+    // explode's null-text drop.
+    docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
-        expr("shiftleft(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT), 32) " +
-          "| CAST(conv(substring(md5(t), 9, 8), 16, 10) AS BIGINT)").as("v"))
-      .groupBy("doc_id")
-      .agg(graft.functions.SketchAggregates.simhashSig(col("v")).as("sig"))
+        graft.functions.TextExpressions.simhashHex(split(col("text"), " ")).as("sig"))
 
   /** SimHash near-dup candidates: 16-bit-chunk-blocked pairs (4-hex-char
     * substring equality ≙ Hamming LSH banding) ranked by Hamming
@@ -502,10 +504,19 @@ object Dedup {
     // barrier: used twice (probe side + broadcast side), and the
     // output is K-row class (one row per SURVIVOR doc, bounded by
     // 2x candidate pairs). Without it each side re-runs the filtered
-    // scan + shingle + set aggregate.
-    val sets = barrier(shingleVals(docs.join(broadcast(candIds), Seq("doc_id"), "leftsemi"))
-      .groupBy("doc_id")
-      .agg(collect_set(col("v")).as("shset")))
+    // scan + shingle pass.
+    // r22b: the per-doc distinct shingle set comes from ONE per-row
+    // kernel (graft_shingle_h48_distinct) instead of explode +
+    // groupBy(doc_id) collect_set — per-doc group ≡ per-row (doc_id
+    // unique), downstream only takes array_intersect/size, so the
+    // set-order difference (first-occurrence vs collect_set's
+    // accumulation order) is invisible. The isNotNull filter replicates
+    // the old explode's null-text drop.
+    val sets = barrier(docs.join(broadcast(candIds), Seq("doc_id"), "leftsemi")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.shingleH48Distinct(
+          split(col("text"), " ")).as("shset")))
     val setsA = sets.select(col("doc_id").as("doc_a"), col("shset").as("sa"))
     val setsB = sets.select(col("doc_id").as("doc_b"), col("shset").as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb")))
@@ -652,14 +663,27 @@ object Dedup {
     // <1e-3 per billion shingles, far below any practical concern for
     // candidate generation (near-dup recall/precision tolerances dwarf
     // it).
+    // r22: `graft_shingle_xxh64_distinct` fuses shingle + xxhash64 +
+    // per-doc dedup into one kernel (identical values to the
+    // array_distinct(transform(...)) chain — TextExpressionsSpec), so
+    // the corpus-wide repartition(doc_id) barrier exchange is gone (the
+    // kernel evaluates split once per row; see shingleVals). The
+    // min-per-group star edges come from ONE window over the posting
+    // exchange instead of groupBy + self-join: the join form shipped the
+    // postings across (lang, source, h) TWICE (once into the mins
+    // aggregate, once as the probe side) — the window computes the same
+    // group min over a single exchange. Null keys: a null lang/source
+    // posting never joined (equi-join semantics), so the window form
+    // filters them explicitly; h is never null (xxhash64(NULL) = seed).
+    import org.apache.spark.sql.expressions.Window
     val postings = docs
-      .select(col("doc_id"), col("lang"), col("source"), split(col("text"), " ").as("toks"))
-      .repartition(col("doc_id")) // barrier: materialize toks before the shingle lambda
+      .filter(col("lang").isNotNull && col("source").isNotNull)
       .select(col("doc_id"), col("lang"), col("source"),
-        explode(array_distinct(transform(shinglesOf(col("toks")), s => xxhash64(s)))).as("h"))
-    val mins = postings.groupBy("lang", "source", "h").agg(min("doc_id").as("m"))
+        explode(graft.functions.TextExpressions.shingleXxh64Distinct(
+          split(col("text"), " "))).as("h"))
     postings
-      .join(mins, Seq("lang", "source", "h"))
+      .withColumn("m",
+        min(col("doc_id")).over(Window.partitionBy(col("lang"), col("source"), col("h"))))
       .filter(col("doc_id") =!= col("m"))
       .select(col("m").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
@@ -823,7 +847,6 @@ object Dedup {
   /** As above with precomputed cluster labels (doc_id, rep). */
   def cleanReasons(docs: DataFrame, lab: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = split(col("text"), " ")
     // Exact-dup grouping keys on md5(norm), NOT norm itself: the window
     // exchange would otherwise carry (and its sort compare) the full
     // lowercased document text — corpus-sized shuffle at 100 TB for a
@@ -831,9 +854,15 @@ object Dedup {
     // are below any practical corpus size; the oracle partitions by the
     // raw norm and hash-matches). Column pruning then drops the text
     // from the exchange entirely.
+    // r22: both counts from ONE native byte pass over the text
+    // (`graft_token_stats` — no split array, no interpreted filter
+    // lambda; values pinned against the size(split)/size(filter) chain
+    // by TextExpressionsSpec). The two extractions share one packed-long
+    // eval under codegen subexpression elimination.
+    val ts = graft.functions.TextExpressions.tokenStats(col("text"), Seq("the", "a"))
     val base = docs.select(col("doc_id"), col("lang"),
-      size(toks).cast(LongType).as("n_tokens"),
-      size(filter(toks, t => t.isInCollection(Seq("the", "a")))).cast(LongType).as("n_stop"),
+      graft.functions.TextExpressions.tokenStatsTokens(ts).as("n_tokens"),
+      graft.functions.TextExpressions.tokenStatsStops(ts).as("n_stop"),
       md5(lower(trim(col("text")))).as("normh"))
       .withColumn("mdoc", min(col("doc_id")).over(Window.partitionBy(col("normh"))))
     base.join(lab, "doc_id")

@@ -652,15 +652,20 @@ object Pipeline {
     * `doc_id < probeBelow` form the eval set. Factored out so
     * OperatorSpec can pin hand-computed containments. */
   private[graft] def containmentOf(docs: DataFrame, probeBelow: Long): DataFrame = {
-    // repartition BEFORE shingling: shinglesOf must see a materialized
-    // attribute or Catalyst inlines the tokenizer per element (O(words²)
-    // per row — the Dedup.shinglesOf contract)
+    // r22: shingle + h48 + PER-DOC dedup fused into one native kernel
+    // (`graft_shingle_h48_distinct`, values identical to the
+    // distinct-of-h48(shinglesOf) chain — TextExpressionsSpec). Two
+    // corpus-sized plan nodes disappear: the repartition(doc_id) barrier
+    // exchange (the kernel evaluates split once per row, so no
+    // per-element re-tokenization to guard against) and the global
+    // (doc_id, h) distinct exchange — rows carry doc_id, so global
+    // distinct over (doc_id, h) ≡ per-doc distinct of h, which the
+    // kernel already guarantees. The doc_id probe/corpus filters now
+    // push down to the parquet scan.
     val sh = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), explode(Dedup.shinglesOf(col("toks"))).as("sh"))
-      .select(col("doc_id"), expr(h48("sh")).as("h"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions.shingleH48Distinct(
+          split(col("text"), " "))).as("h"))
     val probe = sh.filter(col("doc_id") < probeBelow)
       .select(col("doc_id").as("pid"), col("h"))
     val pn = probe.groupBy("pid").agg(count(lit(1)).as("probe_n"))
