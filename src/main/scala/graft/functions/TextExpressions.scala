@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the text/shingle hot path (r22,
@@ -47,6 +47,14 @@ object TextExpressions {
     ColumnBridge.column(ShingleHash(ColumnBridge.expression(toks),
       md5Mode = true, distinct = true))
 
+  /** As [[shingleH48Distinct]] but ASCENDING-SORTED (nulls last) — the
+    * same distinct hash SET in a canonical order, for consumers that
+    * only take order-free set measures (∩-size via
+    * [[sortedIntersectCount]]'s merge walk). */
+  def shingleH48DistinctSorted(toks: Column): Column =
+    ColumnBridge.column(ShingleHash(ColumnBridge.expression(toks),
+      md5Mode = true, distinct = true, sorted = true))
+
   /** `array_distinct(transform(shinglesOf(toks), sh -> xxhash64(sh)))`
     * — the candidate-edge posting leaf (engine-side hash, seed 42). */
   def shingleXxh64Distinct(toks: Column): Column =
@@ -68,6 +76,12 @@ object TextExpressions {
   /** n_stop from a [[tokenStats]] packed long (high 32 bits). */
   def tokenStatsStops(packed: Column): Column =
     org.apache.spark.sql.functions.shiftright(packed, 32)
+
+  /** ∩-size of two ascending-sorted distinct long arrays — see
+    * [[SortedIntersectCount]]. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Whole-document MinHash signature in ONE per-row pass — shingle →
     * h48 → per-permutation `floorMod(v·aᵢ + bᵢ, p)` minima — exactly the
@@ -151,7 +165,7 @@ object TextKernels {
     else XxHash64Function.hash(s, StringType, 42L)
 
   private def hashAll(toks: ArrayData, md5Mode: Boolean,
-      distinct: Boolean): ArrayData = {
+      distinct: Boolean, sorted: Boolean): ArrayData = {
     val sh = shingleStrings(toks)
     if (!distinct) {
       val out = new Array[Any](sh.length)
@@ -171,15 +185,65 @@ object TextKernels {
         if (seen.add(v)) out.add(v)
         i += 1
       }
-      new GenericArrayData(out.toArray)
+      if (sorted) {
+        // canonical ascending order, nulls last (a null hash exists only
+        // as the single [null] whole-text shingle of a null token array)
+        val longs = new Array[Long](out.size())
+        var n = 0
+        var nulls = 0
+        var j = 0
+        while (j < out.size()) {
+          val v = out.get(j)
+          if (v == null) nulls += 1
+          else { longs(n) = v.asInstanceOf[Long]; n += 1 }
+          j += 1
+        }
+        java.util.Arrays.sort(longs, 0, n)
+        val res = new Array[Any](n + nulls)
+        var k = 0
+        while (k < n) { res(k) = longs(k); k += 1 }
+        new GenericArrayData(res) // trailing slots stay null
+      } else new GenericArrayData(out.toArray)
     }
   }
 
   def shingleH48(toks: ArrayData, distinct: Boolean): ArrayData =
-    hashAll(toks, md5Mode = true, distinct = distinct)
+    hashAll(toks, md5Mode = true, distinct = distinct, sorted = false)
+
+  def shingleH48(toks: ArrayData, distinct: Boolean, sorted: Boolean): ArrayData =
+    hashAll(toks, md5Mode = true, distinct = distinct, sorted = sorted)
 
   def shingleXxh64(toks: ArrayData, distinct: Boolean): ArrayData =
-    hashAll(toks, md5Mode = false, distinct = distinct)
+    hashAll(toks, md5Mode = false, distinct = distinct, sorted = false)
+
+  /** Two-pointer ∩-size over ASCENDING-SORTED distinct long arrays
+    * (nulls last) — `size(array_intersect(a, b))` for inputs that are
+    * already distinct sets, without the per-evaluation hash sets and
+    * result-array allocation ArrayIntersect pays. A null element (only
+    * the [null] degenerate set) matches a null on the other side, as
+    * array_intersect's null-aware equality does. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    var aNull = false
+    var bNull = false
+    while (i < na && a.isNullAt(na - 1 - i)) { aNull = true; i += 1 }
+    while (j < nb && b.isNullAt(nb - 1 - j)) { bNull = true; j += 1 }
+    val la = na - i // non-null prefix length
+    val lb = nb - j
+    i = 0; j = 0
+    while (i < la && j < lb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    if (aNull && bNull) c + 1 else c
+  }
 
   /** Packed `(n_stop << 32) | n_tokens` over the single-space split:
     * `split(text, ' ')` with Spark's default limit -1 keeps every empty
@@ -308,36 +372,70 @@ object TextKernels {
   * array exactly as `shinglesOf`'s `otherwise(array(array_join(toks)))`
   * branch does — so the expression itself is never null. Element nulls
   * exist only in md5 mode (md5(NULL) = NULL; xxhash64(NULL) = seed). */
-case class ShingleHash(child: Expression, md5Mode: Boolean, distinct: Boolean)
+case class ShingleHash(child: Expression, md5Mode: Boolean, distinct: Boolean,
+    sorted: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
+
+  require(!sorted || (md5Mode && distinct),
+    "sorted output is defined for the distinct h48 variant only")
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = md5Mode)
   override def nullable: Boolean = false
   override def prettyName: String =
     (if (md5Mode) "graft_shingle_h48" else "graft_shingle_xxh64") +
-      (if (distinct) "_distinct" else "")
+      (if (distinct) "_distinct" else "") + (if (sorted) "_sorted" else "")
 
   override def eval(input: InternalRow): Any = {
     val t = child.eval(input).asInstanceOf[ArrayData]
-    if (md5Mode) TextKernels.shingleH48(t, distinct)
+    if (md5Mode) TextKernels.shingleH48(t, distinct, sorted)
     else TextKernels.shingleXxh64(t, distinct)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
-    val fn = if (md5Mode) "shingleH48" else "shingleXxh64"
+    val call =
+      if (md5Mode) s"shingleH48(${c.isNull} ? null : ${c.value}, $distinct, $sorted)"
+      else s"shingleXxh64(${c.isNull} ? null : ${c.value}, $distinct)"
     ev.copy(code =
       code"""
         ${c.code}
         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
-          graft.functions.TextKernels.$fn(
-            ${c.isNull} ? null : ${c.value}, $distinct);
+          graft.functions.TextKernels.$call;
       """, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHash =
     copy(child = newChild)
+}
+
+/** See [[TextKernels.sortedIntersectCount]]: ∩-size of two
+  * ascending-sorted distinct long arrays (nulls last) — equal to
+  * `size(array_intersect(a, b))` on such inputs, without per-pair hash
+  * sets or result allocation. Null if either side is null (size(NULL)
+  * under ANSI). PRECONDITION (callers': both sides come from
+  * `graft_shingle_h48_distinct_sorted`): sorted + distinct — enforced
+  * by construction at the single call site, pinned by parity tests. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextKernels.sortedIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
 }
 
 /** See [[TextKernels.tokenStats]]. Null text → null (exactly

@@ -57,32 +57,40 @@ object Dedup {
     * boilerplate anyway. */
   val MaxBucketWidth = 4096
 
-  /** RAW pair stream: a pair appears once PER SHARED BUCKET (a doc pair
-    * colliding in k bands/chunks yields k rows). Callers must project
-    * down to the columns they actually consume — the bare ids, or a
-    * metric computed from sa/sb — and THEN dedup: distinct is a
-    * group-by over every output column, so Catalyst cannot prune the
-    * signature payloads out of a pre-projection distinct, and the dedup
-    * exchange would ship them (512 B/pair for 32-perm MinHash vs
-    * 24 B/pair for (ids, metric)). Projecting first is safe because
-    * every metric is a pure function of the pair, so
-    * distinct-on-(ids, metric) equals distinct-on-ids. Top-k consumers
-    * can skip the pair exchange entirely via TakeOrdered(k·maxBuckets) +
-    * dedup (see q_dedup_near); measured on the r15c duplication-decade
-    * corpus the three consumers fell 556→128, 386→15, 581→94 MB. */
+  /** SCORED pair stream: a pair appears once PER SHARED BUCKET (a doc
+    * pair colliding in k bands/chunks yields k rows), already projected
+    * to `(doc_a, doc_b[, m])` where `m` is the mode's pair metric
+    * (match32 = equal-position count for MinHash est-Jaccard; hamming =
+    * 128-bit xor popcount; ids = no metric — see
+    * [[graft.functions.PairExpressions]]). r22b batch 3: the expansion
+    * used to be `transform(filter(ds, b -> b.doc_id > a.doc_id), …)` —
+    * two interpreted lambdas per bucket member — emitting pair structs
+    * that CARRIED both signatures (~300 B/pair for 32-perm MinHash) to a
+    * later metric projection; the native kernel computes the metric
+    * inside the expansion loop, so pair rows are 24 B and the signature
+    * payloads never materialize per pair (pair volume, not doc count,
+    * is the term that grows at 100 TB). Pair domain and metric null
+    * semantics are the lambda chain's verbatim (PairExpressionsSpec).
+    * Consumers still dedup AFTER this projection (a metric is a pure
+    * function of the pair, so distinct-on-(ids, m) ≡ distinct-on-ids),
+    * and top-k consumers skip the pair exchange entirely via
+    * TakeOrdered(k·maxBuckets) + dedup (see q_dedup_near; the r15c
+    * duplication-decade audit: 556→128, 386→15, 581→94 MB). */
   private[graft] def bucketPairs(bucketed: DataFrame, keys: Seq[String],
-      maxWidth: Int = MaxBucketWidth): DataFrame =
-    bucketed.groupBy(keys.map(col): _*)
+      mode: String, maxWidth: Int = MaxBucketWidth): DataFrame = {
+    val expanded = bucketed.groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds0"))
       .filter(size(col("ds0")) > 1)
       .select(slice(col("ds0"), 1, maxWidth).as("ds"))
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
-      .select(explode(expr(
-        """transform(filter(ds, b -> b.doc_id > a.doc_id),
-          |  b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
-          |              a.sig AS sa, b.sig AS sb))""".stripMargin)).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.sa").as("sa"), col("p.sb").as("sb"))
+      .select(explode(graft.functions.PairExpressions.bucketPairs(
+        col("ds"), col("a"), mode)).as("p"))
+    if (mode == "ids")
+      expanded.select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    else
+      expanded.select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.m").as("m"))
+  }
 
   val NumPerms = 32 // MinHash signature length
   val BandRows = 2  // rows per LSH band → 16 bands
@@ -226,13 +234,12 @@ object Dedup {
     // K rows to the driver, zero shuffle — then dedup the K rows and cut
     // to 20. Bit-identical to distinct-then-top-20 (the r15c audit's
     // pair-dedup exchange was 190+ MB on the duplication corpus; now 0).
-    bucketPairs(bands, Seq("band", "bh"))
+    // match count computed INSIDE the pair-expansion kernel (r22b
+    // batch 3, mode match32 — graft_match_count's rule verbatim), so
+    // pair rows never carry the signatures
+    bucketPairs(bands, Seq("band", "bh"), "match32")
       .select(col("doc_a"), col("doc_b"),
-        // graft_match_count = size(filter(zip_with(sa, sb, =), p -> p))
-        // as one codegen'd loop (r22: the HOF pair ran interpreted per
-        // candidate pair, and pair volume is the term that grows)
-        round(graft.functions.VectorExpressions.matchCount(col("sa"), col("sb"))
-          .cast(DoubleType) / NumPerms, 6).as("est_jaccard"))
+        round(col("m").cast(DoubleType) / NumPerms, 6).as("est_jaccard"))
       .orderBy(desc("est_jaccard"), col("doc_a"), col("doc_b"))
       .limit(20 * nBands)
       .distinct()
@@ -405,13 +412,14 @@ object Dedup {
         .as("sig"),
       posexplode(expr("transform(sequence(0, 3), c -> substring(sig, 4 * c + 1, 4))"))
         .as(Seq("c", "chunk")))
-    val hamming = expr("bit_count(sa.hi ^ sb.hi) + bit_count(sa.lo ^ sb.lo)")
     // Zero-shuffle pair ranking (same argument as q_dedup_near): a pair
     // collides in at most 4 chunks and its copies are equal under
     // (hamming, doc_a, doc_b), so TakeOrdered(20·4) + dedup + cut-to-20
     // is bit-identical to distinct-then-top-20 with no pair exchange.
-    bucketPairs(chunks, Seq("c", "chunk"))
-      .select(col("doc_a"), col("doc_b"), hamming.cast(LongType).as("hamming"))
+    // Hamming (bit_count(hi⊕hi) + bit_count(lo⊕lo)) computed INSIDE the
+    // pair-expansion kernel (r22b batch 3, mode hamming).
+    bucketPairs(chunks, Seq("c", "chunk"), "hamming")
+      .select(col("doc_a"), col("doc_b"), col("m").cast(LongType).as("hamming"))
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       .limit(20 * 4)
       .distinct()
@@ -497,8 +505,8 @@ object Dedup {
     // the signatures, so the pair-dedup exchange ships 16 B/pair
     // (bucketPairs). The distinct is REQUIRED here — multi-band
     // collisions would otherwise score (and emit) a pair repeatedly.
-    val cands = barrier(bucketPairs(bands, Seq("band", "bh"))
-      .select(col("doc_a"), col("doc_b")).distinct())
+    val cands = barrier(bucketPairs(bands, Seq("band", "bh"), "ids")
+      .distinct())
     val candIds = cands.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     // barrier: used twice (probe side + broadcast side), and the
@@ -512,14 +520,20 @@ object Dedup {
     // set-order difference (first-occurrence vs collect_set's
     // accumulation order) is invisible. The isNotNull filter replicates
     // the old explode's null-text drop.
+    // sets are SORTED (canonical order — same distinct set, and ∩-size
+    // is order-free) so the per-pair scorer below is an allocation-free
+    // merge walk instead of array_intersect's per-evaluation hash sets
+    // + result array (pair volume is the term that grows; r22b batch 3)
     val sets = barrier(docs.join(broadcast(candIds), Seq("doc_id"), "leftsemi")
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
-        graft.functions.TextExpressions.shingleH48Distinct(
+        graft.functions.TextExpressions.shingleH48DistinctSorted(
           split(col("text"), " ")).as("shset")))
     val setsA = sets.select(col("doc_id").as("doc_a"), col("shset").as("sa"))
     val setsB = sets.select(col("doc_id").as("doc_b"), col("shset").as("sb"))
-    val inter = size(array_intersect(col("sa"), col("sb")))
+    // = size(array_intersect(sa, sb)) on distinct inputs (parity pinned
+    // in TextExpressionsSpec)
+    val inter = graft.functions.TextExpressions.sortedIntersectCount(col("sa"), col("sb"))
     cands.join(setsA, "doc_a").join(setsB, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         inter.as("ni"), size(col("sa")).as("na"), size(col("sb")).as("nb"))

@@ -77,7 +77,7 @@ class DedupSpec extends SparkSpec {
       (202L, Seq(3L, 6L), 1, "ok"))
     def pairs(parts: Int) = Dedup.bucketPairs(
       (hot ++ organic).toDF("doc_id", "sig", "band", "bh").repartition(parts),
-      Seq("band", "bh"), maxWidth = 8)
+      Seq("band", "bh"), mode = "ids", maxWidth = 8)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     val p = pairs(4)
     val hotPairs = p.filter(_._1 < 100L)

@@ -132,6 +132,31 @@ class TextExpressionsSpec extends SparkSpec {
     assert(bad.isEmpty, s"simhash kernel drift: ${bad.take(3).mkString("; ")}")
   }
 
+  test("sorted-distinct shingle sets + merge ∩-count match array_intersect") {
+    // same SET as the unsorted distinct variant, ascending order, and
+    // the merge-walk ∩-size equals size(array_intersect) pair-wise
+    val sortedSets = df.filter(col("text").isNotNull)
+      .select(col("doc_id"), shingleH48DistinctSorted(toks).as("s"))
+    for (cg <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", cg)
+      try {
+        val badSet = df.filter(col("text").isNotNull)
+          .select(shingleH48DistinctSorted(toks).as("srt"),
+            array_sort(shingleH48Distinct(toks)).as("ref"))
+          .filter(!(col("srt") <=> col("ref"))).collect()
+        assert(badSet.isEmpty, s"sorted variant drift under $cg: ${badSet.take(3).mkString}")
+        val pairs = sortedSets.select(col("doc_id").as("da"), col("s").as("sa"))
+          .crossJoin(sortedSets.select(col("doc_id").as("db"), col("s").as("sb")))
+          .filter(col("da") < col("db"))
+        val bad = pairs.select(
+            sortedIntersectCount(col("sa"), col("sb")).as("nat"),
+            size(array_intersect(col("sa"), col("sb"))).as("ref"))
+          .filter(!(col("nat") <=> col("ref"))).collect()
+        assert(bad.isEmpty, s"∩-count drift under $cg: ${bad.take(3).mkString("; ")}")
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("candidateEdges window form emits no edges among null-blocked docs") {
     // the pre-r22 join form dropped null lang/source postings by
     // equi-join semantics; the window form must drop them explicitly
